@@ -1,0 +1,114 @@
+"""Co-occurrence pair-count — the engine's flagship operator (SURVEY §2.4 A4).
+
+The reference builds a co-authorship pair-count fact with a driver-side
+nested loop: for each of C(400,2)=79,800 candidate author pairs it rescans
+the whole publication table with a substring-containment test and
+group-counts by year (`/root/reference/main_dag.py:265-290`; 12 min 57 s per
+the report). That is O(pairs × rows) with false-positive substring
+semantics (`main_dag.py:280-281`).
+
+The Spark-first restatement is a *bridge self-join*:
+
+    bridge(group_key, member)          -- one row per (entity, member), distinct
+    pairs = bridge a JOIN bridge b
+            ON a.group_key = b.group_key AND a.member < b.member
+    counts = pairs [JOIN group_attrs] GROUP BY (attrs…, m1, m2) COUNT
+
+One shuffle on ``group_key`` co-locates both join sides; because both
+sides are the *same* subplan, Spark reuses the exchange (ReusedExchange)
+instead of scanning twice — this is why group attributes (e.g. year) are
+attached *after* pairing, not before. The ``<`` predicate emits each
+unordered pair once (exact-match semantics, fixing the reference's
+substring bug), and the group-count partial-aggregates map-side before
+its shuffle.
+
+Scale notes (100 TB): the join key is the *group* (paper / order), so the
+shuffle is bounded by bridge-table size, not by the C(n,2) pair space.
+Per-group blow-up is quadratic in group size — for web-scale data cap or
+salt pathological groups (a paper with 10k "authors") with
+``max_group_size``; AQE skew-join splitting handles moderate skew. The
+dimension restriction (members limited to a seed list, SURVEY J3/J5) is
+applied *before* the self-join so it prunes the shuffle, and broadcast
+because the seed dimension is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_counts(
+    bridge: DataFrame,
+    group_col: str,
+    member_col: str,
+    group_attrs: DataFrame | None = None,
+    members: DataFrame | None = None,
+    max_group_size: int | None = None,
+) -> DataFrame:
+    """Count co-occurrences of unordered ``member`` pairs per group.
+
+    Parameters
+    ----------
+    bridge: one row per (group, member); duplicates are removed.
+    group_attrs: optional dimension keyed by ``group_col`` whose remaining
+        columns become extra grouping keys (e.g. publication year) —
+        broadcast-joined *after* pairing so the self-join sides stay
+        identical and the exchange is reused.
+    members: optional tiny dimension (single column named like
+        ``member_col``) restricting which members participate — broadcast
+        semi-join applied *before* the self-join (SURVEY J3+J5).
+    max_group_size: optional guard dropping pathologically large groups
+        before the quadratic expansion.
+
+    Returns ``(cnt, attrs…, member1, member2)`` with ``member1 < member2``.
+    """
+    b = bridge.select(group_col, member_col).distinct()
+
+    if members is not None:
+        b = b.join(F.broadcast(members.select(member_col).distinct()), member_col, "left_semi")
+
+    if max_group_size is not None:
+        sizes = b.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsz"))
+        b = b.join(sizes.filter(F.col("_gsz") <= max_group_size).drop("_gsz"), group_col, "left_semi")
+
+    a, c = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        c,
+        (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+        & (F.col(f"a.{member_col}") < F.col(f"b.{member_col}")),
+        "inner",
+    ).select(
+        F.col(f"a.{group_col}").alias(group_col),
+        F.col(f"a.{member_col}").alias("member1"),
+        F.col(f"b.{member_col}").alias("member2"),
+    )
+
+    attr_cols: list[str] = []
+    if group_attrs is not None:
+        attr_cols = [col for col in group_attrs.columns if col != group_col]
+        pairs = pairs.join(F.broadcast(group_attrs), group_col, "inner")
+
+    return pairs.groupBy(*attr_cols, "member1", "member2").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def supplier_pair_counts(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """The testdata instantiation of the DBLP co-authorship fact:
+    suppliers co-occurring on an order ≈ authors co-occurring on a paper
+    (FIXTURES.md §A mapping), yearly by order date.
+
+    Shape: distinct (order, supplier) bridge → self-join (exchange reused
+    across both sides) → broadcast year lookup → group-count.
+    """
+    bridge = lineitem.select("l_orderkey", "l_suppkey")
+    years = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.year("o_orderdate").cast("int").alias("year"),
+    )
+    out = pair_counts(bridge, "l_orderkey", "l_suppkey", group_attrs=years)
+    return out.select(
+        F.col("cnt"),
+        F.col("year"),
+        F.col("member1").alias("author1"),
+        F.col("member2").alias("author2"),
+    )

@@ -1,0 +1,76 @@
+"""SparkSession construction with scale-aware defaults.
+
+The engine is designed for a multi-executor cluster reading ~100 TB; the
+defaults below are the ones that matter at that scale and are harmless on
+``local[*]``:
+
+- AQE on (runtime re-planning: coalesce small shuffle partitions,
+  broadcast-convert joins, split skewed partitions),
+- Arrow for any pandas interchange (vectorized UDF transfer),
+- ``nanosAsLong`` so nanosecond-precision parquet (the ``events`` table)
+  scans natively instead of failing,
+- UTC session timezone so date/timestamp semantics are deterministic
+  regardless of host configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (non-static) confs applied to sessions we build AND to sessions
+# handed to us by a driver (see `apply_runtime_confs`).
+_RUNTIME_CONFS: dict[str, str] = {
+    # events.parquet carries INT64 TIMESTAMP(NANOS) — read as long, convert
+    # explicitly in sources.tables.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime confs to an externally-built session.
+
+    Safe to call repeatedly; only touches runtime-settable SQL confs.
+    """
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # A driver may pin a conf as static; never fail on tuning confs.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "is3107datapipelineproject-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (``local[*]`` if
+    unset). ``shuffle_partitions`` defaults to the parallelism of the
+    master — on a real cluster you would size this to ~2-3× total cores
+    and let AQE coalesce down.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    # Keep the UI off in test/bench harnesses — one less port to clash on.
+    builder = builder.config("spark.ui.enabled", "false")
+    spark = builder.getOrCreate()
+    return apply_runtime_confs(spark)
