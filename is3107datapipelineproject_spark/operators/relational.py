@@ -1,0 +1,125 @@
+"""Relational building blocks — SURVEY.md §2.2–2.6.
+
+Thin, documented compositions of DataFrame built-ins. Everything here is
+declarative so Catalyst gets full pushdown / pruning / join-strategy
+freedom; the value is the *contract* each function pins down (exact-match
+semantics, null handling, determinism) relative to the reference's
+imperative pandas code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --- joins (SURVEY §2.3) ---------------------------------------------------
+
+def new_rows(parsed: DataFrame, known: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """J1 — rows of ``parsed`` whose key is not in ``known``
+    (ref `main_dag.py:143-148,227-229`: per-record membership test)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return parsed.join(known.select(*keys), keys, "left_anti")
+
+
+def deleted_rows(known: DataFrame, parsed: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """J2 — rows of ``known`` never re-seen in ``parsed``
+    (ref `main_dag.py:71,146,251-252`; implements the per-row intent —
+    the reference's whole-column ``is_seen`` assignment is a bug,
+    SURVEY §3.3)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return known.join(parsed.select(*keys), keys, "left_anti")
+
+
+def restrict_to_members(df: DataFrame, members: DataFrame, on: Column | str, broadcast: bool = True) -> DataFrame:
+    """J3+J5 — left-semi membership restriction against a (tiny) seed
+    dimension (pdf §2.2: authors restricted to cs_researchers.csv)."""
+    m = F.broadcast(members) if broadcast else members
+    if isinstance(on, str):
+        return df.join(m, on, "left_semi")
+    return df.join(m, on, "left_semi")
+
+
+# --- positional predicates (SURVEY §2.2 P9 / §2.5 W1) -----------------------
+
+def ordered_members(df: DataFrame, group: str, order: Sequence[str], member: str) -> DataFrame:
+    """W1 — per-group ordinal-sorted member array: the engine-native form
+    of the reference's 1-based author maps (`main_dag.py:159-175`).
+    ``array_sort`` over (order…, member) structs keeps everything JVM-side;
+    no window shuffle beyond the groupBy. ``order`` must be a TOTAL order
+    within the group (pass tiebreak columns) or ordinals are not
+    reproducible across engines/partitionings."""
+    sort_struct = F.struct(*[F.col(o).alias(f"o{i}") for i, o in enumerate(order)], F.col(member).alias("m"))
+    return df.groupBy(group).agg(
+        F.transform(F.array_sort(F.collect_list(sort_struct)), lambda s: s["m"]).alias("members")
+    )
+
+
+def nth_member(df: DataFrame, group: str, order: Sequence[str], member: str, n: int) -> DataFrame:
+    """P9 — "X is the n-th member" support table: ``(group, nth)`` where
+    nth is the 1-based n-th member by ``order`` (docx §Proxy Q1/Q2's
+    ``x[2] == pid`` positional test, exact semantics). ``try_element_at``
+    tolerates groups with fewer than n members under ANSI mode (the
+    reference's ``if len(x) >= 3`` guard)."""
+    return ordered_members(df, group, order, member).select(
+        F.col(group),
+        F.try_element_at("members", F.lit(n)).alias("nth"),
+    )
+
+
+def member_ordinals(df: DataFrame, group: str, order: Sequence[str]) -> DataFrame:
+    """W1 as a window: explicit ``row_number`` ordinal per group — exposed
+    for workloads that need the window form rather than parse-time arrays.
+    ``order`` must be a total order within the group for determinism."""
+    w = Window.partitionBy(group).orderBy(*order)
+    return df.withColumn("ordinal", F.row_number().over(w))
+
+
+def ordinal_keyed_map(df: DataFrame, group: str, order: Sequence[str], value: Column) -> DataFrame:
+    """F9 — the reference's 1-based ordinal-keyed map (`main_dag.py:159-175`)
+    per group: ``map<int, value>`` where key = position under the total
+    ``order``. Built with array_sort + indexed transform (no window, no
+    second shuffle)."""
+    sort_struct = F.struct(*[F.col(o).alias(f"o{i}") for i, o in enumerate(order)], value.alias("v"))
+    return df.groupBy(group).agg(
+        F.map_from_entries(
+            F.transform(
+                F.array_sort(F.collect_list(sort_struct)),
+                lambda s, i: F.struct((i + 1).alias("key"), s["v"].alias("value")),
+            )
+        ).alias("member_map")
+    )
+
+
+# --- set ops (SURVEY §2.6) ---------------------------------------------------
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """U1 — bag union by column NAME (ref ``pd.concat`` axis=0,
+    `main_dag.py:227-229,256-258`)."""
+    return a.unionByName(b)
+
+
+def except_by_key(base: DataFrame, remove: DataFrame, key: str | Sequence[str]) -> DataFrame:
+    """U2 — remove rows whose key appears in ``remove``
+    (ref ``unique.drop(to_be_deleted.index)``, `main_dag.py:259-260`) —
+    EXCEPT-by-key, not bag EXCEPT."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return base.join(remove.select(*keys), keys, "left_anti")
+
+
+# --- misc (SURVEY §2.4-2.5) --------------------------------------------------
+
+def volume_metrics(new: DataFrame, unique: DataFrame) -> DataFrame:
+    """A6 — `main_dag.py:485-488`: one-row (total_new, total_unique).
+    Two count aggregates cross-joined; never collects to the driver."""
+    n = new.agg(F.count(F.lit(1)).alias("total_new"))
+    u = unique.agg(F.count(F.lit(1)).alias("total_unique"))
+    return n.crossJoin(u)
+
+
+def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """W3 — deterministic LIMIT: callers must pass a total order
+    (tie-broken) — an unordered limit is not reproducible across runs."""
+    return df.orderBy(*order_cols).limit(k)

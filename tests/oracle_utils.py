@@ -24,7 +24,12 @@ def _canon(v):
     if isinstance(v, decimal.Decimal):
         return repr(round(float(v), 9))
     if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # DuckDB DATE arrives via pandas as midnight datetime64 while Spark
+        # DateType arrives as datetime.date — canonicalize midnight to date.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
     if isinstance(v, bytes):
