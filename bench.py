@@ -1,0 +1,88 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly
+ONE JSON line:
+
+    {"metric": "headline_wall_sec", "value": <total>, "unit": "sec",
+     "queries": {"pair_counts": <sec>, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the `noop` sink (full computation,
+no driver-side collect, no file-writing overhead) so the timing reflects
+the distributed plan, not result serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from is3107datapipelineproject_spark.session import get_spark
+from is3107datapipelineproject_spark.workload import registry
+
+# The headline set: flagship + one representative per operator family.
+# Anything listed here but not registered is skipped (keeps bench green
+# while coverage grows).
+HEADLINE = [
+    "pair_counts",
+    "q3_collab_totals",
+    "q1_nth_author",
+    "filter_map_contains",
+    "author_ordinal",
+    "incremental_merge",
+    "events_tumbling_window",
+    "exact_dedup",
+    "minhash_neardup",
+    "cosine_topk",
+    "text_quality",
+    "xml_flatten",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, sf_dir)
+        # Warm the input file listing (not the data) so the first query
+        # doesn't pay one-time session setup.
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

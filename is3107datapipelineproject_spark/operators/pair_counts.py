@@ -44,6 +44,7 @@ def pair_counts(
     member_col: str,
     group_attrs: DataFrame | None = None,
     members: DataFrame | None = None,
+    groups: DataFrame | None = None,
     max_group_size: int | None = None,
 ) -> DataFrame:
     """Count co-occurrences of unordered ``member`` pairs per group.
@@ -58,6 +59,12 @@ def pair_counts(
     members: optional tiny dimension (single column named like
         ``member_col``) restricting which members participate — broadcast
         semi-join applied *before* the self-join (SURVEY J3+J5).
+    groups: optional restriction to a subset of groups (single column
+        named like ``group_col``) — semi-joined *before* the quadratic
+        self-join so the pair expansion only runs over qualifying groups.
+        This is how "collaborations of member X" queries stay scale-safe:
+        pass the (tiny) set of groups containing X and ~everything is
+        pruned before the shuffle.
     max_group_size: optional guard dropping pathologically large groups
         before the quadratic expansion.
 
@@ -67,6 +74,9 @@ def pair_counts(
 
     if members is not None:
         b = b.join(F.broadcast(members.select(member_col).distinct()), member_col, "left_semi")
+
+    if groups is not None:
+        b = b.join(groups.select(group_col).distinct(), group_col, "left_semi")
 
     if max_group_size is not None:
         sizes = b.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsz"))
@@ -86,26 +96,39 @@ def pair_counts(
 
     attr_cols: list[str] = []
     if group_attrs is not None:
+        # Plain inner join — group_attrs is keyed by the GROUP, so its
+        # cardinality scales with the fact table; a forced broadcast here
+        # would OOM at cluster scale. AQE picks broadcast at test scale
+        # anyway when the attrs side is genuinely small.
         attr_cols = [col for col in group_attrs.columns if col != group_col]
-        pairs = pairs.join(F.broadcast(group_attrs), group_col, "inner")
+        pairs = pairs.join(group_attrs, group_col, "inner")
 
     return pairs.groupBy(*attr_cols, "member1", "member2").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def supplier_pair_counts(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+def supplier_pair_counts(
+    lineitem: DataFrame, orders: DataFrame, with_member: int | None = None
+) -> DataFrame:
     """The testdata instantiation of the DBLP co-authorship fact:
     suppliers co-occurring on an order ≈ authors co-occurring on a paper
     (FIXTURES.md §A mapping), yearly by order date.
 
     Shape: distinct (order, supplier) bridge → self-join (exchange reused
-    across both sides) → broadcast year lookup → group-count.
+    across both sides) → year lookup → group-count.
+
+    ``with_member`` prunes the bridge to groups containing that member
+    *before* the quadratic self-join (the scale-safe plan for Proxy
+    Q3/Q4 "collaborations of X" — docx §Proxy Queries).
     """
     bridge = lineitem.select("l_orderkey", "l_suppkey")
     years = orders.select(
         F.col("o_orderkey").alias("l_orderkey"),
         F.year("o_orderdate").cast("int").alias("year"),
     )
-    out = pair_counts(bridge, "l_orderkey", "l_suppkey", group_attrs=years)
+    groups = None
+    if with_member is not None:
+        groups = bridge.filter(F.col("l_suppkey") == with_member).select("l_orderkey")
+    out = pair_counts(bridge, "l_orderkey", "l_suppkey", group_attrs=years, groups=groups)
     return out.select(
         F.col("cnt"),
         F.col("year"),

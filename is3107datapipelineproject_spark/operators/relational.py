@@ -35,10 +35,10 @@ def deleted_rows(known: DataFrame, parsed: DataFrame, key: str | Sequence[str]) 
 
 def restrict_to_members(df: DataFrame, members: DataFrame, on: Column | str, broadcast: bool = True) -> DataFrame:
     """J3+J5 — left-semi membership restriction against a (tiny) seed
-    dimension (pdf §2.2: authors restricted to cs_researchers.csv)."""
+    dimension (pdf §2.2: authors restricted to cs_researchers.csv).
+    ``on`` may be a column name (equi-semi-join) or an arbitrary join
+    Column predicate."""
     m = F.broadcast(members) if broadcast else members
-    if isinstance(on, str):
-        return df.join(m, on, "left_semi")
     return df.join(m, on, "left_semi")
 
 
@@ -72,8 +72,10 @@ def nth_member(df: DataFrame, group: str, order: Sequence[str], member: str, n: 
 def member_ordinals(df: DataFrame, group: str, order: Sequence[str]) -> DataFrame:
     """W1 as a window: explicit ``row_number`` ordinal per group — exposed
     for workloads that need the window form rather than parse-time arrays.
-    ``order`` must be a total order within the group for determinism."""
-    w = Window.partitionBy(group).orderBy(*order)
+    ``order`` must be a total order within the group for determinism.
+    Null placement is pinned to NULLS LAST (the ANSI / DuckDB row_number
+    default — Spark's bare ASC would put nulls first)."""
+    w = Window.partitionBy(group).orderBy(*[F.asc_nulls_last(o) for o in order])
     return df.withColumn("ordinal", F.row_number().over(w))
 
 

@@ -42,7 +42,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to Catalyst — callers express filters declaratively on the result."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            # A driver may pin confs as static; degrade like
+            # session.apply_runtime_confs and let the read proceed.
+            pass
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = (

@@ -15,6 +15,7 @@ with explicit casts on BOTH the Spark and DuckDB side.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -73,12 +74,40 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY S1/S2 (ref main_dag.py:18-19, 339-353): headered CSV scan
     with an explicit schema — no inference in the engine."""
     region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    out_dir = os.path.join(tempfile.gettempdir(), f"engine_scan_csv_{abs(hash(sf_dir))}")
+    # Stable digest (not the salted builtin hash) + pid: deterministic per
+    # input within a process, no cross-process overwrite-vs-read race.
+    token = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(tempfile.gettempdir(), f"engine_scan_csv_{token}_{os.getpid()}")
     region.coalesce(1).write.mode("overwrite").option("header", True).csv(out_dir)
     schema = T.StructType(
         [T.StructField("r_regionkey", T.IntegerType()), T.StructField("r_name", T.StringType())]
     )
     return spark.read.csv(out_dir, header=True, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# S3: existence-checked scan with empty fallback (ref main_dag.py:64-69)
+# ---------------------------------------------------------------------------
+
+def scan_or_empty(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """SURVEY S3 (ref main_dag.py:64-69): read the cache if it exists,
+    else an empty DataFrame with the declared schema — the cold-start
+    branch of the incremental contract."""
+    if os.path.exists(path):
+        return spark.read.schema(schema).parquet(path)
+    return spark.createDataFrame([], schema)
+
+
+@register("scan_or_empty", oracle="SELECT r_regionkey, r_name FROM region", tags=("source",))
+def q_scan_or_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the existing path yields the table; a nonexistent path yields
+    an empty frame of the same schema — union proves both branches."""
+    schema = T.StructType(
+        [T.StructField("r_regionkey", T.LongType()), T.StructField("r_name", T.StringType())]
+    )
+    present = scan_or_empty(spark, os.path.join(sf_dir, "region.parquet"), schema)
+    absent = scan_or_empty(spark, os.path.join(sf_dir, "no_such_cache.parquet"), schema)
+    return present.select("r_regionkey", "r_name").unionByName(absent)
 
 
 # ---------------------------------------------------------------------------
@@ -640,12 +669,41 @@ def q_f_zip_authors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f_null_fill",
+    oracle="""
+SELECT o_orderkey,
+       nullif(o_orderstatus, o_orderstatus) AS status_nulled,
+       coalesce(nullif(o_orderpriority, '1-URGENT'), '') AS priority_filled
+FROM orders
+""",
+    tags=("scalar",),
+)
+def q_f_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 (ref main_dag.py:382 ``df.fillna('')``): engine-wide null fill
+    via ``na.fill`` — nulls manufactured with nullif since the testdata
+    string columns are dense."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", "o_orderstatus").alias("status_nulled"),
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("priority_filled"),
+    )
+    # status_nulled is all-null by construction and EXCLUDED from the fill;
+    # the oracle keeps it null — proving subset-fill semantics.
+    return o.na.fill("", ["priority_filled"])
+
+
 # ---------------------------------------------------------------------------
 # Proxy Q3/Q4: collaboration totals (docx §Proxy Queries)
 # ---------------------------------------------------------------------------
 
 def _collab_totals(spark: SparkSession, sf_dir: str, member: int, year: int | None) -> DataFrame:
-    pc = supplier_pair_counts(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"))
+    # with_member prunes the bridge to groups containing the member BEFORE
+    # the quadratic self-join (scale-safe: the pair expansion never runs
+    # over groups that can't produce a qualifying pair).
+    pc = supplier_pair_counts(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"), with_member=member
+    )
     if year is not None:
         pc = pc.filter(F.col("year") == year)
     left = pc.filter(F.col("author1") == member).select(F.col("author2").alias("partner"), "cnt")
