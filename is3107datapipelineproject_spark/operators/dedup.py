@@ -1,0 +1,292 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference surface (driver mandate): the reference deduplicates by
+exact key only (`/root/reference/main_dag.py:143-148`); a training-data
+pipeline needs content-level dedup. Every operator here is built from
+JVM column expressions + equi-joins — no Python UDFs, no cross joins:
+
+- exact:    fingerprint = md5(normalized text); one hash-aggregate.
+- MinHash:  per-doc signature is a NARROW computation (array lambdas over
+            the shingle-hash set — no explode, no shuffle); the only
+            shuffles are the band-bucket self-join (keys = band
+            signatures, cardinality ≈ corpus size × BANDS) and the final
+            verify join. This is the canonical web-scale near-dup plan:
+            candidate generation is O(n) shuffle, never O(n²).
+- SimHash:  narrow 60-bit signature; Hamming-≤3 pairs found via the
+            4-band pigeonhole (3 differing bits can't touch all 4 bands,
+            so every qualifying pair shares ≥1 exact band key).
+- Jaccard:  exact token-set similarity within metadata blocks (the
+            "blocked pairwise" pattern — quadratic only inside a block).
+
+All hash primitives derive from md5 so an ANSI-SQL oracle (DuckDB) can
+reproduce them bit-for-bit; Spark's murmur3 `hash()` would be faster but
+unverifiable cross-engine. Swap `h28`/`h60` for `xxhash64` in a
+production profile if oracle parity is not needed.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.operators.text import normalize_text, ws_tokens
+
+# MinHash parameters. P is the Mersenne prime 2^31-1; a/b are fixed
+# pseudo-random coefficients (generated once from a seeded RNG, frozen
+# here so Spark and any SQL oracle agree). a*h stays < 2^59 because
+# h < 2^28 (h28) — no int64 overflow in either engine.
+MINHASH_P = 2_147_483_647
+MINHASH_A = (
+    1_203_563_241, 676_126_093, 1_909_745_581, 278_347_913,
+    1_527_389_449, 97_134_217, 1_131_967_813, 1_846_079_011,
+    412_776_619, 1_664_018_129, 734_921_567, 1_295_486_123,
+    564_237_779, 1_987_654_291, 158_904_637, 1_403_562_193,
+)
+MINHASH_B = (
+    882_347_561, 1_472_936_809, 234_786_101, 1_938_472_657,
+    672_348_919, 1_102_938_473, 1_750_392_841, 89_234_561,
+    1_302_948_573, 448_273_619, 1_884_726_353, 912_384_757,
+    1_593_842_671, 302_184_977, 1_029_384_755, 769_283_441,
+)
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K // LSH_BANDS
+
+SIMHASH_BITS = 60  # fits signed int64; 4 bands × 15 bits
+
+
+def h28(col: Column) -> Column:
+    """28-bit deterministic hash: first 7 hex digits of md5, as BIGINT.
+    Oracle twin: ``CAST('0x' || substr(md5(x), 1, 7) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
+
+def h60(col: Column) -> Column:
+    """60-bit deterministic hash (15 hex digits of md5) for SimHash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_fingerprint(col: Column | str) -> Column:
+    """Exact-dedup key: md5 of the whitespace-normalized, lowercased text
+    (the `normalized_fingerprint` contract, now an operator)."""
+    return F.md5(normalize_text(col))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group documents by content fingerprint: one row per distinct
+    content with ``(fingerprint, keeper_id, n_copies)`` where keeper is
+    the smallest id (deterministic survivor). One hash-aggregate — the
+    100 TB plan is a single shuffle on the fingerprint."""
+    return (
+        df.select(F.col(id_col), exact_fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Array of k-word shingles over normalized whitespace tokens.
+    Documents shorter than k tokens yield one truncated shingle (the
+    whole text) so nothing silently disappears."""
+    toks = ws_tokens(col)
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+def shingle_hash_set(col: Column | str, k: int = 3) -> Column:
+    """Distinct 28-bit hash set of the k-word shingles — the MinHash /
+    Jaccard input. Narrow (no shuffle)."""
+    return F.array_distinct(F.transform(word_shingles(col, k), h28))
+
+
+def minhash_signature_cols(hashes_col: str = "shingles") -> list[Column]:
+    """K minhash columns ``mh0..mh{K-1}``: mh_j = min_h (a_j*h + b_j) % P.
+    Pure array lambdas over the per-row hash set — no explode, no
+    shuffle, whole-stage-codegen friendly."""
+    def perm(a: int, b: int):
+        # one-arg closure (a defaulted second lambda arg would be read by
+        # pyspark as the element-index parameter)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    return [
+        F.array_min(F.transform(F.col(hashes_col), perm(a, b))).alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def lsh_band_keys() -> list[Column]:
+    """LSH band signatures: band_b = 'b:' || mh(4b) || '-' || … || mh(4b+3).
+    Docs agreeing on ANY band become candidate pairs."""
+    out = []
+    for band in range(LSH_BANDS):
+        parts = [F.col(f"mh{band * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        out.append(F.concat_ws("-", F.lit(str(band)), *parts).alias(f"band{band}"))
+    return out
+
+
+def minhash_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """MinHash-LSH near-duplicate detection, end to end:
+
+    1. narrow: shingle-hash set + K minhashes + band keys per doc;
+    2. shuffle 1: self-equi-join on exploded (band) keys → candidates;
+    3. shuffle 2: join candidates back to shingle sets, exact Jaccard,
+       keep pairs ≥ threshold.
+
+    Returns ``(doc1, doc2, jaccard)`` with doc1 < doc2, jaccard rounded
+    to 4 decimals (cross-engine fp determinism).
+
+    Scale: candidate volume is governed by band collisions, not n² — at
+    100 TB the joins shuffle on band/doc keys and AQE handles skewed
+    buckets (a boilerplate-heavy web crawl produces hot bands; for
+    pathological cases pre-filter bands with > max_bucket docs).
+    """
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"), shingle_hash_set(text_col, k).alias("shingles")
+    ).select("doc_id", "shingles", *minhash_signature_cols("shingles"))
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*lsh_band_keys())).alias("band")
+    )
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+
+    sh = sigs.select("doc_id", "shingles")
+    joined = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc1").withColumnRenamed("shingles", "sh1"), "doc1")
+        .join(sh.withColumnRenamed("doc_id", "doc2").withColumnRenamed("shingles", "sh2"), "doc2")
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
+    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
+    jac = F.round(inter / union, 4)
+    return (
+        joined.select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash signature per document over the distinct whitespace-token
+    hash set: bit b is set iff strictly more than half the token hashes
+    have bit b set. Returns ``(doc_id, simhash)``.
+
+    Single pass over the hashes: one ``aggregate`` fold accumulates the
+    per-bit ones-counts as a 60-wide long array (zip_with add), then a
+    static majority-vote fold builds the signature from the counts. All
+    narrow, one projection boundary between the two stages so the counts
+    array is computed exactly once per row."""
+    hs = F.array_distinct(F.transform(ws_tokens(text_col), h60))
+    t = df.select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+
+    def bitvec(h: Column) -> Column:
+        return F.array(
+            *[F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("long") for b in range(bits)]
+        )
+
+    counts = F.aggregate(
+        "hs",
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(acc, bitvec(h), lambda x, y: x + y),
+    )
+    t = t.select("doc_id", F.size("hs").alias("n"), counts.alias("counts"))
+    sig = reduce(
+        add,
+        [
+            F.when(F.element_at("counts", b + 1) * 2 > F.col("n"), F.lit(1 << b)).otherwise(
+                F.lit(0)
+            )
+            for b in range(bits)
+        ],
+    )
+    return t.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``
+    (≤ 3 so the 4-band pigeonhole is exact: 3 flipped bits cannot touch
+    all 4 bands, hence every qualifying pair shares at least one exact
+    15-bit band key — candidate generation is an equi-join, not n²).
+
+    Returns ``(doc1, doc2, hamming)``, doc1 < doc2.
+    """
+    assert max_hamming <= LSH_BANDS - 1, "band pigeonhole requires max_hamming < n_bands"
+    width = SIMHASH_BITS // 4
+    sig = simhash_signatures(df, text_col, id_col).withColumnRenamed("simhash", "sh")
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        (F.shiftright(F.col("sh"), i * width) % F.lit(1 << width)).cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.sh").alias("sh1"),
+            F.col("b.sh").alias("sh2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        cand.select("doc1", "doc2", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, block_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard between all doc pairs sharing a blocking
+    key (source, domain, near-dup cluster …). The quadratic expansion is
+    confined to each block — the classic blocked-dedup pattern; at scale
+    the shuffle key is the block and AQE splits skewed blocks.
+
+    Returns ``(doc1, doc2, jaccard)`` with jaccard ≥ threshold, rounded 4.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("block"),
+        F.array_distinct(ws_tokens(text_col)).alias("toks"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(
+        b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    union = (F.size(F.col("a.toks")) + F.size(F.col("b.toks"))).cast("double") - inter
+    jac = F.round(inter / union, 4)
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"), jac.alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,144 @@
+"""Embedding-similarity operators: brute-force cosine top-k and the
+bucketed (IVF-style) scale path.
+
+Beyond-reference surface (driver mandate): ANN over an
+``array<float>`` embedding column. Two tiers:
+
+- ``cosine_topk``: exact brute force — broadcast the (small) query set
+  against the full corpus, JVM-side ``zip_with``/``aggregate`` dot
+  products, per-query window top-k. Correctness baseline; cost is
+  O(|Q| × corpus) with NO shuffle of the corpus (queries broadcast,
+  top-k partial-aggregates per partition before the final window).
+- ``cosine_topk_bucketed``: IVF-style — restrict the search to the
+  query's coarse bucket (here the precomputed cluster/label column; in
+  production the argmin-centroid assignment computed the same narrow
+  way). The corpus shuffles once on the bucket key; each query scans
+  only its bucket — the 100 TB plan where a full scan per query is
+  impossible. Recall < 1.0 by construction (standard IVF tradeoff;
+  probe multiple buckets to trade cost for recall).
+
+Determinism contract: cosine is computed in float64 and ROUNDED to 4
+decimals before ranking; ranking orders by (rounded sim DESC, id ASC).
+Rounding first makes the rank reproducible across engines whose fp
+summation order differs (Spark's fold vs an oracle's list_sum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns (stays in
+    whole-stage codegen; no UDF, no explode)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None) -> DataFrame:
+    """Cast to double and precompute the norm once (narrow)."""
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col).alias("vid"), v.alias("vec"), l2_norm(v).alias("norm")]
+    for e in extra or []:
+        cols.append(F.col(e))
+    return df.select(*cols)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: for every query vector, the k nearest corpus
+    vectors (self-matches excluded). Returns
+    ``(query_id, neighbor_id, rank, cosine)`` with cosine rounded to 4.
+
+    Plan shape: broadcast(queries) × corpus scan → narrow cosine →
+    window top-k partitioned by query. The corpus is never shuffled; the
+    only exchange is the final rank partition on query_id (|Q| keys).
+    """
+    c = _prep(corpus, id_col, vec_col)
+    q = _prep(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    sim = F.round(
+        dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+    ).alias("cosine")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vid") != F.col("qid"))
+        .select(F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id"), sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style bucketed top-k: neighbors are searched ONLY within the
+    query's coarse bucket (cluster assignment). Same output contract as
+    ``cosine_topk`` plus the bucket — the scale path where per-query
+    work is |bucket|, not |corpus|.
+    """
+    c = _prep(corpus, id_col, vec_col, [bucket_col]).withColumnRenamed(bucket_col, "bucket")
+    q = (
+        _prep(queries, id_col, vec_col, [bucket_col])
+        .select(
+            F.col("vid").alias("qid"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+            F.col(bucket_col).alias("bucket"),
+        )
+    )
+    sim = F.round(
+        dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+    ).alias("cosine")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("vid") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("bucket"),
+            F.col("vid").alias("neighbor_id"),
+            sim,
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, bucket_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within coarse buckets:
+    ``(id1, id2, cosine)`` with id1 < id2 and cosine ≥ threshold. The
+    quadratic expansion is confined to each bucket (same blocking
+    argument as dedup.blocked_jaccard_pairs)."""
+    t = _prep(df, id_col, vec_col, [bucket_col]).withColumnRenamed(bucket_col, "bucket")
+    a, b = t.alias("a"), t.alias("b")
+    sim = F.round(
+        dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm")), 4
+    ).alias("cosine")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"), sim)
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,396 @@
+"""LLM-training-data pipeline workload over ``documents``/``embeddings``.
+
+Each operator from the dedup / similarity / text / multimodal families
+registers here with a DuckDB oracle generated FROM THE SAME CONSTANTS as
+the Spark implementation (hash prefix widths, MinHash coefficients, band
+layout, thresholds) so the two sides cannot drift.
+
+Determinism contract recap (see operators.* docstrings):
+- every content hash derives from md5 (cross-engine reproducible);
+- similarity scores are computed in float64 and rounded to 4 decimals
+  BEFORE thresholding/ranking, so fp summation-order noise (~1e-15)
+  cannot flip a comparison that matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.operators import dedup as D
+from is3107datapipelineproject_spark.operators import multimodal as M
+from is3107datapipelineproject_spark.operators import similarity as S
+from is3107datapipelineproject_spark.operators import text as X
+from is3107datapipelineproject_spark.sources.tables import load_table
+from is3107datapipelineproject_spark.workload.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- shared SQL fragments (generated from the same constants as Spark) ------
+
+SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+SQL_TOKS = f"string_split({SQL_NORM}, ' ')"
+# k=3 word shingles, truncated shingle for short docs (matches dedup.word_shingles)
+SQL_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(toks) - 2, 1)),"
+    " i -> array_to_string(toks[i:i+2], ' '))"
+)
+SQL_H28 = "CAST('0x' || substr(md5({x}), 1, 7) AS BIGINT)"
+SQL_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+SQL_SHINGLE_HASHES = f"list_distinct(list_transform({SQL_SHINGLES}, s -> {SQL_H28.format(x='s')}))"
+
+_MH_COLS = ", ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {D.MINHASH_P})) AS mh{j}"
+    for j, (a, b) in enumerate(zip(D.MINHASH_A, D.MINHASH_B))
+)
+_BAND_LIST = ", ".join(
+    "concat_ws('-', '%d', %s)"
+    % (band, ", ".join(f"mh{band * D.LSH_ROWS + r}" for r in range(D.LSH_ROWS)))
+    for band in range(D.LSH_BANDS)
+)
+
+SQL_DOCS_TOKS = f"SELECT doc_id, {SQL_TOKS} AS toks FROM documents"
+SQL_DOCS_SHINGLES = f"SELECT doc_id, {SQL_SHINGLE_HASHES} AS hs FROM ({SQL_DOCS_TOKS})"
+
+
+# --- exact dedup ------------------------------------------------------------
+
+@register(
+    "exact_dedup",
+    oracle=f"""
+SELECT md5({SQL_NORM}) AS fingerprint,
+       min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+""",
+    tags=("dedup", "llm"),
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5 fingerprint of normalized text, smallest
+    doc_id survives. One shuffle (hash-aggregate on the fingerprint)."""
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# --- MinHash-LSH near-dup ---------------------------------------------------
+
+MINHASH_ORACLE = f"""
+WITH toks AS ({SQL_DOCS_TOKS}),
+sh AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> {SQL_H28.format(x='s')})) AS hs
+       FROM (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM toks)),
+sig AS (SELECT doc_id, hs, {_MH_COLS} FROM sh),
+bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc1, doc2,
+         round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / (CAST(len(x.hs) + len(y.hs) AS DOUBLE) - len(list_intersect(x.hs, y.hs))),
+               4) AS jaccard
+  FROM cand JOIN sh x ON x.doc_id = doc1 JOIN sh y ON y.doc_id = doc2
+)
+SELECT doc1, doc2, jaccard FROM scored WHERE jaccard >= 0.8
+"""
+
+
+@register("minhash_neardup", oracle=MINHASH_ORACLE, tags=("dedup", "llm"))
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (shingle → 16 minhashes → 4-band
+    bucket join → exact-Jaccard verify ≥ 0.8). Candidate generation is an
+    equi-join on band keys — never an all-pairs product."""
+    return D.minhash_neardup_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+_SQL_TOKHASHES = f"list_distinct(list_transform(toks, t -> {SQL_H60.format(x='t')}))"
+_SQL_SIMHASH = (
+    f"list_sum(list_transform(range(0, {D.SIMHASH_BITS}), b -> CASE WHEN"
+    " 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)"
+    " THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))"
+)
+# CAST: DuckDB list_sum(BIGINT) widens to HUGEINT; pin back to int64.
+SQL_DOCS_SIMHASH = (
+    f"SELECT doc_id, CAST(coalesce({_SQL_SIMHASH}, 0) AS BIGINT) AS simhash"
+    f" FROM (SELECT doc_id, {_SQL_TOKHASHES} AS hs FROM ({SQL_DOCS_TOKS}))"
+)
+
+
+@register(
+    "simhash_fingerprint",
+    oracle=f"SELECT doc_id, simhash FROM ({SQL_DOCS_SIMHASH})",
+    tags=("dedup", "llm"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document (majority vote over distinct
+    token hashes) — narrow, shuffle-free."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_signatures(docs, "text", "doc_id")
+
+
+@register(
+    "simhash_neardup",
+    oracle=f"""
+WITH sig AS ({SQL_DOCS_SIMHASH})
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    tags=("dedup", "llm"),
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs with Hamming ≤ 3 via the 4-band pigeonhole equi-join
+    (the oracle brute-forces all pairs — same answer, quadratic; the
+    Spark plan is the scale path)."""
+    out = D.simhash_neardup_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3)
+    return out.select("doc1", "doc2", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --- blocked n-gram Jaccard -------------------------------------------------
+
+@register(
+    "ngram_jaccard",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, list_distinct({SQL_TOKS}) AS toks FROM documents)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (CAST(len(a.toks) + len(b.toks) AS DOUBLE) - len(list_intersect(a.toks, b.toks))),
+             4) AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (CAST(len(a.toks) + len(b.toks) AS DOUBLE) - len(list_intersect(a.toks, b.toks))),
+            4) >= 0.5
+""",
+    tags=("dedup", "llm"),
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.5 between doc pairs sharing a source
+    (blocked pairwise dedup — quadratic only inside each block)."""
+    return D.blocked_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "source", threshold=0.5
+    )
+
+
+# --- text analysis ----------------------------------------------------------
+
+_EN = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"])
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+WITH t AS (SELECT doc_id, n_chars, {SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr,
+       round(CAST(len(list_filter(toks, t -> list_contains([{_EN}], t))) AS DOUBLE) / len(toks), 4)
+         AS stop_en,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM t
+""",
+    tags=("text", "llm"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, lexical diversity, English
+    stopword ratio. Narrow column math — zero shuffles at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.ws_tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+        F.round(X.type_token_ratio("text"), 4).alias("ttr"),
+        F.round(X.stopword_ratio("text", X.LANG_STOPWORDS["en"]), 4).alias("stop_en"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr
+      FROM t)
+SELECT doc_id,
+       round(0.5 * least(1.0, n / 100.0) + 0.3 * ttr + 0.2 * (1.0 - pr), 4) AS quality
+FROM m
+""",
+    tags=("text", "llm"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]: content length, lexical
+    diversity, punctuation density. The filter stage of a data-curation
+    pipeline (keep quality ≥ cutoff) is a free pushed-down predicate on
+    this column."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(X.quality_score("text"), 4).alias("quality"))
+
+
+_LANG_CASE = " ".join(
+    f"WHEN hits_{lang} = best AND best >= 1 THEN '{lang}'" for lang in X.LANG_STOPWORDS
+)
+_LANG_HITS = ", ".join(
+    "CAST(len(list_filter(toks, t -> list_contains([%s], t))) AS BIGINT) AS hits_%s"
+    % (", ".join(f"'{w}'" for w in sw), lang)
+    for lang, sw in X.LANG_STOPWORDS.items()
+)
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {_LANG_HITS} FROM t),
+g AS (SELECT *, greatest(hits_en, hits_de, hits_fr, hits_es) AS best FROM h)
+SELECT doc_id, CASE {_LANG_CASE} ELSE 'und' END AS pred_lang FROM g
+""",
+    tags=("text", "llm"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic heuristic; the corpus
+    text is synthetic word-soup, so this checks the OPERATOR, not label
+    recovery — at 100 TB the same column contract wraps a real
+    fastText-style model as a Pandas UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.predict_lang("text").alias("pred_lang"))
+
+
+@register(
+    "token_count_regex",
+    oracle=f"""
+SELECT doc_id, CAST(len(regexp_extract_all({SQL_NORM}, '[a-z0-9]+')) AS BIGINT) AS n_regex_tokens
+FROM documents
+""",
+    tags=("text", "llm"),
+)
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: maximal [a-z0-9]+ runs over normalized
+    text (tokenizer-shaped counting without a tokenizer dependency)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.regex_token_count("text").cast("bigint").alias("n_regex_tokens")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+WITH sh AS ({SQL_DOCS_SHINGLES})
+SELECT doc_id, array_to_string(list_sort(hs)[1:8], '-') AS fingerprint FROM sh
+""",
+    tags=("text", "llm"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-8 shingle-hash sketch as a joinable content signature
+    (winnowing-style document fingerprinting)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.rolling_fingerprint("text").alias("fingerprint"))
+
+
+# --- embedding similarity ---------------------------------------------------
+
+SQL_EMB = """
+SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+FROM embeddings
+"""
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+WITH e AS ({SQL_EMB}),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+  FROM e, q WHERE e.vec_id <> q.qid
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 10
+""",
+    tags=("similarity", "llm"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the query set vec_id < 50 —
+    broadcast queries × corpus scan, ranked on rounded similarity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding", k=10
+    ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@register(
+    "cosine_topk_bucketed",
+    oracle=f"""
+WITH e AS ({SQL_EMB}),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 50),
+s AS (
+  SELECT q.qid AS query_id, e.label AS bucket, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+  FROM e JOIN q ON e.label = q.qlabel AND e.vec_id <> q.qid
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM s)
+SELECT query_id, bucket, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+""",
+    tags=("similarity", "llm"),
+)
+def q_cosine_topk_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style bucketed top-5: search only the query's cluster bucket —
+    the plan whose per-query cost is |bucket|, not |corpus|."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bucketed(
+        emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding", "label", k=5
+    ).select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+WITH e AS ({SQL_EMB})
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+""",
+    tags=("similarity", "llm"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within cluster buckets (threshold
+    0.4 tuned to the synthetic corpus, which plants no true embedding
+    duplicates — the operator contract is the bucketed pair scan)."""
+    return S.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label", threshold=0.4
+    )
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+@register(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+""",
+    tags=("multimodal", "llm"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload pipeline: attach utf-8 payload + metadata struct,
+    run the Arrow-batched mapInPandas decode kernel (deterministic stub;
+    real decoders swap into the same plumbing). The one Python-touching
+    operator in the engine — vectorized, partition-local."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.decode_stub(M.attach_payload(docs, "text", "doc_id"))

@@ -1,0 +1,139 @@
+"""Unit tests for the LLM-pipeline operator family (dedup / similarity /
+text / multimodal) — properties the oracle parity harness can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.operators import dedup as D
+from is3107datapipelineproject_spark.operators import multimodal as M
+from is3107datapipelineproject_spark.operators import similarity as S
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+
+def test_exact_dedup_collapses_planted_copies(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    out = {r.fingerprint: r for r in D.exact_dedup_groups(df, "text", "doc_id").collect()}
+    assert len(out) == 2
+    copies = {r.n_copies for r in out.values()}
+    assert copies == {1, 2}
+    dup = next(r for r in out.values() if r.n_copies == 2)
+    assert dup.keeper_id == 1  # deterministic survivor = min id
+
+
+def test_minhash_finds_planted_neardup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely unrelated content about spark shuffles and parquet files here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = {(r.doc1, r.doc2) for r in D.minhash_neardup_pairs(df, "text", "doc_id", threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_minhash_no_allpairs_expansion(docs):
+    """The candidate join must be an equi-join on band keys, not a cross
+    product: the physical plan may not contain a CartesianProduct or
+    BroadcastNestedLoopJoin."""
+    plan = D.minhash_neardup_pairs(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_simhash_band_pigeonhole_matches_bruteforce(docs):
+    """The banded equi-join must find exactly the pairs brute force finds
+    at hamming <= 3 (pigeonhole guarantee)."""
+    sig = D.simhash_signatures(docs, "text", "doc_id").withColumnRenamed("simhash", "sh")
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {
+        (r.d1, r.d2)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    banded = {
+        (r.doc1, r.doc2)
+        for r in D.simhash_neardup_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert banded == brute
+
+
+def test_cosine_topk_self_excluded_and_ranked(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
+    rows = out.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cosine for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_bucketed_topk_stays_in_bucket(spark):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = S.cosine_topk_bucketed(
+        emb, emb.filter(F.col("vec_id") < 5), "vec_id", "embedding", "label", k=3
+    ).collect()
+    assert out
+    for r in out:
+        assert labels[r.neighbor_id] == labels[r.query_id] == r.bucket
+
+
+def test_multimodal_payload_roundtrip(docs):
+    """The mapInPandas decode kernel must see the exact payload bytes:
+    its md5 equals Spark's JVM-side md5 of the same binary column."""
+    frame = M.attach_payload(docs.limit(50), "text", "doc_id")
+    assert dict(frame.dtypes)["payload"] == "binary"
+    assert dict(frame.dtypes)["meta"].startswith("struct<modality:string")
+    decoded = M.decode_stub(frame)
+    jvm = frame.select("doc_id", F.md5("payload").alias("jvm_md5"), F.octet_length("payload").cast("bigint").alias("jvm_len"))
+    joined = decoded.join(jvm, "doc_id")
+    bad = joined.filter(
+        (F.col("content_md5") != F.col("jvm_md5")) | (F.col("n_bytes") != F.col("jvm_len"))
+    ).count()
+    assert bad == 0
+    assert decoded.count() == 50
+
+
+def test_multimodal_stubs_raise(docs):
+    frame = M.attach_payload(docs.limit(1), "text", "doc_id")
+    with pytest.raises(NotImplementedError):
+        M.resize_images(frame, 32, 32)
+    with pytest.raises(NotImplementedError):
+        M.sample_frames(frame, 10)
+
+
+def test_blocked_jaccard_symmetric_threshold(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e", "s1"),
+            (2, "a b c d f", "s1"),
+            (3, "a b c d e", "s2"),  # identical text, different block -> never paired
+            (4, "z y x w v", "s1"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    pairs = {(r.doc1, r.doc2): r.jaccard for r in D.blocked_jaccard_pairs(df, "text", "doc_id", "source", 0.5).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == pytest.approx(4 / 6, abs=1e-4)
