@@ -64,6 +64,10 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
-    from is3107datapipelineproject_spark.workload import llm_queries, star_queries  # noqa: F401
+    from is3107datapipelineproject_spark.workload import (  # noqa: F401
+        domain_queries,
+        llm_queries,
+        star_queries,
+    )
 
     _LOADED = True
