@@ -1,0 +1,101 @@
+"""Physical layout + write paths (SURVEY S7-S10, O1/O2).
+
+The reference's storage design is Cassandra query-first tables: partition
+key ``(year, category)``, clustering ``paper_key ASC`` (docx §CQL DDL;
+`IS310-7 project diagrams.png`). The engine's equivalent is partitioned
+parquet with in-partition sort:
+
+- ``partitionBy("year", "category")``  → directory-level partition
+  PRUNING for the interactive point lookups (O1): a
+  ``year=2020 AND category='con'`` query reads ONE directory of a
+  100 TB table;
+- ``sortWithinPartitions("paper_key")`` → clustering order (O2), giving
+  parquet min/max row-group skipping on the key;
+- one ``repartition(partition cols)`` before the write so each physical
+  partition directory is produced by few tasks (bounded small files —
+  the classic partitionBy-without-repartition bug writes
+  #tasks × #partitions files).
+
+Delete-by-key (S9, `main_dag.py:372-379`) and insert-only upsert (ST4)
+are expressed as anti-join rewrites — the plain-parquet analogue of a
+Delta MERGE. At cluster scale with a table format (Delta/Iceberg) these
+become declarative MERGE INTO; semantics here are identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = ("year", "category"),
+    sort_cols: Sequence[str] = ("paper_key",),
+    mode: str = "overwrite",
+) -> None:
+    """The query-first table sink (S8 analogue): partition-pruned layout
+    + clustered in-partition order.
+
+    The in-partition sort MUST lead with the partition columns: the file
+    writer requires rows ordered by partition values and re-sorts by
+    them (alone, unstably) if they aren't — which would destroy the
+    clustering order. Leading with them satisfies the writer's required
+    ordering, so the trailing ``sort_cols`` order survives into each
+    file (verified by test_partitioned_write_prunes_and_clusters)."""
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .sortWithinPartitions(*partition_cols, *sort_cols)
+        .write.mode(mode)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the partitioned table; partition-column predicates prune at
+    planning time (assert via PartitionFilters in the explain output)."""
+    return spark.read.parquet(path)
+
+
+def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7 (`main_dag.py:248-262`): single-file headered CSV cache — the
+    reference's inter-stage handoff format. coalesce(1) is deliberate
+    and only sane for small control-plane outputs (caches, watermarks);
+    data-plane tables use write_partitioned."""
+    df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def write_log_table(df: DataFrame, catalog_root: str, table: str, mode: str = "append") -> None:
+    """S10 (`main_dag.py:399-488`): second-catalog log sink — the AstraDB
+    analogue is just a different table root; log tables are append-only."""
+    df.write.mode(mode).parquet(f"{catalog_root}/{table}")
+
+
+def delete_by_key(table: DataFrame, doomed_keys: DataFrame, key: str) -> DataFrame:
+    """S9 (`main_dag.py:372-379`): delete-by-key as an anti-join rewrite.
+    Returns the surviving rows; the caller overwrites the table path
+    (or, with a table format, runs the equivalent MERGE … DELETE)."""
+    return table.join(doomed_keys.select(key).distinct(), key, "left_anti")
+
+
+def insert_only_upsert(table: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """ST4 (`main_dag.py:143-148`; docx §Limitations): WHEN MATCHED THEN
+    no-op — existing keys keep their rows, only never-seen keys insert."""
+    fresh = incoming.join(table.select(key).distinct(), key, "left_anti")
+    return table.unionByName(fresh)
+
+
+def connectivity_probe(spark: SparkSession) -> bool:
+    """S11 (`main_dag.py:325-332,422-430`): cheap liveness check of the
+    execution engine before a load stage."""
+    return spark.sql("SELECT 1 AS ok").collect()[0].ok == 1
+
+
+def run_marker(spark: SparkSession, run_date: str) -> DataFrame:
+    """ST1 (`main_dag.py:40-43`): the one-row watermark of the last run,
+    Y/M/D unpadded format, written via write_csv_single."""
+    return spark.createDataFrame([(run_date,)], ["timestamp"])

@@ -1,0 +1,115 @@
+"""Structured Streaming windows + CDC merge (SURVEY §2.8).
+
+The reference is a weekly batch DAG whose incremental contract is
+hand-rolled CDC (`/root/reference/main_dag.py:242-262`); the engine
+generalizes it to event-time streaming over the ``events`` table:
+
+- ``tumbling_counts`` / ``sliding_counts``: watermarked event-time
+  windows. The SAME function transforms a batch frame and a streaming
+  frame (Structured Streaming's unified Dataset semantics) — the batch
+  twin is what the DuckDB oracle checks (`events_tumbling_window`), and
+  tests assert stream(availableNow) == batch on identical input.
+- ``foreach_batch_merge``: the reference's three-cache diff applied per
+  micro-batch — new/deleted/next_unique maintained incrementally.
+
+Scale notes: watermark bounds state (late rows beyond the horizon are
+dropped); state lives in the state store keyed by (window, type), so
+cardinality — not input volume — sizes memory. For custom per-key state
+beyond windowing, applyInPandasWithState is the escape hatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Explicit schema for streaming reads of the events table: streaming
+# sources cannot infer schemas. ts arrives as INT64 TIMESTAMP(NANOS)
+# (read as long under nanosAsLong — see sources.tables).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def normalize_event_time(df: DataFrame) -> DataFrame:
+    """Nanos-long → proper timestamp (truncation to micros, matching the
+    batch loader in sources.tables so stream and batch agree exactly)."""
+    return df.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts_ns DIV 1000 AS LONG))")
+    )
+
+
+def events_stream(spark, events_dir: str) -> DataFrame:
+    """File-source stream over a DIRECTORY of events parquet files — the
+    staging-dir scan of a continuously-fed pipeline (file streams track
+    directories; single files are a batch concern). maxFilesPerTrigger
+    bounds micro-batch size at scale."""
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    return normalize_event_time(raw)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window: (window_start, event_type, cnt,
+    total_value). Works identically on batch and streaming frames; on a
+    stream the watermark bounds state and admits late data up to the
+    horizon. DECIMAL-cast sum keeps the aggregate deterministic."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding event-time window — each event lands in window/slide
+    overlapping buckets."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def foreach_batch_merge(known_path: str, key: str):
+    """ST2 as a streaming sink: returns a foreachBatch function applying
+    the reference's three-cache diff (incremental_merge) to each
+    micro-batch against the persisted unique table, writing the merged
+    result back (idempotent per epoch — overwrite by batch id path)."""
+    from is3107datapipelineproject_spark.operators.incremental import incremental_merge
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            known = spark.read.parquet(known_path)
+        except Exception:  # cold start: no table yet (S3 semantics)
+            batch_df.write.mode("overwrite").parquet(known_path)
+            return
+        merged = incremental_merge(known, batch_df, key).next_unique
+        merged.write.mode("overwrite").parquet(f"{known_path}_next")
+        spark.read.parquet(f"{known_path}_next").write.mode("overwrite").parquet(known_path)
+
+    return apply

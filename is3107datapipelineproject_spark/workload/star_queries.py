@@ -752,15 +752,10 @@ FROM events GROUP BY 1, 2
     tags=("window", "events"),
 )
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling event-time window (the batch twin of the streaming
-    operator in streaming/windows.py). DECIMAL-cast sum keeps the double
-    aggregate deterministic across partitionings and engines."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value")
-    )
+    """Tumbling event-time window — the SAME transformation
+    (streaming.windows.tumbling_counts) serves batch and stream frames;
+    here it runs on the batch frame so DuckDB can oracle it, and
+    tests/test_streaming.py asserts stream(availableNow) == this."""
+    from is3107datapipelineproject_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(_t(spark, sf_dir, "events"))

@@ -1,0 +1,132 @@
+"""Physical-layout (plans/) and Structured Streaming (streaming/) tests:
+partition pruning visible in the plan, clustering order on disk, delete/
+upsert rewrites, and stream-equals-batch for the windowed aggregates."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.plans import layout as L
+from is3107datapipelineproject_spark.streaming import windows as W
+from tests.conftest import SF_SMOKE
+
+
+def _pubs_like(spark):
+    """publications-shaped frame from orders: (paper_key, year, category)."""
+    o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    return o.select(
+        F.concat(F.lit("conf/o/"), F.col("o_orderkey").cast("string")).alias("paper_key"),
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.col("o_orderpriority").alias("category"),
+        F.col("o_totalprice").alias("payload"),
+    )
+
+
+def test_partitioned_write_prunes_and_clusters(spark, tmp_path):
+    path = str(tmp_path / "pub_by_year_and_category")
+    df = _pubs_like(spark)
+    L.write_partitioned(df, path, ("year", "category"), ("paper_key",))
+
+    # O1: the point-lookup scan must prune partitions at plan time
+    back = L.read_partitioned(spark, path)
+    q = back.filter((F.col("year") == 1998) & (F.col("category") == "1-URGENT"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "year" in plan.split("PartitionFilters")[1][:200]
+    expected = df.filter((F.col("year") == 1998) & (F.col("category") == "1-URGENT")).count()
+    assert q.count() == expected > 0
+
+    # O2: rows inside each parquet file are clustered by paper_key
+    some_file = sorted(glob.glob(f"{path}/year=*/category=*/*.parquet"))[0]
+    keys = pq.read_table(some_file, columns=["paper_key"])["paper_key"].to_pylist()
+    assert keys == sorted(keys) and len(keys) > 1
+
+    # layout round-trip is lossless
+    assert back.count() == df.count()
+
+
+def test_delete_by_key_and_insert_only_upsert(spark):
+    table = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    doomed = spark.createDataFrame([(2,)], ["k"])
+    left = {r.k for r in L.delete_by_key(table, doomed, "k").collect()}
+    assert left == {1, 3}
+
+    incoming = spark.createDataFrame([(3, "SHOULD_NOT_REPLACE"), (4, "d")], ["k", "v"])
+    up = {r.k: r.v for r in L.insert_only_upsert(table, incoming, "k").collect()}
+    assert up == {1: "a", 2: "b", 3: "c", 4: "d"}  # ST4: matched key keeps old row
+
+
+def test_csv_single_and_run_marker(spark, tmp_path):
+    path = str(tmp_path / "watermark")
+    L.write_csv_single(L.run_marker(spark, "2020/3/4"), path)
+    files = [f for f in os.listdir(path) if f.endswith(".csv")]
+    assert len(files) == 1  # single-file control-plane output
+    got = spark.read.csv(path, header=True).collect()
+    assert got[0].timestamp == "2020/3/4"
+    assert L.connectivity_probe(spark)
+
+
+def test_log_table_appends(spark, tmp_path):
+    root = str(tmp_path / "catalog")
+    row = spark.createDataFrame([("2020/3/4", 1, 2)], ["timestamp", "total_new", "total_unique"])
+    L.write_log_table(row, root, "volume_update")
+    L.write_log_table(row, root, "volume_update")
+    assert spark.read.parquet(f"{root}/volume_update").count() == 2
+
+
+def test_stream_equals_batch_tumbling(spark, tmp_path):
+    """The SAME tumbling_counts transformation over a file stream
+    (availableNow, complete mode) must equal the batch twin."""
+    import shutil
+
+    events_dir = tmp_path / "events_staging"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "part-0.parquet")
+    stream = W.events_stream(spark, str(events_dir))
+    assert stream.isStreaming
+    agg = W.tumbling_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    batch = W.tumbling_counts(load_table(spark, SF_SMOKE, "events"))
+    got = {
+        (r.window_start, r.event_type): (r.cnt, r.total_value)
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    want = {(r.window_start, r.event_type): (r.cnt, r.total_value) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_foreach_batch_merge_cdc(spark, tmp_path):
+    """ST2 as a stream sink: three-cache diff applied per micro-batch."""
+    known_path = str(tmp_path / "unique_cache")
+    spark.createDataFrame([(1, "old"), (2, "old")], ["event_id", "v"]).write.parquet(known_path)
+
+    spark.createDataFrame([(2, "new"), (3, "new")], ["event_id", "v"]).write.parquet(
+        str(tmp_path / "incoming")
+    )
+    stream = (
+        spark.readStream.schema("event_id LONG, v STRING")
+        .parquet(str(tmp_path / "incoming"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(W.foreach_batch_merge(known_path, "event_id"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    merged = {r.event_id: r.v for r in spark.read.parquet(known_path).collect()}
+    # J2 deletes 1 (not re-seen), ST4 keeps 2 as "old", J1 inserts 3
+    assert merged == {2: "old", 3: "new"}
