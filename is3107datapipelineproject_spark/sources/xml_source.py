@@ -200,9 +200,11 @@ def xml_flatten(staged: DataFrame, content_col: str = "content", name_col: str |
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            contents = pdf[content_col].tolist()
+            names = pdf[name_col].tolist() if name_col else [None] * len(contents)
             rows: list[dict] = []
-            for _, r in pdf.iterrows():
-                rows.extend(parse(r[content_col], r[name_col] if name_col else None))
+            for content, name in zip(contents, names):
+                rows.extend(parse(content, name))
             if rows:  # empty pandas frames carry float64 dtypes Arrow
                 # cannot cast to the nested schema — yield nothing instead
                 yield pd.DataFrame(rows, columns=[f.name for f in RAW_SCHEMA.fields])
