@@ -54,23 +54,31 @@ def pair_counts(
     bridge: one row per (group, member); duplicates are removed.
     group_attrs: optional dimension keyed by ``group_col`` whose remaining
         columns become extra grouping keys (e.g. publication year) —
-        broadcast-joined *after* pairing so the self-join sides stay
-        identical and the exchange is reused.
+        joined at GROUP cardinality (before the pair explosion), never at
+        pair cardinality; never force-broadcast (it scales with the fact).
     members: optional tiny dimension (single column named like
         ``member_col``) restricting which members participate — broadcast
-        semi-join applied *before* the self-join (SURVEY J3+J5).
+        semi-join applied *before* the pair expansion (SURVEY J3+J5).
     groups: optional restriction to a subset of groups (single column
         named like ``group_col``) — semi-joined *before* the quadratic
-        self-join so the pair expansion only runs over qualifying groups.
-        This is how "collaborations of member X" queries stay scale-safe:
-        pass the (tiny) set of groups containing X and ~everything is
-        pruned before the shuffle.
+        pair expansion. This is how "collaborations of member X" queries
+        stay scale-safe: pass the (tiny) set of groups containing X and
+        ~everything is pruned before the shuffle.
     max_group_size: optional guard dropping pathologically large groups
-        before the quadratic expansion.
+        before the quadratic expansion (a 10k-author "paper" would emit
+        50M pairs; cap or salt such groups).
 
     Returns ``(cnt, attrs…, member1, member2)`` with ``member1 < member2``.
+
+    Plan shape (2 shuffles total, vs 3+ for the naive distinct+self-join):
+
+    1. groupBy(group) → sorted distinct member array   [shuffle on group]
+    2. join group_attrs at group cardinality           [AQE-chosen strategy]
+    3. explode array-side combinations (member1 < member2 by sort order)
+       — the quadratic blow-up happens in a narrow generator, no join
+    4. groupBy(attrs…, member1, member2).count()       [shuffle on pair]
     """
-    b = bridge.select(group_col, member_col).distinct()
+    b = bridge.select(group_col, member_col)
 
     if members is not None:
         b = b.join(F.broadcast(members.select(member_col).distinct()), member_col, "left_semi")
@@ -78,31 +86,37 @@ def pair_counts(
     if groups is not None:
         b = b.join(groups.select(group_col).distinct(), group_col, "left_semi")
 
-    if max_group_size is not None:
-        sizes = b.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gsz"))
-        b = b.join(sizes.filter(F.col("_gsz") <= max_group_size).drop("_gsz"), group_col, "left_semi")
+    # One shuffle: distinct members per group, sorted so that combinations
+    # emit each unordered pair exactly once with member1 < member2.
+    grouped = b.groupBy(group_col).agg(F.sort_array(F.collect_set(member_col)).alias("_ms"))
 
-    a, c = b.alias("a"), b.alias("b")
-    pairs = a.join(
-        c,
-        (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
-        & (F.col(f"a.{member_col}") < F.col(f"b.{member_col}")),
-        "inner",
-    ).select(
-        F.col(f"a.{group_col}").alias(group_col),
-        F.col(f"a.{member_col}").alias("member1"),
-        F.col(f"b.{member_col}").alias("member2"),
-    )
+    if max_group_size is not None:
+        grouped = grouped.filter(F.size("_ms") <= max_group_size)
 
     attr_cols: list[str] = []
     if group_attrs is not None:
-        # Plain inner join — group_attrs is keyed by the GROUP, so its
-        # cardinality scales with the fact table; a forced broadcast here
-        # would OOM at cluster scale. AQE picks broadcast at test scale
-        # anyway when the attrs side is genuinely small.
+        # Joined while still one-row-per-group (cheapest point); plain
+        # join — group_attrs scales with the fact table, AQE picks the
+        # strategy (broadcast at test scale, SMJ at cluster scale).
         attr_cols = [col for col in group_attrs.columns if col != group_col]
-        pairs = pairs.join(group_attrs, group_col, "inner")
+        grouped = grouped.join(group_attrs, group_col, "inner")
 
+    # Narrow quadratic generator: for each i, pair _ms[i] with every later
+    # element. flatten+explode emits C(n,2) structs per group.
+    combos = F.explode(
+        F.flatten(
+            F.transform(
+                "_ms",
+                lambda x, i: F.transform(
+                    F.slice("_ms", i + 2, F.greatest(F.size("_ms") - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("member1"), y.alias("member2")),
+                ),
+            )
+        )
+    )
+    pairs = grouped.select(*attr_cols, combos.alias("_p")).select(
+        *attr_cols, F.col("_p.member1").alias("member1"), F.col("_p.member2").alias("member2")
+    )
     return pairs.groupBy(*attr_cols, "member1", "member2").agg(F.count(F.lit(1)).alias("cnt"))
 
 

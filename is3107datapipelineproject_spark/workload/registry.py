@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         domain_queries,
         llm_queries,
         star_queries,
+        window_queries,
     )
 
     _LOADED = True

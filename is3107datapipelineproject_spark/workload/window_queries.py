@@ -1,0 +1,239 @@
+"""Analytic-window / advanced-aggregate workload (SURVEY §2.4-2.5 free
+surface).
+
+The reference has no ranking/lag/frame windows or grouping sets; Spark
+exposes them natively, so the engine claims them as first-class operators
+with oracle checks — they are the ops an analyst moving off the reference
+immediately reaches for. All window specs pin a TOTAL order (tiebreak
+chains) so results are reproducible across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.sources.tables import load_table
+from is3107datapipelineproject_spark.workload.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "filter_bool",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE NOT (o_orderstatus = 'F')
+""",
+    tags=("filter",),
+)
+def q_filter_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (ref main_dag.py:251-252 ``is_seen == False``): negated
+    boolean-flag filter — the flag derived, negated, then filtered so
+    the boolean path (not a rewritten comparison) is exercised."""
+    o = _t(spark, sf_dir, "orders").withColumn("flag", F.col("o_orderstatus") == "F")
+    return o.filter(~F.col("flag")).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("agg",),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 4 aggregation levels in one pass
+    (partial aggregation expands grouping sets map-side)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       lag(o_orderkey) OVER w AS prev_order,
+       lead(o_orderkey) OVER w AS next_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    tags=("window",),
+)
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a per-customer order timeline (total order via
+    (date, key) tiebreak)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@register(
+    "window_rank_dense",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    tags=("window",),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank per customer by order value."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+    )
+
+
+@register(
+    "window_moving_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_3
+FROM orders
+""",
+    tags=("window",),
+)
+def q_window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based moving aggregate (3-row trailing sum). DECIMAL-cast
+    keeps the double sum deterministic across engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("moving_3"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50,
+       round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 4) AS p90
+FROM lineitem GROUP BY 1
+""",
+    tags=("agg",),
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark ``percentile`` == ANSI
+    PERCENTILE_CONT == DuckDB quantile_cont; rounded for fp safety).
+    The approximate twin at scale is percentile_approx (KLL-ish sketch,
+    rows-only check — see approx_distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT make_timestamp(s * 1000000) AS window_start, event_type, us
+  FROM (
+    SELECT unnest([
+             (epoch_us(ts) // 1000000 // 1800) * 1800,
+             (epoch_us(ts) // 1000000 // 1800) * 1800 - 1800
+           ]) AS s,
+           event_type, epoch_us(ts) AS us
+    FROM events
+  )
+  WHERE us >= s * 1000000 AND us < (s + 3600) * 1000000
+)
+GROUP BY 1, 2
+""",
+    tags=("window", "events"),
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1h window, 30m slide) — each event in
+    2 overlapping buckets; batch twin of streaming.sliding_counts."""
+    from is3107datapipelineproject_spark.streaming.windows import sliding_counts
+
+    e = _t(spark, sf_dir, "events")
+    return sliding_counts(e).select("window_start", "event_type", "cnt")
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sessions GROUP BY 1, 2
+""",
+    tags=("window", "events", "sessionize"),
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity threshold): the
+    batch formulation — lag + cumulative-sum session ids — of what
+    Structured Streaming expresses with session_window / state. Two
+    window passes over the same (user, time) partition order, so one
+    shuffle; 100 TB plan: sort within user partitions, no extra exchange
+    between the passes."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = marked.withColumn("session_id", F.sum("is_start").over(cum).cast("bigint"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
