@@ -1,0 +1,88 @@
+"""Property-based tests (SURVEY §5.3): pair-count combinatorics,
+incremental-merge algebra, ordinal determinism under row permutation.
+
+Hypothesis drives small random inputs through the real Spark operators;
+Python reimplementations (itertools/sets) are the oracles. Example
+counts are kept low — each example is a Spark job."""
+
+from __future__ import annotations
+
+import itertools
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from is3107datapipelineproject_spark.operators.incremental import incremental_merge
+from is3107datapipelineproject_spark.operators.pair_counts import pair_counts
+from is3107datapipelineproject_spark.operators.relational import member_ordinals
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+bridge_strategy = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 8)),  # (group, member)
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(bridge=bridge_strategy)
+@SETTINGS
+def test_pair_counts_matches_itertools(spark, bridge):
+    """count(a,b) == #groups whose distinct member set contains both —
+    duplicates in the bridge must not inflate counts; every pair is
+    emitted exactly once with member1 < member2."""
+    df = spark.createDataFrame(bridge + [(99, 1)], ["g", "m"])  # pad: never-empty frame
+    got = {
+        (r.member1, r.member2): r.cnt
+        for r in pair_counts(df, "g", "m").collect()
+    }
+    members_by_group: dict[int, set[int]] = {}
+    for g, m in bridge + [(99, 1)]:
+        members_by_group.setdefault(g, set()).add(m)
+    want = Counter()
+    for ms in members_by_group.values():
+        for a, b in itertools.combinations(sorted(ms), 2):
+            want[(a, b)] += 1
+    assert got == dict(want)
+    assert all(a < b for a, b in got)
+
+
+@given(
+    old_keys=st.sets(st.integers(0, 15), max_size=10),
+    new_keys=st.sets(st.integers(0, 15), max_size=10),
+)
+@SETTINGS
+def test_incremental_merge_algebra(spark, old_keys, new_keys):
+    """new = parsed∖known, deleted = known∖parsed,
+    next = (known∖deleted) ∪ new; next keyset == parsed keyset; survivors
+    keep OLD values (ST4 insert-only upsert)."""
+    known = spark.createDataFrame([(k, "old") for k in old_keys] or [(-1, "old")], ["k", "v"])
+    parsed = spark.createDataFrame([(k, "new") for k in new_keys] or [(-2, "new")], ["k", "v"])
+    ok = old_keys or {-1}
+    nk = new_keys or {-2}
+
+    m = incremental_merge(known, parsed, "k")
+    assert {r.k for r in m.new.collect()} == nk - ok
+    assert {r.k for r in m.deleted.collect()} == ok - nk
+    nxt = {r.k: r.v for r in m.next_unique.collect()}
+    assert set(nxt) == nk
+    for k, v in nxt.items():
+        assert v == ("old" if k in ok else "new")
+
+
+@given(rows=st.permutations(list(range(8))))
+@SETTINGS
+def test_ordinals_invariant_under_input_order(spark, rows):
+    """member_ordinals must assign identical ordinals regardless of the
+    input row order (total-order contract)."""
+    data = [(i % 2, i, f"m{i}") for i in rows]  # (group, ordcol, payload)
+    df = spark.createDataFrame(data, ["g", "o", "m"])
+    got = {(r.g, r.o): r.ordinal for r in member_ordinals(df, "g", ["o"]).collect()}
+    for g in (0, 1):
+        ordered = sorted(o for gg, o in got if gg == g)
+        assert [got[(g, o)] for o in ordered] == list(range(1, len(ordered) + 1))
