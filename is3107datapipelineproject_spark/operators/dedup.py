@@ -134,49 +134,73 @@ def lsh_band_keys() -> list[Column]:
 
 
 def minhash_neardup_pairs(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate detection, end to end:
 
-    1. narrow: shingle-hash set + K minhashes + band keys per doc;
-    2. shuffle 1: self-equi-join on exploded (band) keys → candidates;
-    3. shuffle 2: join candidates back to shingle sets, exact Jaccard,
-       keep pairs ≥ threshold.
+    1. narrow (evaluated ONCE): shingle-hash set + K minhashes + band
+       keys per doc;
+    2. shuffle: explode the 4 band keys and groupBy(band), carrying
+       (doc_id, shingle set) into each bucket;
+    3. bucket-local: combination generator over the (small, sorted)
+       bucket emits candidate pairs WITH their exact Jaccard — no join
+       back to the corpus, so the expensive tokenize/hash stage never
+       recomputes;
+    4. distinct across bands (a pair sharing m bands appears m times),
+       filter ≥ threshold.
 
     Returns ``(doc1, doc2, jaccard)`` with doc1 < doc2, jaccard rounded
     to 4 decimals (cross-engine fp determinism).
 
-    Scale: candidate volume is governed by band collisions, not n² — at
-    100 TB the joins shuffle on band/doc keys and AQE handles skewed
-    buckets (a boilerplate-heavy web crawl produces hot bands; for
-    pathological cases pre-filter bands with > max_bucket docs).
+    Scale: one shuffle whose payload is 4× (doc_id + shingle hashes) —
+    trading shuffle bytes for not re-running the CPU-bound text
+    normalization (the measured bottleneck). Bucket size is capped at
+    ``max_bucket`` (a boilerplate-heavy crawl produces hot bands whose
+    quadratic expansion must be bounded; production handles the
+    overflow buckets with a second, finer banding pass).
     """
     sigs = df.select(
         F.col(id_col).alias("doc_id"), shingle_hash_set(text_col, k).alias("shingles")
     ).select("doc_id", "shingles", *minhash_signature_cols("shingles"))
     banded = sigs.select(
-        "doc_id", F.explode(F.array(*lsh_band_keys())).alias("band")
+        "doc_id",
+        "shingles",
+        F.explode(F.array(*lsh_band_keys())).alias("band"),
+    )
+    buckets = banded.groupBy("band").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "shingles"))).alias("items")
+    )
+    buckets = buckets.filter(
+        (F.size("items") > 1) & (F.size("items") <= max_bucket)
     )
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .distinct()
-    )
+    def pair_with_jaccard(x, y):
+        inter = F.size(F.array_intersect(x["shingles"], y["shingles"])).cast("double")
+        union = (F.size(x["shingles"]) + F.size(y["shingles"])).cast("double") - inter
+        return F.struct(
+            x["doc_id"].alias("doc1"),
+            y["doc_id"].alias("doc2"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
 
-    sh = sigs.select("doc_id", "shingles")
-    joined = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc1").withColumnRenamed("shingles", "sh1"), "doc1")
-        .join(sh.withColumnRenamed("doc_id", "doc2").withColumnRenamed("shingles", "sh2"), "doc2")
+    combos = F.explode(
+        F.flatten(
+            F.transform(
+                "items",
+                lambda x, i: F.transform(
+                    F.slice("items", i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))),
+                    lambda y: pair_with_jaccard(x, y),
+                ),
+            )
+        )
     )
-    inter = F.size(F.array_intersect("sh1", "sh2")).cast("double")
-    union = (F.size("sh1") + F.size("sh2")).cast("double") - inter
-    jac = F.round(inter / union, 4)
-    return (
-        joined.select("doc1", "doc2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    pairs = buckets.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
+    return pairs.filter(F.col("jaccard") >= threshold).distinct()
 
 
 def simhash_signatures(
