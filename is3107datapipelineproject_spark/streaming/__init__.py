@@ -6,6 +6,7 @@ from is3107datapipelineproject_spark.streaming.windows import (
     foreach_batch_merge,
     normalize_event_time,
     sliding_counts,
+    stateful_user_totals,
     tumbling_counts,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "foreach_batch_merge",
     "normalize_event_time",
     "sliding_counts",
+    "stateful_user_totals",
     "tumbling_counts",
 ]

@@ -108,6 +108,60 @@ def test_stream_equals_batch_tumbling(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stateful_user_totals(spark, tmp_path):
+    """applyInPandasWithState running totals: after processing every
+    micro-batch, the LAST update per user equals the batch aggregate
+    (state carries across batches — split input into 2 files so more
+    than one micro-batch runs)."""
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_SMOKE, "events").select("user_id", "ts_ns", "value")
+    events_dir = tmp_path / "events_split"
+    # split by TIME so the same users appear in both micro-batches —
+    # their state must carry across batches
+    mid = events.approxQuantile("ts_ns", [0.5], 0.0)[0]
+    events.filter(F.col("ts_ns") <= mid).write.parquet(str(events_dir / "f0.parquet"))
+    events.filter(F.col("ts_ns") > mid).write.parquet(str(events_dir / "f1.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts_ns LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(events_dir / "*"))
+    )
+    q = (
+        W.stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # running totals are monotone, so the FINAL state per user is the max
+    # update (memory-sink row order is not batch-ordered)
+    updates = spark.sql("SELECT * FROM stateful_totals").collect()
+    per_user: dict[int, list] = {}
+    final = {}
+    for r in updates:
+        per_user.setdefault(r.user_id, []).append(r)
+        cur = final.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            final[r.user_id] = (r.n_events, r.total_value)
+    # same users in both batches -> at least one user has 2 updates
+    assert max(len(v) for v in per_user.values()) >= 2
+    want = {
+        r.user_id: (r.cnt, r.total)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for u in want:
+        assert final[u][0] == want[u][0]
+        assert abs(final[u][1] - want[u][1]) < 1e-6
+
+
 def test_foreach_batch_merge_cdc(spark, tmp_path):
     """ST2 as a stream sink: three-cache diff applied per micro-batch."""
     known_path = str(tmp_path / "unique_cache")
