@@ -54,9 +54,18 @@ def position_struct(number: Column, volume: Column, pages: Column) -> Column:
 
 def parse_int_map(col: Column | str) -> Column:
     """F10 — `main_dag.py:388-390` ``ast.literal_eval`` of a stringified
-    ``{int: str}`` dict, as a from_json over MapType (the JSON-ish path;
-    native nested types make this unnecessary inside the engine)."""
-    return F.from_json(col, "map<int,string>")
+    ``{int: str}`` dict. JSON map keys are strings by spec (from_json
+    rejects int keys), so parse as map<string,string> and cast keys back
+    to int — the exact literal_eval restoration. Native nested types
+    make this unnecessary inside the engine; it exists for the CSV-cache
+    round-trip parity path."""
+    m = F.from_json(col, "map<string,string>")
+    return F.map_from_entries(
+        F.transform(
+            F.map_entries(m),
+            lambda e: F.struct(e["key"].cast("int").alias("key"), e["value"].alias("value")),
+        )
+    )
 
 
 def json_int_field(col: Column | str, field: str) -> Column:

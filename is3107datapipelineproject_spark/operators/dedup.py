@@ -71,8 +71,11 @@ def h60(col: Column) -> Column:
 
 def exact_fingerprint(col: Column | str) -> Column:
     """Exact-dedup key: md5 of the whitespace-normalized, lowercased text
-    (the `normalized_fingerprint` contract, now an operator)."""
-    return F.md5(normalize_text(col))
+    (delegates to functions.scalar.normalized_fingerprint — one
+    definition of the fingerprint contract)."""
+    from is3107datapipelineproject_spark.functions.scalar import normalized_fingerprint
+
+    return normalized_fingerprint(col)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -634,6 +634,32 @@ def q_f_map_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f_parse_int_map",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY {LINE_ORDER_SQL}) AS INT) AS pos,
+       CAST(l_suppkey AS VARCHAR) AS pid
+FROM lineitem
+""",
+    tags=("scalar", "json"),
+)
+def q_f_parse_int_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 proper (ref main_dag.py:388-390 ast.literal_eval of the
+    stringified author map): serialize the ordinal-keyed map to JSON,
+    parse it back with parse_int_map, explode — the CSV-cache round-trip
+    the reference performs between every pipeline stage, proven
+    lossless."""
+    li = _t(spark, sf_dir, "lineitem")
+    grouped = R.ordinal_keyed_map(li, "l_orderkey", LINE_ORDER, F.col("l_suppkey").cast("string"))
+    serialized = grouped.select("l_orderkey", F.to_json("member_map").alias("map_json"))
+    parsed = serialized.select("l_orderkey", SC.parse_int_map("map_json").alias("m"))
+    entries = parsed.select("l_orderkey", F.explode(F.map_entries("m")).alias("e"))
+    return entries.select(
+        "l_orderkey", F.col("e.key").alias("pos"), F.col("e.value").alias("pid")
+    )
+
+
+@register(
     "f_zip_authors",
     oracle=f"""
 SELECT l_orderkey,
