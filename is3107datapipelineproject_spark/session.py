@@ -66,6 +66,12 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # Local mode runs executors inside the driver JVM; Spark's 1g default
+    # heap OOMs long before the machine does (static conf — must be set
+    # before the JVM starts, so only effective for sessions we build).
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    )
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
