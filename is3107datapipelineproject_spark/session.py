@@ -70,7 +70,7 @@ def get_spark(
     # heap OOMs long before the machine does (static conf — must be set
     # before the JVM starts, so only effective for sessions we build).
     builder = builder.config(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     )
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
