@@ -298,6 +298,60 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming
     )
 
 
+def neardup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets ``cluster_id`` = the minimum doc id reachable through near-dup
+    edges (singletons cluster as themselves). THE answer shape for
+    copy-heavy corpora, where materializing all intra-cluster pairs is
+    quadratic but the cluster map is linear.
+
+    Iterative min-label propagation (hash-min): each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(component diameter) rounds — near-dup clusters are shallow, so
+    a handful. This is the engine's one driver-side loop, and it is the
+    textbook legitimate case (fixpoint iteration); each round is a
+    shuffle-bounded join + aggregate, lineage cut with localCheckpoint
+    so plans don't grow unboundedly.
+    """
+    edges = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    labels = nodes.select(F.col(id_col).alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iters):
+        neigh = (
+            both.join(labels, both.src == labels.id, "inner")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def blocked_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, block_col: str, threshold: float = 0.5
 ) -> DataFrame:

@@ -297,6 +297,52 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.rolling_fingerprint("text").alias("fingerprint"))
 
 
+@register(
+    "neardup_clusters",
+    oracle=f"""
+WITH toks AS ({SQL_DOCS_TOKS}),
+sh AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> {SQL_H28.format(x='s')})) AS hs
+       FROM (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM toks)),
+sig AS (SELECT doc_id, hs, {_MH_COLS} FROM sh),
+bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc1, doc2,
+         round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / (CAST(len(x.hs) + len(y.hs) AS DOUBLE) - len(list_intersect(x.hs, y.hs))),
+               4) AS jaccard
+  FROM cand JOIN sh x ON x.doc_id = doc1 JOIN sh y ON y.doc_id = doc2
+),
+edges AS (
+  SELECT doc1 AS src, doc2 AS dst FROM scored WHERE jaccard >= 0.8
+  UNION
+  SELECT doc2, doc1 FROM scored WHERE jaccard >= 0.8
+),
+reach AS (
+  -- transitive closure by recursion; UNION dedups so it terminates
+  WITH RECURSIVE r(id, seen) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.seen FROM edges e JOIN r ON r.id = e.src
+  )
+  SELECT * FROM r
+)
+SELECT id AS doc_id, min(seen) AS cluster_id FROM reach GROUP BY 1
+""",
+    tags=("dedup", "llm", "iterative"),
+)
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup graph: cluster_id =
+    min reachable doc id (iterative hash-min label propagation; the
+    oracle computes the same closure with a recursive CTE)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.8)
+    return D.neardup_clusters(docs, pairs, "doc_id")
+
+
 # --- embedding similarity ---------------------------------------------------
 
 SQL_EMB = """
