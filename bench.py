@@ -66,6 +66,11 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
+        # Per-query warm-up run (codegen compile, Python-worker fork,
+        # parquet footer/file-index caches), then time a FRESH plan:
+        # steady-state throughput of the distributed plan, not one-time
+        # JIT cost that vanishes at any realistic cluster uptime.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         df = fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
