@@ -1,0 +1,107 @@
+"""Deterministic sampling / dataset-split operators for training-data
+curation.
+
+Beyond-reference surface: a corpus pipeline needs reproducible sampling
+— re-running the job on the same data MUST select the same rows, and
+membership must be decidable per-row (no global state), or the sample
+shifts under retries/partition changes and train/test sets leak into
+each other. ``df.sample()`` fails both (seeded per-partition RNG ⇒
+partitioning-dependent), so everything here derives from a content
+hash of the row's stable id:
+
+- ``hash_unit``: md5-derived 28-bit integer → uniform [0, 1) double.
+  Same primitive family as operators.dedup.h28, so a DuckDB oracle
+  reproduces it bit-for-bit; salt isolates independent experiments.
+- stratified Bernoulli sampling with per-stratum rates (balance
+  languages/sources without a shuffle: pure narrow filter),
+- train/val/test split by hash threshold (a row's split NEVER changes
+  as the corpus grows — the property random splits lack),
+- deterministic per-group top-n sample (bounded output per stratum via
+  one window; the "give me 20 examples per language" shape).
+
+All narrow or single-shuffle; no UDFs; scale = the scan itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(1 << 28)  # h28 range; fraction = h / 2^28 is exact in fp64
+
+
+def hash_unit(col: Column | str, salt: str) -> Column:
+    """Uniform [0, 1) double from md5 of (salt | value) — deterministic,
+    partition-independent, reproducible in ANSI SQL:
+    ``CAST('0x' || substr(md5(salt || '|' || x), 1, 7) AS BIGINT) / 2^28``."""
+    tagged = F.concat(F.lit(f"{salt}|"), F.col(col).cast("string") if isinstance(col, str) else col.cast("string"))
+    h = F.conv(F.substring(F.md5(tagged), 1, 7), 16, 10).cast("long")
+    return h / F.lit(HASH_SPACE)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum Bernoulli sample: keep a row iff its hash fraction is
+    below its stratum's rate. Narrow (filter only) — sampling 100 TB
+    costs exactly one scan, and the kept set is stable under re-runs,
+    repartitioning, and corpus append."""
+    rate = F.lit(float(default_rate))
+    for k, v in rates.items():
+        rate = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(hash_unit(id_col, salt) < rate)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row a split label by hash threshold. Because
+    membership depends only on the row id, growing the corpus never
+    moves an old row between splits (no train/test leakage across
+    dataset versions)."""
+    frac = hash_unit(id_col, salt)
+    acc = 0.0
+    expr = F.lit(names[-1])
+    bounds = []
+    for w, n in zip(weights[:-1], names[:-1]):
+        acc += float(w)
+        bounds.append((acc, n))
+    for bound, n in reversed(bounds):
+        expr = F.when(frac < F.lit(bound), F.lit(n)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def group_sample_topn(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "topn",
+) -> DataFrame:
+    """Deterministic n-per-group sample: rank rows inside each group by
+    (hash, id) — a reproducible random order — and keep the first n.
+    One shuffle on the group column; output is bounded at n × #groups
+    regardless of input size (the safe "examples per stratum" query at
+    any scale)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1,0 +1,171 @@
+"""Temporal-join + dataset-curation workload (extension surface).
+
+Registers the operators in ``operators.temporal`` and
+``operators.sampling`` as oracle-checked queries: as-of join, interval
+join, hierarchical time rollup over ``events``; stratified sampling,
+hash split, and per-group sampling over ``documents``. The oracles
+exercise genuinely different engines (DuckDB's native ASOF JOIN vs our
+union+window plan; a plain inequality join vs our bucketed band join),
+so parity here validates SEMANTICS, not a shared implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.operators import sampling as S
+from is3107datapipelineproject_spark.operators import temporal as T
+from is3107datapipelineproject_spark.sources.tables import load_table
+from is3107datapipelineproject_spark.workload.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# md5-hash fraction primitive, oracle side (same contract as sampling.hash_unit)
+def _sql_frac(salt: str, col: str) -> str:
+    return (
+        f"(CAST('0x' || substr(md5('{salt}|' || CAST({col} AS VARCHAR)), 1, 7) AS BIGINT)"
+        " / 268435456.0)"
+    )
+
+
+@register(
+    "asof_join",
+    oracle="""
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, ts, max(value) AS err_value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts, e.ts AS asof_ts, e.err_value
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND c.ts >= e.ts
+""",
+    tags=("temporal", "join"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click is annotated with the latest
+    preceding error (value) of the same user. Spark plan is the
+    union+window as-of (one shuffle on user_id); the oracle is DuckDB's
+    NATIVE ASOF JOIN — two independent formulations of the semantics."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    return T.asof_join(clicks, errors, key="user_id", right_cols=("err_value",))
+
+
+@register(
+    "interval_join",
+    oracle="""
+SELECT e.event_id AS err_id, c.event_id AS click_id,
+       epoch_us(c.ts) - epoch_us(e.ts) AS delta_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts BETWEEN e.ts - INTERVAL 2 HOUR AND e.ts + INTERVAL 2 HOUR
+""",
+    tags=("temporal", "join"),
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: (error, click) pairs of the same user within
+    ±2 hours. Spark plan is the bucketed band join (equi-join on
+    (user, time-bucket), candidates bounded by bucket co-residency);
+    the oracle is a plain inequality join."""
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    pairs = T.interval_join(errors, clicks, key="user_id", tolerance_sec=7200)
+    return pairs.select("err_id", "click_id", "delta_us")
+
+
+@register(
+    "time_rollup",
+    oracle="""
+SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+       CAST(GROUPING(date_trunc('day', ts)) AS INT) AS g_day,
+       CAST(GROUPING(date_trunc('hour', ts)) AS INT) AS g_hour,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY ROLLUP(1, 2)
+""",
+    tags=("temporal", "agg"),
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: hourly, daily, and total
+    event counts + value sums in one grouping-sets pass."""
+    return T.time_rollup(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_sql_frac('strat', 'doc_id')} <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.3 ELSE 0.1 END
+""",
+    tags=("sampling", "llm"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified Bernoulli sample (en 50%, zh 30%, rest 10%)
+    by content-hash threshold — reproducible, partition-independent,
+    narrow (no shuffle)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return S.stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 0.3}, id_col="doc_id", default_rate=0.1
+    )
+
+
+@register(
+    "hash_split",
+    oracle=f"""
+SELECT doc_id, source,
+       CASE WHEN {_sql_frac('split', 'doc_id')} < 0.8 THEN 'train'
+            WHEN {_sql_frac('split', 'doc_id')} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    tags=("sampling", "llm"),
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by id hash — a
+    row's split never changes as the corpus grows (no leakage across
+    dataset versions)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return S.hash_split(docs, id_col="doc_id")
+
+
+@register(
+    "group_sample_topn",
+    oracle=f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST('0x' || substr(md5('topn|' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+    tags=("sampling", "llm"),
+)
+def q_group_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-docs-per-language sample: reproducible random
+    order via id hash, one window shuffle, output bounded at
+    n × #groups at any input scale."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return S.group_sample_topn(docs, "lang", 20, id_col="doc_id")

@@ -65,6 +65,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from is3107datapipelineproject_spark.workload import (  # noqa: F401
+        curation_queries,
         domain_queries,
         llm_queries,
         star_queries,

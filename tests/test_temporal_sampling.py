@@ -1,0 +1,106 @@
+"""Edge-semantics tests for operators.temporal and operators.sampling
+(tiny in-memory frames — the oracle-parity suite covers the bulk
+behavior; these pin the corner cases an oracle diff would blur)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.operators.sampling import (
+    group_sample_topn,
+    hash_split,
+    stratified_sample,
+)
+from is3107datapipelineproject_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    time_rollup,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_tie_and_missing(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 00:10:00")),   # exact tie with right ts
+         (2, 10, _ts("2024-01-01 00:05:00")),   # before any right row
+         (3, 11, _ts("2024-01-01 09:00:00"))],  # key with no right rows
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 00:10:00"), 7.5)],
+        "user_id long, ts timestamp, v double",
+    )
+    out = {
+        r["event_id"]: (r["asof_ts"], r["v"])
+        for r in asof_join(left, right, key="user_id", right_cols=("v",)).collect()
+    }
+    assert out[1] == (_ts("2024-01-01 00:10:00"), 7.5)  # ties match (>= semantics)
+    assert out[2] == (None, None)                       # nothing preceding
+    assert out[3] == (None, None)                       # key absent on right
+
+
+def test_interval_join_inclusive_bounds(spark):
+    t0 = _ts("2024-01-01 00:00:00")
+    left = spark.createDataFrame([(1, 5, t0)], "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 5, t0 + dt.timedelta(seconds=60)),    # exactly +tolerance
+         (101, 5, t0 - dt.timedelta(seconds=60)),    # exactly -tolerance
+         (102, 5, t0 + dt.timedelta(seconds=61)),    # just outside
+         (103, 6, t0)],                              # wrong key
+        "rid long, k long, ts timestamp",
+    )
+    got = sorted(
+        r["rid"]
+        for r in interval_join(left, right, key="k", tolerance_sec=60).collect()
+    )
+    assert got == [100, 101]
+
+
+def test_time_rollup_levels(spark):
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 00:10:00"), 1.0),
+         (_ts("2024-01-01 00:50:00"), 2.0),
+         (_ts("2024-01-01 03:10:00"), 4.0),
+         (_ts("2024-01-02 00:10:00"), 8.0)],
+        "ts timestamp, value double",
+    )
+    rows = time_rollup(df).collect()
+    # 3 (day,hour) + 2 (day) + 1 total
+    assert len(rows) == 6
+    total = [r for r in rows if r["g_day"] == 1 and r["g_hour"] == 1]
+    assert len(total) == 1 and total[0]["cnt"] == 4 and total[0]["sum_value"] == 15.0
+    day1 = [r for r in rows if r["g_day"] == 0 and r["g_hour"] == 1
+            and r["day"] == _ts("2024-01-01 00:00:00")]
+    assert day1[0]["cnt"] == 3 and day1[0]["sum_value"] == 7.0
+
+
+def test_hash_split_exhaustive_and_stable(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000            # every row labeled exactly once
+    assert counts["train"] > counts.get("val", 0)  # weights roughly respected
+    # stability: same rows map to the same split under a different partitioning
+    again = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(7), "doc_id").collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_stratified_rates_and_group_topn(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    kept = stratified_sample(df, "lang", {"en": 1.0}, id_col="doc_id", default_rate=0.0)
+    langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
+    assert langs == {"en"}                         # rate-1 stratum fully kept, rate-0 dropped
+    assert kept.count() == 1000
+
+    topn = group_sample_topn(df, "lang", 5, id_col="doc_id")
+    per = {r["lang"]: r["n"] for r in topn.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per == {"en": 5, "fr": 5}
