@@ -91,6 +91,29 @@ def test_hash_split_exhaustive_and_stable(spark):
     assert first == again
 
 
+def test_temporal_plans_are_scale_safe(spark):
+    """The reason these operators exist: a naive range-predicate join
+    plans as a nested loop. Assert the physical plans Spark actually
+    picked — as-of is window-only (no join operator), interval is an
+    EQUI-join (never BroadcastNestedLoop/Cartesian)."""
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01 00:00:00"))], "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(9, 5, _ts("2024-01-01 00:00:30"), 1.0)], "rid long, k long, ts timestamp, v double"
+    )
+    asof_plan = asof_join(
+        left, right.select("k", "ts", "v"), key="k", right_cols=("v",)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in asof_plan and "Window" in asof_plan
+
+    iv_plan = interval_join(
+        left, right, key="k", tolerance_sec=60
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in iv_plan and "Cartesian" not in iv_plan
+    assert "HashJoin" in iv_plan or "SortMergeJoin" in iv_plan
+
+
 def test_stratified_rates_and_group_topn(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
