@@ -352,6 +352,27 @@ def neardup_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """THE end-user dedup operation: return the corpus with near-
+    duplicates removed — one survivor (the min-id document) per
+    connected near-dup cluster, singletons untouched. Exact copies are
+    subsumed (Jaccard 1 ≥ threshold).
+
+    Composition: minhash_neardup_pairs → neardup_clusters → keep rows
+    whose id IS their cluster label. The keep-join is a left-semi
+    against the (linear-sized) keeper set, so output and intermediate
+    state stay O(corpus), never O(pairs)."""
+    pairs = minhash_neardup_pairs(docs, text_col, id_col, threshold=threshold)
+    clusters = neardup_clusters(docs, pairs, id_col)
+    keepers = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return docs.join(keepers, id_col, "left_semi")
+
+
 def blocked_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, block_col: str, threshold: float = 0.5
 ) -> DataFrame:

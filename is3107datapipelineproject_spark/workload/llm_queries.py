@@ -297,9 +297,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.rolling_fingerprint("text").alias("fingerprint"))
 
 
-@register(
-    "neardup_clusters",
-    oracle=f"""
+# Shared CTE chain: MinHash bands → verified pairs → transitive closure →
+# per-doc min-reachable-id cluster labels (recursive-CTE twin of the
+# iterative hash-min propagation in operators.dedup.neardup_clusters).
+CLUSTERS_ORACLE_CTES = f"""
 WITH toks AS ({SQL_DOCS_TOKS}),
 sh AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> {SQL_H28.format(x='s')})) AS hs
        FROM (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM toks)),
@@ -329,9 +330,16 @@ reach AS (
     SELECT e.dst, r.seen FROM edges e JOIN r ON r.id = e.src
   )
   SELECT * FROM r
+),
+clusters AS (
+  SELECT id AS doc_id, min(seen) AS cluster_id FROM reach GROUP BY 1
 )
-SELECT id AS doc_id, min(seen) AS cluster_id FROM reach GROUP BY 1
-""",
+"""
+
+
+@register(
+    "neardup_clusters",
+    oracle=CLUSTERS_ORACLE_CTES + "SELECT doc_id, cluster_id FROM clusters",
     tags=("dedup", "llm", "iterative"),
 )
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,6 +349,26 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.8)
     return D.neardup_clusters(docs, pairs, "doc_id")
+
+
+@register(
+    "corpus_dedup_keep",
+    oracle=CLUSTERS_ORACLE_CTES
+    + """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.cluster_id
+""",
+    tags=("dedup", "llm"),
+)
+def q_corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: min-id survivor per near-dup cluster,
+    singletons kept — the operation a training-data pipeline actually
+    ships (pairs and clusters are its diagnostics)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    return D.dedup_corpus(docs, "text", "doc_id", threshold=0.8).select(
+        "doc_id", "lang", "source"
+    )
 
 
 # --- embedding similarity ---------------------------------------------------
