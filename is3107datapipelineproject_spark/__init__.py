@@ -12,7 +12,9 @@ Layout
 - ``sources``    — table catalog, CSV scans, the DBLP XML flattener
 - ``functions``  — scalar expression library (SURVEY §2.7 F1–F14)
 - ``operators``  — relational ops, pair-counts, incremental merge,
-                   dedup, similarity, text stats, multimodal plumbing
+                   dedup (exact/MinHash/SimHash + clustering), similarity,
+                   text stats, multimodal plumbing, temporal joins
+                   (as-of / interval / rollup), deterministic sampling
 - ``plans``      — physical layout helpers (partitioning, sorting)
 - ``streaming``  — Structured Streaming windows + CDC merge
 - ``workload``   — the registered query workload (queries + DuckDB oracles)
