@@ -125,6 +125,132 @@ def cosine_topk_bucketed(
     )
 
 
+def bucket_centroids(
+    df: DataFrame,
+    vec_col: str,
+    bucket_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-bucket mean vector — the IVF coarse codebook (and the
+    "label centroid" embedding aggregate). Returns
+    ``(bucket, centroid: array<double>)``.
+
+    Determinism: components are summed as DECIMAL (exact, order-
+    independent), divided as double, rounded to ``decimals`` — so Spark,
+    any SQL oracle, and any partitioning agree bit-for-bit. Plan:
+    posexplode → one hash-aggregate on (bucket, position) → reassemble
+    the ordered array per bucket. Shuffle volume is dim × corpus rows of
+    (bucket, pos, x) triples — the transpose-friendly layout that
+    partial-aggregates map-side; buckets × dim is tiny output."""
+    t = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+    )
+    per = t.groupBy("bucket", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
+            decimals,
+        ).alias("c")
+    )
+    return per.groupBy("bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    probes: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """IVF multi-probe ANN: each query searches its ``probes`` nearest
+    coarse buckets (by cosine to the bucket centroid), not just its own
+    — the recall knob of a real IVF index. Returns
+    ``(query_id, neighbor_id, cosine, rank)``.
+
+    Plan: centroids are buckets × dim (tiny) → broadcast against the
+    query set → window top-``probes`` picks each query's probe list →
+    the (query, bucket) probe pairs broadcast-join the corpus on the
+    bucket key → narrow cosine → per-query top-k. The corpus is scanned
+    once and only probed buckets are read when the corpus is
+    partitioned by bucket (partition pruning does the skipping at
+    100 TB); per-query candidate cost is ``probes × avg bucket size``,
+    never |corpus|."""
+    cents = bucket_centroids(corpus, vec_col, bucket_col)
+    q = _prep(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    csim = F.round(
+        dot(F.col("centroid"), F.col("qvec"))
+        / (l2_norm(F.col("centroid")) * F.col("qnorm")),
+        4,
+    ).alias("csim")
+    wp = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("bucket"))
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qvec", "qnorm", "bucket", csim)
+        .withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= probes)
+        .select("qid", "qvec", "qnorm", "bucket")
+    )
+    c = _prep(corpus, id_col, vec_col, [bucket_col]).withColumnRenamed(bucket_col, "bucket")
+    sim = F.round(
+        dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+    ).alias("cosine")
+    scored = (
+        c.join(F.broadcast(probe), "bucket")
+        .filter(F.col("vid") != F.col("qid"))
+        .select(F.col("qid").alias("query_id"), F.col("vid").alias("neighbor_id"), sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """k-nearest-neighbor classification: majority label among the k
+    cosine-nearest corpus vectors (ties broken by smaller label).
+    Returns ``(query_id, predicted_label, votes)`` — the workhorse
+    quality-filter shape (label a crawl by its nearest curated
+    examples). Same broadcast-scan plan as cosine_topk; the vote is one
+    extra tiny aggregate."""
+    c = _prep(corpus, id_col, vec_col, [label_col]).withColumnRenamed(label_col, "nlabel")
+    q = _prep(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    sim = F.round(
+        dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+    ).alias("cosine")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vid") != F.col("qid"))
+        .select(F.col("qid").alias("query_id"), F.col("vid").alias("nid"), "nlabel", sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("nid"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    votes = topk.groupBy("query_id", "nlabel").agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("nlabel"))
+    return (
+        votes.withColumn("vrank", F.row_number().over(wv))
+        .filter(F.col("vrank") == 1)
+        .select("query_id", F.col("nlabel").alias("predicted_label"), "votes")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, bucket_col: str, threshold: float = 0.95
 ) -> DataFrame:

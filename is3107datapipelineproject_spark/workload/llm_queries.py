@@ -449,6 +449,115 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-(bucket, position) centroid components: decimal sum (exact, order-
+# independent) → double divide → round — same contract as
+# similarity.bucket_centroids.
+SQL_CENTROID_COMPONENTS = """
+SELECT label AS bucket, pos,
+       round(CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS c
+FROM (
+  SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+) GROUP BY 1, 2
+"""
+
+
+@register(
+    "label_centroids",
+    oracle=f"""
+WITH per AS ({SQL_CENTROID_COMPONENTS})
+SELECT bucket, pos, c FROM per
+""",
+    tags=("similarity", "llm"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (the IVF coarse codebook), exposed in
+    long form (bucket, pos, c) so the oracle compares component-wise."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = S.bucket_centroids(emb, "embedding", "label")
+    return cents.select(
+        "bucket", F.posexplode("centroid").alias("pos0", "c")
+    ).select("bucket", (F.col("pos0") + 1).alias("pos"), "c")
+
+
+@register(
+    "ivf_topk",
+    oracle=f"""
+WITH e AS ({SQL_EMB}),
+per AS ({SQL_CENTROID_COMPONENTS}),
+cents AS (SELECT bucket, list(c ORDER BY pos) AS centroid FROM per GROUP BY 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+probe AS (
+  SELECT qid, bucket FROM (
+    SELECT q.qid, c.bucket,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(c.centroid, q.qv), 4) DESC, c.bucket
+           ) AS prank
+    FROM q, cents c
+  ) WHERE prank <= 2
+),
+s AS (
+  SELECT p.qid AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+  FROM probe p
+  JOIN e ON e.label = p.bucket
+  JOIN q ON q.qid = p.qid
+  WHERE e.vec_id <> p.qid
+),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
+""",
+    tags=("similarity", "llm"),
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe ANN top-5 (2 probes): each query searches its two
+    nearest centroid buckets — the recall knob between the single-bucket
+    and brute-force tiers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding", "label",
+        probes=2, k=5,
+    )
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+WITH e AS ({SQL_EMB}),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS nid, e.label AS nlabel,
+         round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+  FROM e, q WHERE e.vec_id <> q.qid
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nid) AS rank
+    FROM s
+  ) WHERE rank <= 10
+),
+votes AS (
+  SELECT query_id, nlabel, CAST(count(*) AS BIGINT) AS votes
+  FROM topk GROUP BY 1, 2
+)
+SELECT query_id, nlabel AS predicted_label, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel) AS vrank
+  FROM votes
+) WHERE vrank = 1
+""",
+    tags=("similarity", "llm"),
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-NN majority-vote label prediction for the query set — nearest-
+    curated-examples classification, the embedding-space quality filter."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.knn_classify(
+        emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding", "label", k=10
+    )
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 @register(
