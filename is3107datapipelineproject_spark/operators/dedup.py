@@ -319,9 +319,14 @@ def neardup_clusters(
     so plans don't grow unboundedly.
     """
     edges = pairs.select(F.col("doc1").alias("src"), F.col("doc2").alias("dst"))
-    both = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Materialize the (symmetrized) edge list ONCE — every propagation
+    # round joins against it, and without the checkpoint each round
+    # would re-run the whole upstream pair-detection pipeline.
+    both = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     labels = nodes.select(F.col(id_col).alias("id")).distinct().withColumn(
         "label", F.col("id")
@@ -332,21 +337,20 @@ def neardup_clusters(
             .groupBy("dst")
             .agg(F.min("label").alias("nlabel"))
         )
+        # One checkpointed frame carries both the new label and the
+        # did-it-move flag, so convergence detection is a cheap count on
+        # materialized data instead of a second join per round.
         new_labels = (
             labels.join(neigh, labels.id == neigh.dst, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.coalesce("nlabel", "label") < F.col("label")).alias("moved"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("moved").count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

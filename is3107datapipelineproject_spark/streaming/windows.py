@@ -94,6 +94,30 @@ def sliding_counts(
     )
 
 
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (``F.session_window``): per-user sessions
+    that merge while consecutive events arrive within ``gap``; a gap of
+    exactly the threshold starts a NEW session (window end is
+    exclusive). Returns (user_id, session_start, session_end, n_events)
+    where session_end = last event + gap. Works on batch and streaming
+    frames — the built-in twin of the lag+cumsum formulation in
+    workload.window_queries.q_events_sessionize, cross-checked against
+    it by oracle."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): a
     per-user running total maintained across micro-batches — the escape

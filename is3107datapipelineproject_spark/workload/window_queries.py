@@ -180,6 +180,46 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, sid
+""",
+    tags=("window", "events", "sessionize", "streaming-twin"),
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE session windows (F.session_window, the construct
+    Structured Streaming uses for stateful sessionization), checked
+    against a hand-rolled gap-session oracle. Note the boundary: a gap
+    of exactly the 30-minute threshold starts a new session (window end
+    exclusive), hence the oracle's ``>=``."""
+    from is3107datapipelineproject_spark.streaming.windows import session_counts
+
+    e = _t(spark, sf_dir, "events")
+    return session_counts(e).select("user_id", "session_start", "session_end", "n_events")
+
+
+@register(
     "events_sessionize",
     oracle="""
 WITH ordered AS (
