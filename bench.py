@@ -76,16 +76,19 @@ def main() -> None:
         if fn is None:
             continue
         # Per-query warm-up run (codegen compile, Python-worker fork,
-        # parquet footer/file-index caches), then time a FRESH plan:
-        # steady-state throughput of the distributed plan, not one-time
-        # JIT cost that vanishes at any realistic cluster uptime. The
-        # timed span includes plan CONSTRUCTION — iterative operators
+        # parquet footer/file-index caches), then MEDIAN of three timed
+        # fresh-plan runs: steady-state throughput of the distributed
+        # plan, robust to background load on a shared box. The timed
+        # span includes plan CONSTRUCTION — iterative operators
         # (connected components) execute driver-side loops there, and
         # excluding that would under-report them.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        dt = sorted(runs)[1]
         timings[name] = round(dt, 3)
         total += dt
 

@@ -67,6 +67,18 @@ LSH_ROWS = 4  # MINHASH_K // LSH_BANDS
 SIMHASH_BITS = 60  # fits signed int64; 4 bands × 15 bits
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Parallelism guard for CPU-heavy narrow stages: a small parquet
+    file arrives as ONE partition, serializing the whole signature
+    computation on one core. If the scan is under-partitioned relative
+    to the cluster, pay one tiny shuffle to spread it; at real scale the
+    input already has ≥ cores partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def h28(col: Column) -> Column:
     """28-bit deterministic hash: first 7 hex digits of md5, as BIGINT.
     Oracle twin: ``CAST('0x' || substr(md5(x), 1, 7) AS BIGINT)``."""
@@ -176,7 +188,7 @@ def minhash_neardup_pairs(
     quadratic expansion must be bounded; production handles the
     overflow buckets with a second, finer banding pass).
     """
-    sigs = df.select(
+    sigs = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"), shingle_hash_set(text_col, k).alias("shingles")
     ).select("doc_id", "shingles", *minhash_signature_cols("shingles"))
     banded = sigs.select(
@@ -228,7 +240,7 @@ def simhash_signatures(
     narrow, one projection boundary between the two stages so the counts
     array is computed exactly once per row."""
     hs = F.array_distinct(F.transform(ws_tokens(text_col), h60))
-    t = df.select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+    t = spread_small_input(df).select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
 
     def bitvec(h: Column) -> Column:
         return F.array(
