@@ -125,3 +125,39 @@ def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
     """W3 — deterministic LIMIT: callers must pass a total order
     (tie-broken) — an unordered limit is not reproducible across runs."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: identical semantics to
+    ``left.join(right, key, how)`` but a hot key's rows are spread over
+    ``n_salts`` shuffle partitions instead of landing on one straggler
+    executor.
+
+    Mechanics: each left row gets a deterministic salt (murmur3 of the
+    whole row, mod n); the right side is replicated once per salt value
+    (explode of a literal sequence — a narrow n× fanout, NOT a shuffle
+    n×); the join key becomes (key, salt). Every left row meets each
+    matching right row exactly once, so inner/left semantics are
+    preserved bag-exactly.
+
+    When to use: a manual escape hatch for skew that AQE's runtime
+    skew-join splitting (enabled by default in session.get_spark) can't
+    fix — e.g. one key holding >1/n_partitions of the fact table under
+    a non-AQE driver, or a skewed LEFT side joining a small-but-not-
+    broadcastable right. Replication multiplies the right side's
+    shuffle volume by n_salts: keep n_salts ≈ (hot-key share ×
+    partition count), and never salt when ``broadcast(right)`` fits."""
+    keys = [key] if isinstance(key, str) else list(key)
+    lsalt = left.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    )
+    rrep = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return lsalt.join(rrep, keys + ["__salt"], how).drop("__salt")
