@@ -108,6 +108,38 @@ def test_stream_equals_batch_tumbling(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_equals_batch_session_window(spark, tmp_path):
+    """session_counts (native F.session_window) over a file stream in
+    complete mode must equal its batch twin — the stateful-session
+    construct behaves identically in both execution modes."""
+    import shutil
+
+    events_dir = tmp_path / "events_sessions"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "part-0.parquet")
+    stream = W.session_counts(W.events_stream(spark, str(events_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    batch = W.session_counts(load_table(spark, SF_SMOKE, "events"))
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM session_test").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_stateful_user_totals(spark, tmp_path):
     """applyInPandasWithState running totals: after processing every
     micro-batch, the LAST update per user equals the batch aggregate

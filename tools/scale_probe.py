@@ -1,0 +1,177 @@
+"""Scale probe: measure how the engine's novel operators scale with
+corpus size, on a replicated corpus the box can still hold.
+
+Builds ``/tmp/spark_graft_scale/x{K}/{documents,embeddings,events}.parquet``
+by replicating the sf0.1 tables K times with disjoint id/user spaces:
+
+- ``documents``: each replica's text gets a replica-unique 4-token
+  prefix AND suffix, pushing cross-replica Jaccard to ~0.7 (< the 0.8
+  near-dup threshold) so planted near-dup structure stays *within*
+  replicas and the true pair count scales ~K, not K².
+- ``embeddings``: ids offset per replica; the query set (vec_id < 50)
+  stays fixed so what is measured is corpus-scan growth.
+- ``events``: user ids offset per replica — per-user event density is
+  constant, so windows/sessions/as-of state per key stays fixed while
+  key count grows K×.
+
+Run:  python tools/scale_probe.py [--factor 10] [--ops a,b,c]
+Prints one JSON line per op:
+  {"op": ..., "x1_sec": ..., "xK_sec": ..., "ratio": ..., "x1_rows": ..., "xK_rows": ...}
+
+Interpretation: ratio ≈ K → linear (scan-bound, the design target for
+dedup/rollup/as-of); ratio < K → sublinear constants amortizing;
+ratio >> K → a super-linear stage (quadratic candidate generation, a
+fact-side broadcast, a driver collect) that must be found and fixed
+BEFORE believing the operator survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.session import get_spark
+from is3107datapipelineproject_spark.sources.tables import load_table
+from is3107datapipelineproject_spark.workload import registry
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = "/tmp/spark_graft_scale"
+
+DEFAULT_OPS = [
+    "exact_dedup",
+    "minhash_neardup",
+    "corpus_dedup_keep",
+    "text_quality",
+    "cosine_topk",
+    "ivf_topk",
+    "asof_join",
+    "interval_join",
+    "time_rollup",
+    "events_session_window",
+    "hash_split",
+]
+
+
+def build(spark, k: int) -> str:
+    out = f"{ROOT}/x{k}"
+    if os.path.exists(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    docs = load_table(spark, BASE, "documents")
+    reps = []
+    for i in range(k):
+        # Replica salt must scale with document LENGTH: a fixed few-token
+        # salt leaves long replicas above the 0.8 Jaccard threshold and
+        # the probe corpus silently plants quadratic cross-replica
+        # near-dups. ~1 salt token per 5 original tokens on each side
+        # pushes cross-replica Jaccard to ~0.6 at any length.
+        n_rep = F.greatest(F.lit(1), (F.col("n_chars") / F.lit(80)).cast("int"))
+        salt_pre = F.repeat(F.lit(f"ra{i} rb{i} rc{i} rd{i} "), n_rep)
+        salt_suf = F.repeat(F.lit(f" re{i} rf{i} rg{i} rh{i}"), n_rep)
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.concat(salt_pre, F.col("text"), salt_suf).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    _union_write(reps, f"{out}/documents.parquet")
+
+    emb = load_table(spark, BASE, "embeddings")
+    _union_write(
+        [
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            for i in range(k)
+        ],
+        f"{out}/embeddings.parquet",
+    )
+
+    ev = load_table(spark, BASE, "events")
+    _union_write(
+        [
+            ev.select(
+                (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for i in range(k)
+        ],
+        f"{out}/events.parquet",
+    )
+    return out
+
+
+def _union_write(frames, path):
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    df.write.mode("overwrite").parquet(path)
+
+
+def time_op(spark, fn, sf_dir: str) -> tuple[float, int]:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    return dt, df.count()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--ops", type=str, default=",".join(DEFAULT_OPS))
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    if args.rebuild and os.path.exists(ROOT):
+        shutil.rmtree(ROOT)
+
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    big = build(spark, args.factor)
+    qs = registry.queries()
+
+    for op in args.ops.split(","):
+        fn = qs.get(op)
+        if fn is None:
+            print(json.dumps({"op": op, "error": "not registered"}))
+            continue
+        t1, r1 = time_op(spark, fn, BASE)
+        tk, rk = time_op(spark, fn, big)
+        print(
+            json.dumps(
+                {
+                    "op": op,
+                    "factor": args.factor,
+                    "x1_sec": round(t1, 2),
+                    "xK_sec": round(tk, 2),
+                    "ratio": round(tk / t1, 2) if t1 > 0 else None,
+                    "x1_rows": r1,
+                    "xK_rows": rk,
+                }
+            )
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
