@@ -893,6 +893,45 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "promo_revenue_share",
+    oracle="""
+SELECT round(
+         100.0
+         * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         4) AS promo_share_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 flavor: promotional revenue share — fact scan with a
+    pushed date band, broadcast dim join on part, one conditional
+    aggregate. DECIMAL sums, double division rounded at the end."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    joined = li.select("l_partkey", "l_extendedprice", "l_discount").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+            / F.sum(rev).cast("double"),
+            4,
+        ).alias("promo_share_pct")
+    )
+
+
+@register(
     "salted_join_agg",
     oracle="""
 SELECT o.o_orderpriority,
