@@ -14,8 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
+from is3107datapipelineproject_spark.operators import dedup as D
 from is3107datapipelineproject_spark.operators import sampling as S
 from is3107datapipelineproject_spark.operators import temporal as T
+from is3107datapipelineproject_spark.operators import text as X
 from is3107datapipelineproject_spark.sources.tables import load_table
 from is3107datapipelineproject_spark.workload.registry import register
 
@@ -146,6 +150,58 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset versions)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return S.hash_split(docs, id_col="doc_id")
+
+
+def _curation_oracle() -> str:
+    # Reuse the text-pipeline SQL fragments so the composite cannot drift
+    # from the standalone text_quality / exact_dedup / hash_split oracles.
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_NORM, SQL_TOKS
+
+    frac = _sql_frac("split", "doc_id")
+    return f"""
+WITH t AS (SELECT doc_id, lang, text, {SQL_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, lang, text,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr
+      FROM t),
+q AS (SELECT doc_id, lang, text,
+             round(0.5 * least(1.0, n / 100.0) + 0.3 * ttr + 0.2 * (1.0 - pr), 4) AS quality
+      FROM m),
+f AS (SELECT doc_id, lang, quality, md5({SQL_NORM}) AS fp FROM q WHERE quality >= 0.55),
+k AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f)
+SELECT doc_id, lang, quality,
+       CASE WHEN {frac} < 0.8 THEN 'train'
+            WHEN {frac} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM k WHERE doc_id = keeper
+"""
+
+
+@register(
+    "curation_pipeline",
+    oracle=_curation_oracle(),
+    tags=("llm", "dedup", "sampling", "composite"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in one plan: quality-score
+    filter (narrow) → exact-dedup min-id survivor (one shuffle on the
+    content fingerprint) → deterministic train/val/test assignment
+    (narrow hash threshold). The whole pipeline is a single scan plus
+    one exchange — at 100 TB the quality predicate prunes before the
+    shuffle, and the split label adds zero data movement."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = docs.withColumn("quality", F.round(X.quality_score("text"), 4)).filter(
+        F.col("quality") >= 0.55
+    )
+    fp = kept.withColumn("fp", D.exact_fingerprint("text"))
+    survivors = (
+        fp.withColumn("keeper", F.min("doc_id").over(Window.partitionBy("fp")))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "lang", "quality")
+    )
+    return S.hash_split(survivors, id_col="doc_id").select("doc_id", "lang", "quality", "split")
 
 
 @register(
