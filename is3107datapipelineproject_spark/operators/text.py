@@ -118,6 +118,77 @@ def predict_lang(col: Column | str, min_hits: int = 1) -> Column:
     return expr
 
 
+def token_frequencies(df, text_col: str, id_col: str):
+    """Per-document token counts ``(id, token, tf)`` via explode +
+    hash-aggregate. One shuffle on ``(id, token)`` with map-side partial
+    aggregation — linear in corpus size, robust to arbitrarily long
+    documents (unlike per-row quadratic higher-order-function counting)."""
+    toks = ws_tokens(text_col)
+    return (
+        df.select(F.col(id_col), F.explode(toks).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def repetition_stats(df, text_col: str, id_col: str):
+    """Gopher-style repetition signals per document:
+
+    - ``top_token_frac``: frequency of the most common token / total
+      tokens (catches "word word word ..." degenerate text),
+    - ``dup_2gram_frac``: 1 − distinct-bigram / bigram count (catches
+      looping phrase repetition).
+
+    The bigram fraction is a narrow column expression carried through
+    the token-frequency aggregation as a grouping constant, so the whole
+    operator is one scan and one exchange chain on the doc id — no join
+    back to the corpus.
+    """
+    from is3107datapipelineproject_spark.operators.dedup import word_shingles
+
+    bigrams = word_shingles(text_col, k=2)
+    dup = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams).cast("double"),
+        4,
+    )
+    exploded = df.select(
+        F.col(id_col), dup.alias("dup_2gram_frac"), F.explode(ws_tokens(text_col)).alias("token")
+    )
+    tf = exploded.groupBy(id_col, "dup_2gram_frac", "token").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy(id_col, "dup_2gram_frac").agg(
+        F.round(F.max("tf").cast("double") / F.sum("tf").cast("double"), 4).alias("top_token_frac")
+    ).select(id_col, "top_token_frac", "dup_2gram_frac")
+
+
+def tfidf_top_terms(df, text_col: str, id_col: str, top_n: int = 3):
+    """Top-``top_n`` characteristic terms per document by ratio-idf
+    tf-idf: score = tf × N / df(term). The ratio form (instead of
+    ln(N/df)) keeps the arithmetic a single IEEE-rounded divide of exact
+    integers, so any engine reproduces it bit-for-bit.
+
+    Plan: token frequencies (one shuffle) → document frequencies over
+    the tf table (second shuffle, vocabulary-sized) → join scores back
+    (AQE picks broadcast when the vocabulary is small) → per-doc top-n
+    window. Output is bounded at ``top_n × #docs``.
+    """
+    from pyspark.sql import Window
+
+    tf = token_frequencies(df, text_col, id_col)
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 4))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col(id_col), F.col("token").alias("term"), "tfidf", "rank")
+    )
+
+
 def rolling_fingerprint(col: Column | str, k: int = 3, bottom: int = 8) -> Column:
     """Document fingerprint: bottom-``bottom`` sketch of the k-word
     shingle hash set (winnowing-style content signature), rendered as a

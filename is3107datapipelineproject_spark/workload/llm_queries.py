@@ -282,6 +282,62 @@ def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k=2 word bigrams, truncated for 1-token docs (matches dedup.word_shingles k=2)
+SQL_BIGRAMS = (
+    "list_transform(generate_series(1, greatest(len(toks) - 1, 1)),"
+    " i -> array_to_string(toks[i:i+1], ' '))"
+)
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+WITH toks AS ({SQL_DOCS_TOKS}),
+bg AS (SELECT doc_id,
+              round(1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs), 4) AS dup_2gram_frac
+       FROM (SELECT doc_id, {SQL_BIGRAMS} AS bgs FROM toks)),
+tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+       FROM (SELECT doc_id, unnest(toks) AS t FROM toks) GROUP BY 1, 2),
+rep AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_token_frac
+        FROM tf GROUP BY 1)
+SELECT r.doc_id, r.top_token_frac, b.dup_2gram_frac
+FROM rep r JOIN bg b ON r.doc_id = b.doc_id
+""",
+    tags=("text", "llm"),
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top-token fraction +
+    duplicate-bigram fraction (the filters that catch degenerate
+    looping/repeated text in a pretraining corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.repetition_stats(docs, "text", "doc_id")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS ({SQL_DOCS_TOKS}),
+tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS t FROM toks) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df, 4) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM s)
+SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+""",
+    tags=("text", "llm"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by ratio-idf tf-idf
+    (keyword extraction / topic fingerprinting over the corpus). Exact
+    integer arithmetic + one IEEE divide ⇒ bit-reproducible ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(docs, "text", "doc_id", top_n=3)
+
+
 @register(
     "doc_fingerprint",
     oracle=f"""
