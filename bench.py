@@ -50,6 +50,10 @@ HEADLINE = [
     "events_session_window",
     "pricing_summary",
     "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue_share",
+    "curation_pipeline",
+    "tfidf_top_terms",
 ]
 
 

@@ -93,20 +93,82 @@ def decode_stub(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Real image resize requires an image library not present in this
-    container. The Spark-side contract is identical to decode_stub:
-    mapInPandas over (doc_id, payload) → (doc_id, payload) with resized
-    bytes."""
-    raise NotImplementedError(
-        "image decode libraries are not available in this environment; "
-        "wire a PIL-based kernel through the decode_stub plumbing"
-    )
+FRAME_BYTES = 64  # deterministic-fake frame size: 1 "frame" = 64 payload bytes
+FRAME_EVERY_N = 4  # keep every 4th frame
+RESIZE_STRIDE = 4  # keep every 4th byte ("thumbnail")
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_resized", T.LongType()),
+        T.StructField("resample_md5", T.StringType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_kept", T.IntegerType()),
+        T.StructField("sample_md5", T.StringType()),
+    ]
+)
 
 
-def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
-    """Video frame sampling — same situation as resize_images."""
-    raise NotImplementedError(
-        "video decode libraries are not available in this environment; "
-        "wire an ffmpeg-based kernel through the decode_stub plumbing"
-    )
+def resize_images(df: DataFrame, stride: int = 4) -> DataFrame:
+    """DETERMINISTIC FAKE resize: keep every ``stride``-th payload byte
+    (a byte-domain "thumbnail"). A real pipeline replaces the kernel body
+    with PIL decode → resize → re-encode; the Spark plan (narrow
+    mapInPandas over Arrow batches of binary), output schema, and
+    partitioning are exactly what the real kernel uses.
+
+    Output: ``(doc_id, n_bytes, n_resized, resample_md5)`` where the md5
+    is over the uppercase hex of the resampled bytes (cross-engine
+    comparable without binary-literal plumbing)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(bytes)
+            resized = payloads.map(lambda b: b[::stride])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_resized": resized.map(len).astype("int64"),
+                    "resample_md5": resized.map(
+                        lambda b: hashlib.md5(b.hex().upper().encode()).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 4) -> DataFrame:
+    """DETERMINISTIC FAKE video-frame sampling: the payload is treated as
+    a sequence of ``FRAME_BYTES``-byte frames; keep every ``every_n``-th
+    frame (ffmpeg keyframe extraction swaps in for the chunker at
+    production time — same plan and schema).
+
+    Output: ``(doc_id, n_frames, n_kept, sample_md5)`` with the md5 over
+    uppercase hex of the concatenated kept frames."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                frames = [b[j : j + FRAME_BYTES] for j in range(0, len(b), FRAME_BYTES)]
+                kept = b"".join(frames[::every_n])
+                rows.append(
+                    (
+                        doc_id,
+                        len(frames),
+                        len(frames[::every_n]),
+                        hashlib.md5(kept.hex().upper().encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "n_kept", "sample_md5"])
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, FRAMES_SCHEMA)

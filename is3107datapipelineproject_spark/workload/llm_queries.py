@@ -633,3 +633,56 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator in the engine — vectorized, partition-local."""
     docs = _t(spark, sf_dir, "documents")
     return M.decode_stub(M.attach_payload(docs, "text", "doc_id"))
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) AS n_bytes
+           FROM documents),
+r AS (SELECT doc_id, n_bytes,
+             list_reduce(list_transform(generate_series(1, n_bytes, {M.RESIZE_STRIDE}),
+                                        i -> substring(hx, (i - 1) * 2 + 1, 2)),
+                         (a, b) -> a || b) AS resized_hx
+      FROM p)
+SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(length(resized_hx) // 2 AS BIGINT) AS n_resized,
+       md5(resized_hx) AS resample_md5
+FROM r
+""",
+    tags=("multimodal", "llm"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-fake image resize (every 4th payload byte) through
+    the real Arrow mapInPandas plumbing — the oracle re-derives the
+    resampled bytes with blob slicing, so the kernel's batch handling is
+    checked end-to-end, not just its row count."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.resize_images(M.attach_payload(docs, "text", "doc_id"), stride=M.RESIZE_STRIDE)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+WITH p AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  CAST((octet_length(encode(text)) - 1) // {M.FRAME_BYTES} + 1 AS INT) AS n_frames
+           FROM documents),
+k AS (SELECT doc_id, n_frames,
+             list_reduce(list_transform(generate_series(0, n_frames - 1, {M.FRAME_EVERY_N}),
+                                        i -> substring(hx, i * {M.FRAME_BYTES} * 2 + 1, {M.FRAME_BYTES} * 2)),
+                         (a, b) -> a || b) AS kept_hx
+      FROM p)
+SELECT doc_id, n_frames,
+       CAST((n_frames - 1) // {M.FRAME_EVERY_N} + 1 AS INT) AS n_kept,
+       md5(kept_hx) AS sample_md5
+FROM k
+""",
+    tags=("multimodal", "llm"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-fake video keyframe sampling: payload chunked into
+    64-byte frames, every 4th kept, md5 over the concatenated sample —
+    same mapInPandas plan an ffmpeg-backed kernel would run."""
+    docs = _t(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_payload(docs, "text", "doc_id"), every_n=M.FRAME_EVERY_N)

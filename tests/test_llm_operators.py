@@ -116,12 +116,28 @@ def test_multimodal_payload_roundtrip(docs):
     assert decoded.count() == 50
 
 
-def test_multimodal_stubs_raise(docs):
-    frame = M.attach_payload(docs.limit(1), "text", "doc_id")
-    with pytest.raises(NotImplementedError):
-        M.resize_images(frame, 32, 32)
-    with pytest.raises(NotImplementedError):
-        M.sample_frames(frame, 10)
+def test_multimodal_resize_and_frames_deterministic(docs):
+    """The fake resize/frame-sample kernels must match a pure-Python
+    rederivation of the same byte transforms on the actual payloads."""
+    import hashlib
+
+    frame = M.attach_payload(docs.limit(20), "text", "doc_id")
+    texts = {r.doc_id: r.text.encode("utf-8") for r in docs.limit(20).collect()}
+
+    for r in M.resize_images(frame, stride=M.RESIZE_STRIDE).collect():
+        b = texts[r.doc_id]
+        resized = b[:: M.RESIZE_STRIDE]
+        assert r.n_bytes == len(b)
+        assert r.n_resized == len(resized)
+        assert r.resample_md5 == hashlib.md5(resized.hex().upper().encode()).hexdigest()
+
+    for r in M.sample_frames(frame, every_n=M.FRAME_EVERY_N).collect():
+        b = texts[r.doc_id]
+        frames = [b[j : j + M.FRAME_BYTES] for j in range(0, len(b), M.FRAME_BYTES)]
+        kept = b"".join(frames[:: M.FRAME_EVERY_N])
+        assert r.n_frames == len(frames)
+        assert r.n_kept == len(frames[:: M.FRAME_EVERY_N])
+        assert r.sample_md5 == hashlib.md5(kept.hex().upper().encode()).hexdigest()
 
 
 def test_blocked_jaccard_symmetric_threshold(spark):
