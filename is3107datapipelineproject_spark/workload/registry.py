@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         domain_queries,
         llm_queries,
         star_queries,
+        tpch_queries,
         window_queries,
     )
 
