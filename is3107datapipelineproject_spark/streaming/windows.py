@@ -163,6 +163,65 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_keys(events: DataFrame, keys: tuple[str, ...] = ("user_id", "event_type"), watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once key dedup, batch or stream. On a streaming frame
+    this is ``dropDuplicatesWithinWatermark`` — the state store remembers
+    keys only within the watermark horizon, so state is bounded by key
+    cardinality per horizon rather than total history (the property that
+    lets a 100 TB/day feed dedup forever). On a batch frame the same
+    call degrades to a plain distinct over the projected keys.
+
+    Output is the key projection only: first-arrival attribution of the
+    non-key columns is timing-dependent on a stream, and the key set is
+    the part both execution modes (and the SQL oracle) agree on
+    exactly."""
+    proj = events.select(*keys)
+    if events.isStreaming:
+        return (
+            events.withWatermark("ts", watermark)
+            .select("ts", *keys)
+            .dropDuplicatesWithinWatermark(list(keys))
+            .select(*keys)
+        )
+    return proj.dropDuplicates(list(keys))
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to every
+    click by the same user within ``horizon`` before it. On streaming
+    frames both sides carry watermarks and the time-range condition
+    bounds the join state (clicks are dropped from state once no
+    in-horizon purchase can still arrive — Spark derives the state
+    eviction from watermark + range); on batch frames the same
+    expression is a plain interval join. Returns (click_id,
+    purchase_id, user_id) pairs — deterministic in both modes."""
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+
+
 def foreach_batch_merge(known_path: str, key: str):
     """ST2 as a streaming sink: returns a foreachBatch function applying
     the reference's three-cache diff (incremental_merge) to each

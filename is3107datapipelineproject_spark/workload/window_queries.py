@@ -277,3 +277,44 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@register(
+    "events_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "events"),
+)
+def q_events_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.windows.dedup_keys — the same function
+    serves both modes (dropDuplicatesWithinWatermark on a stream, key
+    distinct on a batch frame); tests assert the streaming run over a
+    DOUBLED input converges to this result via cross-microbatch state."""
+    from is3107datapipelineproject_spark.streaming.windows import dedup_keys
+
+    return dedup_keys(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "click_purchase_attribution",
+    oracle="""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    tags=("streaming", "join", "events"),
+)
+def q_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming.windows.click_purchase_attribution): purchases attributed
+    to same-user clicks within 30 minutes. On streams both sides are
+    watermarked and the range condition bounds join state; the batch
+    plan is the same interval join the temporal operator family uses."""
+    from is3107datapipelineproject_spark.streaming.windows import click_purchase_attribution
+
+    e = _t(spark, sf_dir, "events")
+    return click_purchase_attribution(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )

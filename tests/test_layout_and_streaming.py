@@ -216,3 +216,71 @@ def test_foreach_batch_merge_cdc(spark, tmp_path):
     merged = {r.event_id: r.v for r in spark.read.parquet(known_path).collect()}
     # J2 deletes 1 (not re-seen), ST4 keeps 2 as "old", J1 inserts 3
     assert merged == {2: "old", 3: "new"}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dedup_keys over a DOUBLED input (same file staged twice → two
+    micro-batches of pure duplicates) must converge to the batch
+    distinct: the state store carries seen keys across micro-batches."""
+    import shutil
+
+    events_dir = tmp_path / "events_dup"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "part-0.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "part-1.parquet")
+
+    deduped = W.dedup_keys(W.events_stream(spark, str(events_dir)))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    got = [(r.user_id, r.event_type) for r in spark.sql("SELECT * FROM dedup_test").collect()]
+    want = {
+        (r.user_id, r.event_type)
+        for r in W.dedup_keys(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    assert len(got) == len(set(got))  # no key emitted twice despite doubled input
+    assert set(got) == want and len(want) > 0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """click_purchase_attribution as a true stream-stream join (both
+    sides watermarked, range-bounded state) must equal the batch twin."""
+    import shutil
+
+    events_dir = tmp_path / "events_ss"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "part-0.parquet")
+
+    clicks = W.events_stream(spark, str(events_dir)).filter(F.col("event_type") == "click")
+    purchases = W.events_stream(spark, str(events_dir)).filter(F.col("event_type") == "purchase")
+    joined = W.click_purchase_attribution(clicks, purchases)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssjoin"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_SMOKE, "events")
+    batch = W.click_purchase_attribution(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+    )
+    got = {(r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM ss_join_test").collect()}
+    want = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
