@@ -9,6 +9,7 @@ from is3107datapipelineproject_spark.plans.layout import (
     run_marker,
     write_csv_single,
     write_log_table,
+    write_bucketed,
     write_partitioned,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "run_marker",
     "write_csv_single",
     "write_log_table",
+    "write_bucketed",
     "write_partitioned",
 ]

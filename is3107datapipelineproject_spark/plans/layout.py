@@ -55,6 +55,41 @@ def write_partitioned(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table sink: hash-partition rows into ``n_buckets`` files
+    by ``key`` and (optionally) sort each bucket by it. Two tables
+    bucketed on the same key with the same bucket count join with NO
+    shuffle — the co-located join the task's scale story needs: at
+    100 TB, bucketing the fact tables on the join key once at ingest
+    removes the dominant exchange from every subsequent join (verified
+    plan-level by test_bucketed_join_is_shuffle_free). A bucket-local
+    Sort remains in the join plan — Spark 4 removed the sorted-scan
+    output-ordering guarantee (pre-4.0 legacy conf
+    ``bucketedTableScanOutputOrdering``) — but it sorts one bucket in
+    memory, spill-free, unlike the cluster-wide shuffle it replaces;
+    ``sortBy`` still buys parquet min/max row-group skipping on the
+    key.
+
+    Bucketed layout requires the table catalog (file listings carry no
+    bucket metadata), hence saveAsTable rather than a path write.
+
+    The pre-write ``repartition(n_buckets, key)`` matters: it yields ONE
+    file per bucket (repartition and bucketBy share the Murmur3-pmod
+    placement), and the scan's sorted-output guarantee — what lets the
+    join skip its Sort — only holds for single-file buckets."""
+    w = df.repartition(n_buckets, F.col(key)).write.mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.format("parquet").saveAsTable(table)
+
+
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Scan the partitioned table; partition-column predicates prune at
     planning time (assert via PartitionFilters in the explain output)."""

@@ -318,3 +318,77 @@ def q_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "click"),
         e.filter(F.col("event_type") == "purchase"),
     )
+
+
+@register(
+    "pivot_priority_by_year",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+       CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+       CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+       CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS not_specified,
+       CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+FROM orders GROUP BY 1
+""",
+    tags=("agg", "pivot"),
+)
+def q_pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): order counts per year spread across one
+    column per priority. The pivot values are pinned explicitly, so the
+    plan is a single-pass conditional aggregation — no extra
+    distinct-values scan, no second shuffle; exactly the FILTER'd
+    aggregate the oracle spells out."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.select(F.year("o_orderdate").cast("int").alias("order_year"), "o_orderpriority")
+        .groupBy("order_year")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .count()
+    )
+    renames = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    out = piv
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # absent (year, priority) combos pivot to null; the oracle counts 0
+    return out.na.fill(0, list(renames.values()))
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01')
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM src
+""",
+    tags=("agg", "pivot"),
+)
+def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long, DataFrame.unpivot/melt): three lineitem
+    measures to (metric, val) rows. Spark's Expand node emits all three
+    rows per input in one pass over a single scan — vs the UNION ALL
+    oracle's three scans; the date band is pushed down below the
+    Expand."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [F.col("l_quantity").alias("quantity"), F.col("l_discount").alias("discount"), F.col("l_tax").alias("tax")],
+        "metric",
+        "val",
+    )

@@ -284,3 +284,32 @@ def test_stream_stream_interval_join(spark, tmp_path):
     got = {(r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM ss_join_test").collect()}
     want = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with NO Exchange — the co-located-join layout for
+    100 TB fact⋈fact. A bucket-local Sort remains (Spark 4 dropped the
+    sorted-bucket-scan ordering guarantee); it is memory-bounded per
+    bucket and spill-free, unlike the shuffle it replaces."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{tmp_path}/bucketdb'")
+    try:
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select("o_orderkey", "o_orderpriority")
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select("l_orderkey", "l_quantity")
+        L.write_bucketed(o.withColumnRenamed("o_orderkey", "k"), "bucketdb.orders_b", "k", 4)
+        L.write_bucketed(li.withColumnRenamed("l_orderkey", "k"), "bucketdb.lineitem_b", "k", 4)
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bucketdb.lineitem_b").join(
+                spark.table("bucketdb.orders_b"), "k"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert joined.count() == li.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
