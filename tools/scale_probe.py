@@ -57,6 +57,18 @@ DEFAULT_OPS = [
     "time_rollup",
     "events_session_window",
     "hash_split",
+    "pair_counts",
+    "salted_join_agg",
+    "shipping_priority",
+    "local_supplier_volume",
+    "order_priority_exists",
+    "large_order_customers",
+    "top_supplier_revenue",
+    "dormant_rich_customers",
+    "curation_pipeline",
+    "tfidf_top_terms",
+    "events_dedup_keys",
+    "click_purchase_attribution",
 ]
 
 
@@ -116,7 +128,37 @@ def build(spark, k: int) -> str:
         ],
         f"{out}/events.parquet",
     )
+
+    # Star-schema facts: offset every key column jointly so each replica
+    # is a self-contained sub-universe — per-replica join fan-outs and
+    # group sizes are IDENTICAL to 1×, so output and work scale K× and
+    # any super-linear stage shows up as ratio >> K. Dimension tables
+    # (nation/region) are shared, as they would be at 100 TB.
+    _replicate_keyed(spark, out, k, "orders", {"o_orderkey": 100_000_000, "o_custkey": 10_000_000})
+    _replicate_keyed(
+        spark,
+        out,
+        k,
+        "lineitem",
+        {"l_orderkey": 100_000_000, "l_partkey": 10_000_000, "l_suppkey": 10_000_000},
+    )
+    _replicate_keyed(spark, out, k, "customer", {"c_custkey": 10_000_000})
+    _replicate_keyed(spark, out, k, "supplier", {"s_suppkey": 10_000_000})
+    _replicate_keyed(spark, out, k, "part", {"p_partkey": 10_000_000})
+    for dim in ("nation", "region"):
+        load_table(spark, BASE, dim).write.mode("overwrite").parquet(f"{out}/{dim}.parquet")
     return out
+
+
+def _replicate_keyed(spark, out: str, k: int, table: str, key_steps: dict[str, int]) -> None:
+    df = load_table(spark, BASE, table)
+    reps = []
+    for i in range(k):
+        rep = df
+        for col, step in key_steps.items():
+            rep = rep.withColumn(col, F.col(col) + F.lit(i * step))
+        reps.append(rep)
+    _union_write(reps, f"{out}/{table}.parquet")
 
 
 def _union_write(frames, path):
