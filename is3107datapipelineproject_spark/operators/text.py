@@ -201,3 +201,40 @@ def rolling_fingerprint(col: Column | str, k: int = 3, bottom: int = 8) -> Colum
 
     hashes = shingle_hash_set(col, k=k)
     return F.concat_ws("-", F.slice(F.array_sort(hashes), 1, bottom))
+
+
+def build_vocab(df, text_col: str, id_col: str, min_df: int = 1):
+    """Corpus vocabulary: every distinct token with its corpus frequency,
+    document frequency, and a DENSE rank id (1 = most frequent; ties
+    broken lexically so ids are reproducible) — the tokenizer-vocab
+    build step of a training-data pipeline.
+
+    Scale: the token explode + two-level aggregation are linear with
+    map-side partial agg; the ranking window is a single-partition sort
+    over the DISTINCT vocabulary only, which Heaps' law keeps in the
+    millions (MBs) even for a 100 TB corpus — never over the corpus
+    itself."""
+    from pyspark.sql import Window
+
+    tf = token_frequencies(df, text_col, id_col)
+    vocab = tf.groupBy("token").agg(
+        F.sum("tf").alias("corpus_tf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    if min_df > 1:
+        vocab = vocab.filter(F.col("df") >= min_df)
+    w = Window.orderBy(F.desc("corpus_tf"), F.asc("token"))
+    return vocab.withColumn("term_id", F.row_number().over(w).cast("bigint"))
+
+
+def doc_term_matrix(df, text_col: str, id_col: str, vocab=None):
+    """Sparse document-term matrix ``(id, term_id, tf)`` — the feature
+    triples downstream training jobs consume. The vocabulary (built here
+    unless supplied) is dimension-sized, so the term-id attachment is a
+    broadcast join onto the per-doc term frequencies; the whole plan is
+    one shuffle (the tf aggregation) plus a broadcast."""
+    tf = token_frequencies(df, text_col, id_col)
+    v = vocab if vocab is not None else build_vocab(df, text_col, id_col)
+    return tf.join(
+        F.broadcast(v.select("token", "term_id")), "token"
+    ).select(F.col(id_col), "term_id", "tf")

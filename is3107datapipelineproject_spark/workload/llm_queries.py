@@ -686,3 +686,44 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     same mapInPandas plan an ffmpeg-backed kernel would run."""
     docs = _t(spark, sf_dir, "documents")
     return M.sample_frames(M.attach_payload(docs, "text", "doc_id"), every_n=M.FRAME_EVERY_N)
+
+
+@register(
+    "vocab_build",
+    oracle=f"""
+WITH toks AS ({SQL_DOCS_TOKS}),
+tf AS (SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS t FROM toks) GROUP BY 1, 2),
+v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS corpus_tf, CAST(count(*) AS BIGINT) AS df
+      FROM tf GROUP BY 1)
+SELECT token, corpus_tf, df,
+       CAST(row_number() OVER (ORDER BY corpus_tf DESC, token) AS BIGINT) AS term_id
+FROM v
+""",
+    tags=("text", "llm"),
+)
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build: distinct tokens ranked into dense ids
+    by corpus frequency (lexical tiebreak ⇒ reproducible ids)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.build_vocab(docs, "text", "doc_id")
+
+
+@register(
+    "doc_term_matrix",
+    oracle=f"""
+WITH toks AS ({SQL_DOCS_TOKS}),
+tf AS (SELECT doc_id, t AS token, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, unnest(toks) AS t FROM toks) GROUP BY 1, 2),
+v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS corpus_tf FROM tf GROUP BY 1),
+vi AS (SELECT token, CAST(row_number() OVER (ORDER BY corpus_tf DESC, token) AS BIGINT) AS term_id FROM v)
+SELECT tf.doc_id, vi.term_id, tf.tf
+FROM tf JOIN vi USING (token)
+""",
+    tags=("text", "llm"),
+)
+def q_doc_term_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse doc-term feature triples over the frequency-ranked
+    vocabulary — one tf shuffle plus a broadcast of the vocab."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.doc_term_matrix(docs, "text", "doc_id")
