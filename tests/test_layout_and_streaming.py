@@ -313,3 +313,37 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketdb CASCADE")
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Row-level runtime filtering: a selective dim-side filter must
+    inject a bloom filter into the fact scan side of a shuffled join
+    (the 100 TB pre-shuffle row pruning lever). Size thresholds are
+    lowered because local testdata is tiny; at cluster scale the
+    defaults (10 GB application side) gate it to genuinely large scans."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "might_contain" in plan or "bloom" in plan
+        # bloom filter is pruning-only: result matches the plain join
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        plain = li.join(o, li.l_orderkey == o.o_orderkey)
+        assert j.count() == plain.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
