@@ -365,6 +365,16 @@ def neardup_clusters(
         labels = new_labels.select("id", "label")
         if changed == 0:
             break
+    else:
+        # Ran out of iterations with labels still moving: the returned
+        # clusters would be silently WRONG (one true cluster split into
+        # several), and dedup_corpus would keep multiple survivors.
+        # Surface it — callers can retry with a larger max_iters.
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} iterations "
+            f"({changed} labels still moving); a component's diameter "
+            "exceeds max_iters — raise max_iters"
+        )
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

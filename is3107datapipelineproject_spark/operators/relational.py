@@ -152,7 +152,20 @@ def salted_join(
     a non-AQE driver, or a skewed LEFT side joining a small-but-not-
     broadcastable right. Replication multiplies the right side's
     shuffle volume by n_salts: keep n_salts ≈ (hot-key share ×
-    partition count), and never salt when ``broadcast(right)`` fits."""
+    partition count), and never salt when ``broadcast(right)`` fits.
+
+    Only left-preserving join types are supported: the right side is
+    replicated ``n_salts`` times, so right/full-outer (and right_semi/
+    right_anti) would emit each unmatched right row once per replica.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only {sorted(allowed)}, "
+            f"got how={how!r}: the replicated right side would duplicate "
+            "unmatched right rows under right/full-outer semantics"
+        )
     keys = [key] if isinstance(key, str) else list(key)
     lsalt = left.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))

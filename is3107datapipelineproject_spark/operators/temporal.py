@@ -60,7 +60,19 @@ def asof_join(
     with ``last(ignorenulls=True)``, filter back to left rows. Single
     hash-partition on the key + in-partition sort; at 100 TB this is
     strictly the exchange a sort-merge equi-join would do anyway.
+
+    Output columns are ``left.columns + [ts_out] + right_cols`` — a
+    collision (left already carries ``ts_out`` or one of ``right_cols``)
+    would produce ambiguous duplicate names, so it raises up front;
+    rename on the way in (interval_join auto-suffixes instead because
+    it returns ALL right columns; here the caller picks them).
     """
+    clash = ({ts_out} | set(right_cols)) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join output name collision on {sorted(clash)}: rename the "
+            f"left column(s) or pass a different ts_out/right_cols"
+        )
     lcols = [c for c in left.columns]
     l_tagged = left.select(
         F.col(key).alias("__k"),

@@ -153,3 +153,17 @@ def test_blocked_jaccard_symmetric_threshold(spark):
     pairs = {(r.doc1, r.doc2): r.jaccard for r in D.blocked_jaccard_pairs(df, "text", "doc_id", "source", 0.5).collect()}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] == pytest.approx(4 / 6, abs=1e-4)
+
+
+def test_neardup_clusters_raises_on_nonconvergence(spark):
+    # A path graph needs ~diameter label-propagation rounds; with
+    # max_iters=1 labels are still moving when iterations run out — the
+    # silent-wrong-labels failure mode must raise instead.
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc1 long, doc2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.neardup_clusters(nodes, pairs, max_iters=1)
+    full = D.neardup_clusters(nodes, pairs, max_iters=20)
+    assert {r["cluster_id"] for r in full.collect()} == {1}

@@ -44,6 +44,21 @@ def test_asof_tie_and_missing(spark):
     assert out[3] == (None, None)                       # key absent on right
 
 
+def test_asof_rejects_output_name_collisions(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 1.0)], "user_id long, ts timestamp, v double"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 00:00:00"), 2.0)], "user_id long, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError, match="collision.*'v'"):
+        asof_join(left, right, key="user_id", right_cols=("v",))
+    with pytest.raises(ValueError, match="collision.*'ts'"):
+        asof_join(left, right, key="user_id", right_cols=("x",), ts_out="ts")
+
+
 def test_interval_join_inclusive_bounds(spark):
     t0 = _ts("2024-01-01 00:00:00")
     left = spark.createDataFrame([(1, 5, t0)], "lid long, k long, ts timestamp")
