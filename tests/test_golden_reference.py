@@ -1,0 +1,151 @@
+"""Golden-file end-to-end against the reference's own output (SURVEY §5).
+
+`/root/reference/count_df.csv` (3,890 rows) is the reference pipeline's
+only machine-checkable golden: the co-authorship pair-count fact it built
+from the real DBLP pages of the 400 researchers in
+`/root/reference/cs_researchers.csv`. This test drives the ENGINE's whole
+ingest path — researcher CSV → fetch_to_staging (injected transport) →
+load_staged → xml_flatten → derive_publications → key dedup →
+dblp_pair_counts — and fuzzy-compares the result to the golden with the
+SURVEY §5 contract: ≥99% of golden rows matched exactly.
+
+No network exists here, so the staged person pages are SYNTHESIZED by
+inverting the golden itself: each golden row (count, year, a1, a2)
+becomes `count` two-author papers, and every paper is emitted on BOTH
+authors' pages with the same key (exactly how a real DBLP paper appears
+on each co-author's person page). The inversion is exact — 3,890 golden
+rows normalize to 3,890 distinct unordered (year, pair) keys — so any
+loss is a pipeline defect, not a data artifact. What the test therefore
+actually proves about the engine:
+
+- staging filenames round-trip 400 real names (spaces, initials, '.');
+- corrupt staged bodies (404) are skipped, not parsed (S6);
+- the XML parse preserves author order and pids across ~80k records;
+- cross-page duplicates collapse via the paper_key dedup (A5) — without
+  it every count would double;
+- non-member co-authors are excluded by the member restriction (J3+J5);
+- the pair generator + year attachment reproduce the reference's fact
+  (orientation-normalized: the reference emits pairs in seed-list order,
+  the engine emits member1 < member2).
+
+Corrected semantics note (SURVEY §3.3): the reference's CONTAINS test is
+a substring match; the engine uses exact pid equality. The synthetic
+corpus contains no prefix-pid collisions, so both semantics agree here —
+the fuzzy (≥99%) threshold is what absorbs the divergence on real DBLP.
+"""
+
+from __future__ import annotations
+
+import csv
+from collections import defaultdict
+
+from is3107datapipelineproject_spark.domain import publications as P
+from is3107datapipelineproject_spark.sources import fetch as FE
+from is3107datapipelineproject_spark.sources.xml_source import xml_flatten
+
+RESEARCHERS_CSV = "/root/reference/cs_researchers.csv"
+GOLDEN_CSV = "/root/reference/count_df.csv"
+
+
+def _load_researchers() -> list[tuple[str, str]]:
+    with open(RESEARCHERS_CSV, newline="") as f:
+        return [(r["PID"], r["Name"]) for r in csv.DictReader(f)]
+
+
+def _load_golden() -> list[tuple[int, int, str, str, int]]:
+    """(row_idx, year, author1, author2, count) per golden row."""
+    with open(GOLDEN_CSV, newline="") as f:
+        return [
+            (i, int(r["year"]), r["author1"], r["author2"], int(r["count"]))
+            for i, r in enumerate(csv.DictReader(f))
+        ]
+
+
+def _page_for(pid: str, entries, include_nonmember) -> bytes:
+    """Synthesize pid's DBLP person page from its golden rows. Both
+    co-authors generate the SAME paper keys from the same golden row, so
+    the paper legitimately appears on two staged pages (dedup surface)."""
+    recs = []
+    for row_idx, year, a1, a2, count in entries:
+        for j in range(count):
+            extra = (
+                f'<author pid="999/nm{row_idx}">Non Member</author>'
+                if include_nonmember(row_idx, j)
+                else ""
+            )
+            recs.append(
+                f'<r><article key="journals/synt/R{row_idx}P{j}" mdate="{year}-01-01">'
+                f"<title>Synth {row_idx}.{j}</title><year>{year}</year>"
+                f'<author pid="{a1}">{a1}</author>'
+                f'<author pid="{a2}">{a2}</author>{extra}'
+                f"<journal>Synthetic</journal></article></r>"
+            )
+    body = "".join(recs)
+    return f'<?xml version="1.0"?>\n<dblpperson name="{pid}">{body}</dblpperson>'.encode()
+
+
+def test_golden_pair_counts_match_reference(spark, tmp_path):
+    researchers = _load_researchers()
+    golden = _load_golden()
+
+    by_pid: dict[str, list] = defaultdict(list)
+    for row in golden:
+        _, _, a1, a2, _ = row
+        by_pid[a1].append(row)
+        by_pid[a2].append(row)
+
+    # Every 7th paper instance gains a non-member co-author: the member
+    # restriction must drop those pairs, or counts inflate.
+    include_nonmember = lambda row_idx, j: (row_idx + j) % 7 == 0  # noqa: E731
+
+    # The researchers absent from the golden exercise the degenerate
+    # pages: one 404 body (S6 corrupt-skip), one pair-free solo paper.
+    paired = set(by_pid)
+    unpaired = sorted(pid for pid, _ in researchers if pid not in paired)
+    assert len(unpaired) == 2, "golden drift: expected exactly 2 pair-free researchers"
+    corrupt_pid, solo_pid = unpaired
+
+    def fake_fetch(url: str) -> bytes:
+        pid = url.removeprefix("https://dblp.org/pid/").removesuffix(".xml")
+        if pid == corrupt_pid:
+            raise OSError("404 Not Found")
+        if pid == solo_pid:
+            return (
+                '<?xml version="1.0"?><dblpperson>'
+                f'<r><article key="journals/synt/solo" mdate="2020-01-01">'
+                f'<title>Solo</title><year>2020</year>'
+                f'<author pid="{solo_pid}">{solo_pid}</author>'
+                "<journal>Synthetic</journal></article></r></dblpperson>"
+            ).encode()
+        return _page_for(pid, by_pid[pid], include_nonmember)
+
+    staging = str(tmp_path / "researchers_publications")
+    rdf = spark.createDataFrame(researchers, ["PID", "Name"])
+    FE.fetch_to_staging(rdf, staging, fake_fetch)
+
+    staged = FE.load_staged(spark, staging)
+    assert staged.count() == 400  # every researcher staged, incl. the 404
+
+    pubs = P.derive_publications(xml_flatten(staged, "content", "researcher_name"))
+    unique = pubs.dropDuplicates(["paper_key"])
+    got = {
+        (r["year"], r["author1"], r["author2"]): r["count"]
+        for r in P.dblp_pair_counts(unique, rdf).collect()
+    }
+
+    want = {}
+    for _, year, a1, a2, count in golden:
+        lo, hi = sorted((a1, a2))
+        want[(year, lo, hi)] = count
+
+    matched = sum(1 for k, c in want.items() if got.get(k) == c)
+    extras = set(got) - set(want)
+    match_frac = matched / len(want)
+    assert match_frac >= 0.99, (
+        f"golden fuzzy-match failed: {matched}/{len(want)} rows "
+        f"({match_frac:.4f}); first misses: "
+        f"{[k for k in want if got.get(k) != want[k]][:5]}"
+    )
+    # The inversion is exact, so the engine must also not invent pairs
+    # (a dedup or member-restriction failure would show up here).
+    assert not extras, f"unexpected pairs: {sorted(extras)[:5]}"
