@@ -181,12 +181,24 @@ def minhash_neardup_pairs(
     Returns ``(doc1, doc2, jaccard)`` with doc1 < doc2, jaccard rounded
     to 4 decimals (cross-engine fp determinism).
 
-    Scale: one shuffle whose payload is 4× (doc_id + shingle hashes) —
-    trading shuffle bytes for not re-running the CPU-bound text
-    normalization (the measured bottleneck). Bucket size is capped at
-    ``max_bucket`` (a boilerplate-heavy crawl produces hot bands whose
-    quadratic expansion must be bounded; production handles the
-    overflow buckets with a second, finer banding pass).
+    Scale: one shuffle whose payload is 4× (doc_id + shingle hashes +
+    the 16-long signature) — trading shuffle bytes for not re-running
+    the CPU-bound text normalization (the measured bottleneck).
+
+    Hot-band handling (a boilerplate-heavy crawl produces bands whose
+    quadratic expansion must be bounded): buckets larger than
+    ``max_bucket`` are NOT dropped — they go through a second, finer
+    banding pass: 6 sub-bands × 2 rows drawn from the 12 minhashes
+    OUTSIDE the hot band (the 4 inside it are constant across the
+    bucket and cannot subdivide it). A 2-row band collides with
+    probability s² vs the first pass's s⁴, so recall for true near-dups
+    inside the bucket strictly improves while chance collisions split.
+    Sub-buckets still larger than ``max_bucket`` after that are near-
+    identical boilerplate clusters; they degrade to a STAR (every member
+    paired with the min-id member): O(n) pairs that keep the cluster
+    connected for neardup_clusters/dedup_corpus instead of O(n²) pair
+    enumeration — the documented bounded-work fallback, never a silent
+    recall cliff.
     """
     sigs = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"), shingle_hash_set(text_col, k).alias("shingles")
@@ -194,14 +206,12 @@ def minhash_neardup_pairs(
     banded = sigs.select(
         "doc_id",
         "shingles",
+        F.array(*[F.col(f"mh{j}") for j in range(MINHASH_K)]).alias("sig"),
         F.explode(F.array(*lsh_band_keys())).alias("band"),
     )
     buckets = banded.groupBy("band").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "shingles"))).alias("items")
-    )
-    buckets = buckets.filter(
-        (F.size("items") > 1) & (F.size("items") <= max_bucket)
-    )
+        F.array_sort(F.collect_list(F.struct("doc_id", "shingles", "sig"))).alias("items")
+    ).filter(F.size("items") > 1)
 
     def pair_with_jaccard(x, y):
         inter = F.size(F.array_intersect(x["shingles"], y["shingles"])).cast("double")
@@ -212,18 +222,77 @@ def minhash_neardup_pairs(
             F.round(inter / union, 4).alias("jaccard"),
         )
 
-    combos = F.explode(
-        F.flatten(
-            F.transform(
-                "items",
-                lambda x, i: F.transform(
-                    F.slice("items", i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))),
-                    lambda y: pair_with_jaccard(x, y),
-                ),
+    def all_pairs(bucketed: DataFrame) -> DataFrame:
+        """C(n,2) combination generator over a bucketed frame's sorted
+        ``items`` (narrow; quadratic confined to the bucket)."""
+        combos = F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x, i: F.transform(
+                        F.slice("items", i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))),
+                        lambda y: pair_with_jaccard(x, y),
+                    ),
+                )
             )
         )
+        return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
+
+    small = buckets.filter(F.size("items") <= max_bucket)
+    hot = buckets.filter(F.size("items") > max_bucket)
+
+    # --- second pass: re-band hot buckets on the out-of-band minhashes.
+    b_idx = F.element_at(F.split("band", "-"), 1).cast("int")
+    hot_rows = hot.select(
+        F.col("band").alias("band0"),
+        b_idx.alias("b0"),
+        F.explode("items").alias("it"),
+    ).select(
+        "band0",
+        "b0",
+        F.col("it.doc_id").alias("doc_id"),
+        F.col("it.shingles").alias("shingles"),
+        F.col("it.sig").alias("sig"),
     )
-    pairs = buckets.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
+    indexed = F.transform("sig", lambda mh, i: F.struct(mh.alias("mh"), i.alias("idx")))
+    others = F.filter(
+        indexed,
+        lambda s: (s["idx"] < F.col("b0") * LSH_ROWS)
+        | (s["idx"] >= (F.col("b0") + 1) * LSH_ROWS),
+    )
+    hot_rows = hot_rows.select("band0", "doc_id", "shingles", others.alias("rest"))
+    sub_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(MINHASH_K - LSH_ROWS - 2), F.lit(2)),
+        lambda i: F.concat_ws(
+            ":",
+            F.col("band0"),
+            i,
+            F.element_at("rest", i + 1)["mh"],
+            F.element_at("rest", i + 2)["mh"],
+        ),
+    )
+    sub_buckets = (
+        hot_rows.select("doc_id", "shingles", F.explode(sub_keys).alias("band"))
+        .groupBy("band")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "shingles"))).alias("items"))
+        .filter(F.size("items") > 1)
+    )
+    fine = sub_buckets.filter(F.size("items") <= max_bucket)
+
+    # --- residual hot sub-buckets: star-link to the min-id member.
+    star_combos = F.explode(
+        F.transform(
+            F.slice("items", 2, F.size("items") - 1),
+            lambda y: pair_with_jaccard(F.element_at("items", 1), y),
+        )
+    )
+    star = (
+        sub_buckets.filter(F.size("items") > max_bucket)
+        .select(star_combos.alias("p"))
+        .select("p.doc1", "p.doc2", "p.jaccard")
+    )
+
+    pairs = all_pairs(small).unionByName(all_pairs(fine)).unionByName(star)
     return pairs.filter(F.col("jaccard") >= threshold).distinct()
 
 

@@ -167,3 +167,54 @@ def test_neardup_clusters_raises_on_nonconvergence(spark):
         D.neardup_clusters(nodes, pairs, max_iters=1)
     full = D.neardup_clusters(nodes, pairs, max_iters=20)
     assert {r["cluster_id"] for r in full.collect()} == {1}
+
+
+def test_minhash_hot_band_not_dropped(spark):
+    """Planted hot band: more near-identical docs than max_bucket share
+    every band. The old code silently dropped such buckets (zero pairs,
+    a recall cliff on boilerplate-heavy corpora); the second-pass banding
+    + star fallback must still link the whole cluster."""
+    n = 30
+    text = "identical boilerplate header shared across every mirrored page body"
+    rows = [(i, text) for i in range(1, n + 1)]
+    rows += [(100, "entirely different content about something unrelated warm")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = D.minhash_neardup_pairs(df, "text", "doc_id", threshold=0.8, max_bucket=8)
+    got = [(r.doc1, r.doc2, r.jaccard) for r in pairs.collect()]
+    assert got, "hot band produced zero pairs — overflow bucket dropped"
+    assert all(j == 1.0 for _, _, j in got)
+    assert all(d1 != 100 and d2 != 100 for d1, d2, _ in got)
+
+    # Connectivity is the contract: one cluster, one survivor.
+    clusters = D.neardup_clusters(df, pairs)
+    labels = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    assert {labels[i] for i in range(1, n + 1)} == {1}
+    assert labels[100] == 100
+    kept = {r.doc_id for r in D.dedup_corpus(df, "text", threshold=0.8).collect()}
+    assert kept == {1, 100}
+
+
+def test_minhash_second_pass_subdivides_hot_band(spark):
+    """Hot bucket whose members are NOT all near-dups: distinct doc
+    groups that collide on one band must be separated by the finer
+    second-pass banding, emitting only the true high-Jaccard pairs."""
+    # Two planted near-dup groups + shared boilerplate filler sentences;
+    # small max_bucket forces any shared band into the second pass.
+    g1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    g2 = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, g1 + " lambda"),
+        (2, g1 + " omega"),
+        (11, g2 + " thirteen"),
+        (12, g2 + " fourteen"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.doc1, r.doc2)
+        for r in D.minhash_neardup_pairs(
+            df, "text", "doc_id", threshold=0.5, max_bucket=2
+        ).collect()
+    }
+    assert (1, 2) in got and (11, 12) in got
+    assert not any({a, b} & {1, 2} and {a, b} & {11, 12} for a, b in got)
