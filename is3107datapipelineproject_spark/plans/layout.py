@@ -55,6 +55,39 @@ def write_partitioned(
     )
 
 
+def overwrite_touched_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str] = ("year", "category"),
+    sort_cols: Sequence[str] = ("paper_key",),
+) -> None:
+    """Incremental rewrite of a write_partitioned table (SURVEY §4 O1):
+    replace ONLY the ``(year, category)`` directories present in ``df``,
+    leaving every other partition's files untouched.
+
+    Plain ``mode("overwrite")`` truncates the whole path first — at
+    100 TB that is rewriting the table to update a week. The dynamic
+    partition-overwrite mode scopes the delete to partitions the job
+    actually emits; it is set as a per-write DataFrameWriter option
+    (``partitionOverwriteMode=dynamic``) rather than the session conf
+    ``spark.sql.sources.partitionOverwriteMode``, so it holds under any
+    caller's session (the external driver hands us a plain one) and
+    cannot leak into unrelated writes.
+
+    Same repartition + partition-leading sort contract as
+    write_partitioned, so rewritten partitions keep the clustered
+    layout. Verified by test_dynamic_overwrite_touches_only_changed.
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .sortWithinPartitions(*partition_cols, *sort_cols)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

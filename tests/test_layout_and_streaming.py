@@ -347,3 +347,44 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_overwrite_touches_only_changed(spark, tmp_path):
+    """O1 incremental rewrite: overwrite_touched_partitions must replace
+    ONLY the partition directories present in the incoming frame — every
+    other partition keeps its exact files (names + mtimes), which is the
+    difference between rewriting a week and rewriting the table."""
+    path = str(tmp_path / "pub_incremental")
+    df = _pubs_like(spark)
+    L.write_partitioned(df, path, ("year", "category"), ("paper_key",))
+
+    def listing():
+        return {
+            f: os.stat(f).st_mtime_ns
+            for f in glob.glob(f"{path}/year=*/category=*/*.parquet")
+        }
+
+    before = listing()
+    touched = ("year=1998/category=1-URGENT", "year=1998/category=5-LOW")
+    delta = (
+        df.filter((F.col("year") == 1998) & F.col("category").isin("1-URGENT", "5-LOW"))
+        .withColumn("payload", F.col("payload") * 2)
+    )
+    assert delta.count() > 0
+    L.overwrite_touched_partitions(delta, path, ("year", "category"), ("paper_key",))
+    after = listing()
+
+    untouched_before = {f: m for f, m in before.items() if not any(t in f for t in touched)}
+    untouched_after = {f: m for f, m in after.items() if not any(t in f for t in touched)}
+    assert untouched_before == untouched_after  # same files, same mtimes
+
+    # touched partitions were actually replaced with the new payloads
+    back = L.read_partitioned(spark, path)
+    new_sum = back.filter(
+        (F.col("year") == 1998) & (F.col("category") == "1-URGENT")
+    ).agg(F.sum("payload")).collect()[0][0]
+    old_sum = df.filter(
+        (F.col("year") == 1998) & (F.col("category") == "1-URGENT")
+    ).agg(F.sum("payload") * 2).collect()[0][0]
+    assert abs(new_sum - old_sum) < 1e-6
+    assert back.count() == df.count()  # row-for-row replacement, no loss
