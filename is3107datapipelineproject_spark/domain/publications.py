@@ -72,6 +72,43 @@ def author_bridge(pubs: DataFrame) -> DataFrame:
     ).select("paper_key", "year", F.col("a.pos").alias("pos"), F.col("a.pid").alias("pid"))
 
 
+def materialize_author_bridge(pubs: DataFrame, table: str, n_buckets: int = 8) -> None:
+    """SURVEY O3 materialized at scale: persist the author bridge as a
+    table BUCKETED ON pid. Author-membership lookups then become a
+    bucket-pruned point read of 1/n_buckets of the bridge instead of a
+    full scan of the publications table evaluating ``exists(authors, …)``
+    per row — the 100 TB answer to the reference's interactive CONTAINS
+    query (docx §Query 1)."""
+    from is3107datapipelineproject_spark.plans.layout import write_bucketed
+
+    write_bucketed(author_bridge(pubs), table, "pid", n_buckets)
+
+
+def contains_author_via_bridge(spark, bridge_table: str, pubs: DataFrame, pid: str) -> DataFrame:
+    """Interactive-1 through the materialized bridge: bucket-pruned
+    point read of the pid's bridge bucket (SelectedBucketsCount 1/N in
+    the scan), then a broadcast LEFT SEMI join carries the (tiny) key
+    set to the publications rows — no shuffle Exchange anywhere, no
+    per-row array predicate over the corpus. Same result set as
+    contains_author (exact pid semantics); plan-asserted by
+    test_bridge_lookup_is_bucket_pruned_and_shuffle_free.
+
+    Planning caveat: Spark's auto-bucketed-scan optimization
+    (``spark.sql.sources.bucketing.autoBucketedScan.enabled``, default
+    true) rewrites a bucketed scan to a plain file scan when the plan
+    does not consume the bucket partitioning — a broadcast semi-join
+    doesn't, so the point lookup silently loses bucket pruning and
+    reads all N buckets. Interactive-lookup sessions should set that
+    conf to false (the filter still pushes down either way; pruning is
+    the extra 1/N file-listing win)."""
+    keys = (
+        spark.table(bridge_table)
+        .filter(F.col("pid") == pid)
+        .select("paper_key")
+    )
+    return pubs.join(F.broadcast(keys), "paper_key", "left_semi")
+
+
 def contains_author(pubs: DataFrame, pid: str) -> DataFrame:
     """Interactive-1 (docx §Query 1): ``authors_pids CONTAINS pid`` with
     EXACT element semantics (the reference's substring test,

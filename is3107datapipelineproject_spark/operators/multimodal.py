@@ -12,9 +12,10 @@ images/audio/video:
   batch of payloads fits worker memory);
 - REAL decoders (PIL/ffmpeg/torchaudio) are not in this container, so
   ``decode_stub`` computes deterministic payload features (byte length +
-  md5) through the exact same plumbing; swapping in a real decoder
-  changes only the inner function, not the plan. ``resize_images`` /
-  ``sample_frames`` raise NotImplementedError by design.
+  md5) through the exact same plumbing, and ``resize_images`` /
+  ``sample_frames`` run deterministic fake kernels (blob slicing) the
+  oracle can reproduce; swapping in a real decoder changes only the
+  inner function, not the plan.
 
 The stub path is oracle-checkable: byte length and md5 are engine-
 independent facts about the payload.

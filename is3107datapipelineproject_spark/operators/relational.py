@@ -174,3 +174,48 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return lsalt.join(rrep, keys + ["__salt"], how).drop("__salt")
+
+
+def hot_key_share(df: DataFrame, key: str | Sequence[str], sample_fraction: float = 0.01,
+                  seed: int = 42) -> float:
+    """Approximate share of the single most frequent key, measured on a
+    Bernoulli sample of the (column-pruned) key column. One tiny two-row
+    aggregate reaches the driver — this is the AQE-style "measure before
+    you re-plan" probe, not a data collect; cost is a sampled scan of
+    one column."""
+    keys = [key] if isinstance(key, str) else list(key)
+    top = (
+        df.select(*keys)
+        .sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("top"), F.sum("c").alias("total"))
+        .collect()[0]
+    )
+    if not top["total"]:
+        return 0.0
+    return top["top"] / top["total"]
+
+
+def adaptive_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    share_threshold: float | None = None,
+    sample_fraction: float = 0.01,
+) -> DataFrame:
+    """Detect-then-salt: pay the n_salts× right-side replication ONLY
+    when the left side is actually skewed. A sampled probe estimates the
+    hottest key's share; below ``share_threshold`` (default: one task's
+    fair share, 1/defaultParallelism) the plain join is strictly better
+    — salting an unskewed join multiplies shuffle volume for nothing.
+    This encodes the operator's own guidance ("never salt when the data
+    doesn't need it") instead of leaving the decision to the caller."""
+    if share_threshold is None:
+        share_threshold = 1.0 / left.sparkSession.sparkContext.defaultParallelism
+    if hot_key_share(left, key, sample_fraction) > share_threshold:
+        return salted_join(left, right, key, n_salts=n_salts, how=how)
+    keys = [key] if isinstance(key, str) else list(key)
+    return left.join(right, keys, how)

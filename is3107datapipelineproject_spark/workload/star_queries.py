@@ -943,15 +943,19 @@ GROUP BY 1
     tags=("join", "skew"),
 )
 def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The skew-safe salted join (operators.relational.salted_join),
-    checked against a plain join oracle: lineitem⋈orders on the order
-    key with 8 salts, then priority rollup — bag-exact semantics with
-    hot keys spread across 8× the shuffle partitions."""
+    """Detect-then-salt (operators.relational.adaptive_salted_join),
+    checked against a plain join oracle: a sampled probe measures the
+    hottest l_orderkey share and salts ONLY if it exceeds a task's fair
+    share. TPC-H order keys are uniform (≤7 items each), so the probe
+    picks the plain join here — the 8× replication price appears only
+    when the data actually has a straggler key (the round-2 version
+    salted unconditionally and paid 7.6× at 10× scale for insurance the
+    data didn't need). Bag-exact either way; same oracle."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    joined = R.salted_join(li, o, "l_orderkey", n_salts=8)
+    joined = R.adaptive_salted_join(li, o, "l_orderkey", n_salts=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("total_price"),

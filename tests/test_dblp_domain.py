@@ -195,3 +195,36 @@ def test_log_projections(spark, pubs):
     assert upd.authors[1].pid == "1/234" and upd.authors[1].orcid == "0000-1"
     assert upd.authors[3].name == "Carol"
     assert list(upd.ee) == ["https://doi.org/x", "https://arxiv.org/y"]
+
+
+def test_bridge_lookup_is_bucket_pruned_and_shuffle_free(spark, pubs, tmp_path):
+    """O3 at scale: the pid-bucketed bridge must turn author-membership
+    lookup into (a) a bucket-pruned scan — 1 of N buckets read, not the
+    full bridge — and (b) a broadcast semi-join with no shuffle Exchange
+    on the publications side."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bridgedb LOCATION '{tmp_path}/bridgedb'")
+    # Auto-bucketed-scan would rewrite the (join-side-unused) bucketed
+    # scan to a plain one and silently drop bucket pruning — the lookup
+    # session must pin it off (see contains_author_via_bridge docstring).
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        # Materialize pubs as the stored table it would be in production
+        # (the in-memory fixture carries its dedup Exchange upstream,
+        # which would pollute the lookup-plan assertion).
+        pubs.write.parquet(f"{tmp_path}/pubs")
+        stored = spark.read.parquet(f"{tmp_path}/pubs")
+        P.materialize_author_bridge(stored, "bridgedb.author_bridge", n_buckets=4)
+
+        q = P.contains_author_via_bridge(spark, "bridgedb.author_bridge", stored, "1/234")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 4" in plan   # bucket pruning fired
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert "Exchange hashpartitioning" not in plan       # no shuffle anywhere
+
+        got = {r.paper_key for r in q.collect()}
+        want = {r.paper_key for r in P.contains_author(pubs, "1/234").collect()}
+        assert got == want and len(want) > 0
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+        spark.sql("DROP DATABASE IF EXISTS bridgedb CASCADE")

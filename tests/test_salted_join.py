@@ -39,3 +39,34 @@ def test_salted_join_rejects_right_preserving_joins(spark):
     semi = salted_join(left, right, "k", n_salts=5, how="left_semi")
     anti = salted_join(left, right, "k", n_salts=5, how="left_anti")
     assert semi.count() == 1 and anti.count() == 0
+
+
+def test_adaptive_salting_triggers_only_on_skew(spark):
+    """detect-then-salt: uniform keys must take the plain join (no salt
+    column anywhere in the plan — salting costs n_salts x shuffle volume);
+    a planted straggler key must flip to the salted plan, bag-exactly."""
+    from pyspark.sql import functions as F
+
+    from is3107datapipelineproject_spark.operators.relational import (
+        adaptive_salted_join,
+        hot_key_share,
+    )
+
+    right = spark.createDataFrame([(k, k * 10.0) for k in range(100)], "k long, rv double")
+    uniform = spark.range(10_000).select((F.col("id") % 100).alias("k"), F.col("id").alias("lv"))
+    skewed = spark.range(10_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("lv"),
+    )
+
+    assert hot_key_share(uniform, "k", sample_fraction=0.5) < 0.05
+    assert hot_key_share(skewed, "k", sample_fraction=0.5) > 0.9
+
+    plain = adaptive_salted_join(uniform, right, "k", sample_fraction=0.5)
+    assert "__salt" not in plain._jdf.queryExecution().analyzed().toString()
+
+    salted = adaptive_salted_join(skewed, right, "k", sample_fraction=0.5)
+    assert "__salt" in salted._jdf.queryExecution().analyzed().toString()
+    assert _bag(salted.select("k", "lv", "rv")) == _bag(
+        skewed.join(right, "k").select("k", "lv", "rv")
+    )
