@@ -87,3 +87,90 @@ def q_xml_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select("paper_key", "year", F.explode("authors").alias("a")).select(
         "paper_key", "year", F.col("a.pos").alias("pos"), F.col("a.pid").alias("pid")
     )
+
+
+def _synth_pubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested publications fact (domain.publications.B3 shape) built
+    from the synthesized corpus: XML synth → mapInPandas parse →
+    derive_publications. Every query below runs the REAL domain
+    operators over this nested authors-array schema, so the driver
+    oracles the domain layer itself, not a star-schema twin."""
+    from is3107datapipelineproject_spark.domain.publications import derive_publications
+
+    staged = synth_order_xml(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    return derive_publications(xml_flatten(staged, "content"))
+
+
+@register(
+    "dblp_contains_author",
+    oracle="""
+SELECT 'conf/o/' || CAST(o_orderkey AS VARCHAR) AS paper_key,
+       CAST(year(o_orderdate) AS INT) AS year,
+       'con' AS category
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_suppkey = 1)
+""",
+    tags=("domain", "filter"),
+)
+def q_dblp_contains_author(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive-1 (docx §Query 1) on the NESTED schema: exact-pid
+    ``exists(authors, …)`` membership (domain.publications
+    .contains_author — the corrected F14 semantics), projected to
+    scalar columns for the oracle."""
+    from is3107datapipelineproject_spark.domain.publications import contains_author
+
+    pubs = _synth_pubs(spark, sf_dir)
+    return contains_author(pubs, "1").select("paper_key", "year", "category")
+
+
+@register(
+    "dblp_nth_author_count",
+    oracle=f"""
+WITH ranked AS (
+  SELECT l_orderkey, l_suppkey,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY {LINE_ORDER_SQL}) AS rn
+  FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS cnt
+FROM ranked r JOIN orders o ON o.o_orderkey = r.l_orderkey
+WHERE r.rn = 2 AND r.l_suppkey = 1
+  AND year(o.o_orderdate) IN (1995, 1996, 1997)
+""",
+    tags=("domain", "agg"),
+)
+def q_dblp_nth_author_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proxy Q1/Q2 (docx) on the nested schema: publications in the year
+    set where pid is the n-th author, via positional ``exists`` over the
+    authors array (domain.publications.q1_nth_author_count)."""
+    from is3107datapipelineproject_spark.domain.publications import q1_nth_author_count
+
+    pubs = _synth_pubs(spark, sf_dir)
+    return q1_nth_author_count(pubs, "1", 2, [1995, 1996, 1997])
+
+
+@register(
+    "dblp_collab_totals",
+    oracle="""
+WITH bridge AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+SELECT CAST(b2.l_suppkey AS VARCHAR) AS partner,
+       CAST(count(*) AS BIGINT) AS total
+FROM bridge b1
+JOIN bridge b2 ON b1.l_orderkey = b2.l_orderkey
+             AND b1.l_suppkey <> b2.l_suppkey
+WHERE b1.l_suppkey = 1
+GROUP BY 1
+""",
+    tags=("domain", "pairs"),
+)
+def q_dblp_collab_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proxy Q3/Q4 (docx, corrected literals) on the nested schema:
+    total collaborations of one author with each partner, through the
+    exploded bridge + group-pruned pair_counts plan
+    (domain.publications.collab_totals)."""
+    from is3107datapipelineproject_spark.domain.publications import collab_totals
+
+    pubs = _synth_pubs(spark, sf_dir)
+    return collab_totals(pubs, "1")
