@@ -209,9 +209,18 @@ def minhash_neardup_pairs(
         F.array(*[F.col(f"mh{j}") for j in range(MINHASH_K)]).alias("sig"),
         F.explode(F.array(*lsh_band_keys())).alias("band"),
     )
-    buckets = banded.groupBy("band").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "shingles", "sig"))).alias("items")
-    ).filter(F.size("items") > 1)
+    # The bucketed frame feeds BOTH the normal pair path and the hot-
+    # bucket second pass. Materialize it once (localCheckpoint): Spark's
+    # exchange reuse does not dedupe the union branches here, so without
+    # this the CPU-bound tokenize/signature stage re-executes per branch
+    # (measured 3× on fresh plans). Storage is the same order as the
+    # band shuffle that just ran; blocks free when the plan is GC'd.
+    buckets = (
+        banded.groupBy("band")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "shingles", "sig"))).alias("items"))
+        .filter(F.size("items") > 1)
+        .localCheckpoint(eager=True)
+    )
 
     def pair_with_jaccard(x, y):
         inter = F.size(F.array_intersect(x["shingles"], y["shingles"])).cast("double")
@@ -240,6 +249,11 @@ def minhash_neardup_pairs(
 
     small = buckets.filter(F.size("items") <= max_bucket)
     hot = buckets.filter(F.size("items") > max_bucket)
+
+    # Cheap existence probe on the materialized buckets: the common case
+    # (no hot bands) skips planning the two extra shuffle chains.
+    if hot.limit(1).count() == 0:
+        return all_pairs(small).filter(F.col("jaccard") >= threshold).distinct()
 
     # --- second pass: re-band hot buckets on the out-of-band minhashes.
     b_idx = F.element_at(F.split("band", "-"), 1).cast("int")
@@ -276,6 +290,7 @@ def minhash_neardup_pairs(
         .groupBy("band")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "shingles"))).alias("items"))
         .filter(F.size("items") > 1)
+        .localCheckpoint(eager=True)  # consumed by both fine and star
     )
     fine = sub_buckets.filter(F.size("items") <= max_bucket)
 
