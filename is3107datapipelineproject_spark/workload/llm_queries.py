@@ -727,3 +727,88 @@ def q_doc_term_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary — one tf shuffle plus a broadcast of the vocab."""
     docs = _t(spark, sf_dir, "documents")
     return X.doc_term_matrix(docs, "text", "doc_id")
+
+
+# --- corpus hygiene: decontamination + boilerplate ---------------------------
+
+@register(
+    "decontaminate",
+    oracle=f"""
+WITH sh AS ({SQL_DOCS_SHINGLES}),
+ev AS (SELECT DISTINCT unnest(hs) AS ngram_hash FROM sh WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, unnest(hs) AS ngram_hash FROM sh WHERE doc_id % 50 <> 0)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr JOIN ev USING (ngram_hash)
+GROUP BY 1
+""",
+    tags=("hygiene", "llm"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): every
+    50th document plays the held-out eval set; training docs sharing any
+    word-3-gram with it are flagged with their distinct-hit count. Plan:
+    eval n-gram hashes (small) semi-join the exploded corpus n-grams —
+    one shuffle, broadcast-able eval side."""
+    from is3107datapipelineproject_spark.operators.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(tr, ev, "text", "doc_id", k=3)
+
+
+@register(
+    "boilerplate_flag",
+    oracle=f"""
+WITH sh AS ({SQL_DOCS_SHINGLES}),
+ex AS (SELECT doc_id, unnest(hs) AS ngram_hash FROM sh),
+freq AS (SELECT ngram_hash, count(*) AS doc_freq FROM ex GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+hot AS (SELECT ngram_hash FROM freq, n WHERE doc_freq >= n_docs * 0.01)
+SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+FROM ex JOIN hot USING (ngram_hash)
+GROUP BY 1
+""",
+    tags=("hygiene", "llm"),
+)
+def q_boilerplate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection: flag documents containing a
+    word-3-gram whose document frequency reaches 1% of the corpus
+    (navigation chrome / license headers at web scale). Two-pass plan:
+    df-per-n-gram aggregate, then a broadcast semi-join flags carriers —
+    the hot set is tiny by construction at any corpus size."""
+    from is3107datapipelineproject_spark.operators.contamination import boilerplate_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_docs(docs, "text", "doc_id", k=3, min_doc_share=0.01)
+
+
+# --- training-sequence packing ----------------------------------------------
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM ({SQL_DOCS_TOKS})),
+c AS (SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS seq_id,
+       CAST(start_offset % 512 AS BIGINT) AS seq_offset
+FROM c
+""",
+    tags=("packing", "llm"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: each doc's global token offset, training
+    sequence id (512-token chunks), and in-sequence offset, in doc_id
+    order. The oracle is the single-partition window cumsum; the engine
+    runs the two-level distributed prefix sum (operators.packing) —
+    identical output, parallel plan."""
+    from is3107datapipelineproject_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.size(X.ws_tokens("text")).cast("long").alias("n_tokens"))
+    return pack_sequences(t, "doc_id", "n_tokens", seq_len=512, n_buckets=32)
