@@ -1,0 +1,192 @@
+"""Corpus-curation operators: PII scrubbing, token-budget mixing,
+unigram-LM scoring, context-window chunking.
+
+Beyond-reference surface (driver mandate): the remaining pre-training
+curation steps a 100 TB pipeline runs between hygiene (dedup /
+decontamination, operators.dedup / operators.contamination) and packing
+(operators.packing):
+
+- **PII scrubbing**: redact emails / phone-shaped strings with JVM
+  ``regexp_replace`` + ``regexp_count`` — whole-stage-codegen column
+  expressions, zero Python, zero shuffles. Scrubbing 100 TB costs one
+  scan.
+- **Token-budget mixing**: sample each source domain down to a target
+  token budget (the "N tokens per domain" mixture spec of every LLM
+  data recipe — rate-based mixing is operators.sampling.stratified_sample;
+  this is the budget-based twin). Docs are ranked inside their source by
+  content hash (reproducible shuffle order), then kept while the running
+  token sum fits the budget: one window shuffle keyed by source. A
+  single source too large for one task takes the two-level prefix sum of
+  operators.packing.pack_sequences instead of the window.
+- **Unigram-LM surprisal**: score each document by mean per-token
+  surprisal under the corpus's own unigram distribution — the cheap,
+  trainable-model-free stand-in for perplexity filtering (high = rare
+  vocabulary / junk, low = repetitive boilerplate). The vocabulary is
+  Heaps'-law bounded, so the token→frequency join broadcasts at any
+  corpus size.
+- **Chunking**: split documents into fixed-size overlapping token
+  windows (training / RAG context windows). Entirely narrow — sequence +
+  slice + posexplode per row, no shuffle at all; output size is
+  input_tokens / stride.
+
+Hash / normalization primitives are shared with operators.text and
+operators.sampling, so DuckDB oracles derive from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.operators.sampling import hash_unit
+from is3107datapipelineproject_spark.operators.text import ws_tokens
+
+# Scrub patterns: deliberately simple character classes that mean the
+# same thing in Java regex (Spark) and RE2 (DuckDB oracle).
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9]+\\.[a-z]+"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """Replace email / phone matches in ``text_col`` with redaction
+    tokens and count what was removed: adds ``n_emails``, ``n_phones``
+    (BIGINT) and rewrites ``text_col``. Pure narrow column expressions —
+    the 100 TB cost is the scan."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_RE)).cast("long"))
+        .withColumn("n_phones", F.regexp_count(c, F.lit(PHONE_RE)).cast("long"))
+        .withColumn(
+            text_col,
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, email_token), PHONE_RE, phone_token
+            ),
+        )
+    )
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    group_col: str,
+    token_count_col: str,
+    budget: int,
+    id_col: str,
+    salt: str = "budget",
+) -> DataFrame:
+    """Keep a hash-ordered prefix of each group whose cumulative token
+    count stays within ``budget``: the deterministic "sample N tokens
+    per domain" mixture operator.
+
+    Rows are ordered inside their group by (content hash, id) — a
+    reproducible random order, so re-runs and corpus repartitioning keep
+    the same rows — and a row survives iff the running sum THROUGH it is
+    ≤ budget (every kept doc is whole; no mid-document truncation).
+    Output: input columns + ``cum_tokens``. One shuffle (the per-group
+    window); a group larger than one task's memory takes the
+    operators.packing two-level prefix sum instead.
+    """
+    from pyspark.sql import Window
+
+    h = hash_unit(id_col, salt)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(h, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(token_count_col).over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean per-token surprisal (bits) of each document under the
+    corpus's unigram distribution: ``(id_col, n_tokens, surprisal)``,
+    surprisal = −(Σ_w tf·log2 p(w)) / n_tokens rounded to 4 decimals
+    (fp summation-order tolerance, same contract as the similarity
+    operators).
+
+    Plan: one explode + hash-aggregate builds (doc, token, tf); the
+    token→corpus-frequency map is a second aggregate over it — vocabulary
+    rows only (Heaps-bounded), so the re-join broadcasts; the corpus
+    token total is a 1-row aggregate attached by broadcast cross join.
+
+    (tf, vocab) are multi-consumer subplans and Spark's exchange reuse
+    does not dedupe them on a fresh plan (same recompute trap as the
+    MinHash bucket frame, operators/dedup.py) — without materialization
+    the corpus scan+explode runs THREE times. Both are
+    localCheckpoint'ed: the CPU-heavy explode/aggregate executes exactly
+    once, vocab (tiny) once; the trade is executor-local storage of the
+    (doc, token, tf) frame, which is what every multi-pass consumer of a
+    tokenized corpus pays.
+    """
+    toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("__tok"))
+    tf = (
+        toks.groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = (
+        tf.groupBy("__tok").agg(F.sum("__tf").alias("__cnt")).localCheckpoint(eager=True)
+    )
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    p = F.col("__cnt") / F.col("__total")
+    return (
+        tf.join(F.broadcast(vocab), "__tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").cast("long").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("__tf") * F.log2(p)) / F.sum("__tf"), 4
+            ).alias("surprisal"),
+        )
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping token windows:
+    ``(id_col, chunk_id, n_chunk_tokens, chunk_text)``. Chunk i covers
+    tokens [i·stride, i·stride + window); the last chunk may be short; a
+    doc shorter than one window yields exactly one chunk.
+
+    Entirely narrow — sequence/slice/posexplode inside the row, zero
+    shuffles; 100 TB chunking parallelizes as the scan does.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = ws_tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(window)) / F.lit(float(stride))).cast("int") + F.lit(1)
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__i") * stride + 1, window)
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), n_chunks.alias("__nc"))
+        .select(
+            id_col,
+            "__toks",
+            F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("__i"),
+        )
+        .select(
+            id_col,
+            F.col("__i").cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

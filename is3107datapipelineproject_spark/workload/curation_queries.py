@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import Window
 
+from is3107datapipelineproject_spark.operators import curation as C
 from is3107datapipelineproject_spark.operators import dedup as D
 from is3107datapipelineproject_spark.operators import sampling as S
 from is3107datapipelineproject_spark.operators import temporal as T
@@ -225,3 +226,142 @@ def q_group_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n × #groups at any input scale."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return S.group_sample_topn(docs, "lang", 20, id_col="doc_id")
+
+
+# --- PII scrubbing ----------------------------------------------------------
+
+# The synthetic corpus contains no PII (letters-only text), so the
+# registered query PLANTS deterministic PII per doc_id first — the same
+# expression on both sides — then exercises the scrubber for real: the
+# redaction counts and the scrubbed-text fingerprint are non-trivial.
+_SQL_PLANTED = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+_SQL_EMAIL = r"[a-z0-9._]+@[a-z0-9]+\.[a-z]+"
+_SQL_PHONE = r"[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+WITH p AS (SELECT doc_id, {_SQL_PLANTED} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_SQL_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_SQL_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_SQL_EMAIL}', '<EMAIL>', 'g'),
+                          '{_SQL_PHONE}', '<PHONE>', 'g')) AS scrubbed_fp
+FROM p
+""",
+    tags=("curation", "llm"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails and phone-shaped strings replaced by tokens,
+    per-doc removal counts kept for audit. Pure JVM regexp column
+    expressions — narrow, codegen'd, one scan at any corpus size."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = C.scrub_pii(docs.withColumn("text", planted))
+    return scrubbed.select(
+        "doc_id", "n_emails", "n_phones", F.md5("text").alias("scrubbed_fp")
+    )
+
+
+# --- token-budget domain mixing ---------------------------------------------
+
+def _budget_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_TOKS
+
+    frac = _sql_frac("budget", "doc_id")
+    return f"""
+WITH t AS (SELECT doc_id, source, CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY {frac}, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM t)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 400
+"""
+
+
+@register("token_budget_sample", oracle=_budget_oracle(), tags=("curation", "sampling", "llm"))
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-based domain mixing: keep a reproducible hash-ordered
+    prefix of each source worth ≤ 400 tokens (the "N tokens per domain"
+    mixture spec; rate-based mixing is `stratified_sample`). One window
+    shuffle keyed by source; a mega-source takes the packing-style
+    two-level prefix sum instead."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.size(X.ws_tokens("text")).cast("long").alias("n_tokens"))
+    )
+    kept = C.sample_to_token_budget(
+        docs, group_col="source", token_count_col="n_tokens", budget=400, id_col="doc_id"
+    )
+    return kept.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+# --- unigram-LM surprisal scoring -------------------------------------------
+
+def _surprisal_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_TOKS
+
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+tot AS (SELECT sum(cnt) AS total FROM vocab)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(-sum(tf * log2(cnt / total)) / sum(tf), 4) AS surprisal
+FROM tf JOIN vocab USING (tok), tot
+GROUP BY doc_id
+"""
+
+
+@register("unigram_perplexity", oracle=_surprisal_oracle(), tags=("curation", "text", "llm"))
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token surprisal under the corpus's own unigram LM — the
+    model-free perplexity-filter stand-in (high = rare-vocabulary junk,
+    low = repetitive boilerplate). Two shuffles total; the vocabulary
+    side of the re-join is Heaps-bounded and broadcast."""
+    return C.unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+# --- context-window chunking ------------------------------------------------
+
+def _chunk_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_TOKS
+
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+             greatest(1, CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT) + 1) AS nc
+      FROM t),
+c AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM n)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ') AS chunk_text
+FROM c
+"""
+
+
+@register("chunk_documents", oracle=_chunk_oracle(), tags=("curation", "text", "llm"))
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token-window chunking (window 32, stride
+    24) — training / RAG context windows. Entirely narrow: sequence +
+    slice + explode inside the row, zero shuffles at any corpus size."""
+    return C.chunk_tokens(_t(spark, sf_dir, "documents"), window=32, stride=24)

@@ -37,9 +37,18 @@ the fuzzy (≥99%) threshold is what absorbs the divergence on real DBLP.
 from __future__ import annotations
 
 import csv
+import sys
 from collections import defaultdict
 
+from pyspark import cloudpickle as _cp
+
 from is3107datapipelineproject_spark.domain import publications as P
+
+# fake_fetch (a closure over this module's helpers) ships to executors via
+# fetch_to_staging's foreachPartition; by-value registration keeps the test
+# runnable from any cwd (executors cannot import `tests` when pytest runs
+# from /tmp — the driver-rehearsal norm).
+_cp.register_pickle_by_value(sys.modules[__name__])
 from is3107datapipelineproject_spark.sources import fetch as FE
 from is3107datapipelineproject_spark.sources.xml_source import xml_flatten
 
