@@ -54,6 +54,10 @@ HEADLINE = [
     "promo_revenue_share",
     "curation_pipeline",
     "tfidf_top_terms",
+    "decontaminate",
+    "pack_sequences",
+    "unigram_perplexity",
+    "chunk_documents",
 ]
 
 

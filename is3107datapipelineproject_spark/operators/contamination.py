@@ -31,12 +31,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from is3107datapipelineproject_spark.operators.dedup import h28, word_shingles
+from is3107datapipelineproject_spark.operators.dedup import h28, spread_small_input, word_shingles
 
 
 def _doc_ngram_hashes(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(doc_id, ngram_hash) — distinct k-gram hashes per document,
-    exploded. Narrow until the explode; no shuffle."""
+    exploded. Narrow until the explode (plus the under-partitioned-input
+    spread: the md5-per-shingle stage is CPU-bound and must not
+    serialize on one task when the scan arrives as a single split)."""
+    df = spread_small_input(df)
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.transform(word_shingles(text_col, k), h28))).alias(
