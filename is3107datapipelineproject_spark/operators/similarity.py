@@ -39,8 +39,21 @@ def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def _prep(df: DataFrame, id_col: str, vec_col: str, extra: list[str] | None = None) -> DataFrame:
-    """Cast to double and precompute the norm once (narrow)."""
+def _prep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    extra: list[str] | None = None,
+    spread: bool = False,
+) -> DataFrame:
+    """Cast to double and precompute the norm once (narrow). ``spread``
+    (corpus sides only): the per-row dot-product folds are CPU-bound, so
+    an under-partitioned scan must not serialize them on one task —
+    no-op when the input already has >= cores partitions."""
+    if spread:
+        from is3107datapipelineproject_spark.operators.dedup import spread_small_input
+
+        df = spread_small_input(df)
     v = F.col(vec_col).cast("array<double>")
     cols = [F.col(id_col).alias("vid"), v.alias("vec"), l2_norm(v).alias("norm")]
     for e in extra or []:
@@ -63,7 +76,7 @@ def cosine_topk(
     window top-k partitioned by query. The corpus is never shuffled; the
     only exchange is the final rank partition on query_id (|Q| keys).
     """
-    c = _prep(corpus, id_col, vec_col)
+    c = _prep(corpus, id_col, vec_col, spread=True)
     q = _prep(queries, id_col, vec_col).select(
         F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
     )
@@ -95,7 +108,7 @@ def cosine_topk_bucketed(
     ``cosine_topk`` plus the bucket — the scale path where per-query
     work is |bucket|, not |corpus|.
     """
-    c = _prep(corpus, id_col, vec_col, [bucket_col]).withColumnRenamed(bucket_col, "bucket")
+    c = _prep(corpus, id_col, vec_col, [bucket_col], spread=True).withColumnRenamed(bucket_col, "bucket")
     q = (
         _prep(queries, id_col, vec_col, [bucket_col])
         .select(
@@ -198,7 +211,7 @@ def ivf_topk(
         .filter(F.col("prank") <= probes)
         .select("qid", "qvec", "qnorm", "bucket")
     )
-    c = _prep(corpus, id_col, vec_col, [bucket_col]).withColumnRenamed(bucket_col, "bucket")
+    c = _prep(corpus, id_col, vec_col, [bucket_col], spread=True).withColumnRenamed(bucket_col, "bucket")
     sim = F.round(
         dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
     ).alias("cosine")
@@ -228,7 +241,7 @@ def knn_classify(
     quality-filter shape (label a crawl by its nearest curated
     examples). Same broadcast-scan plan as cosine_topk; the vote is one
     extra tiny aggregate."""
-    c = _prep(corpus, id_col, vec_col, [label_col]).withColumnRenamed(label_col, "nlabel")
+    c = _prep(corpus, id_col, vec_col, [label_col], spread=True).withColumnRenamed(label_col, "nlabel")
     q = _prep(queries, id_col, vec_col).select(
         F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
     )
@@ -258,7 +271,7 @@ def embedding_neardup_pairs(
     ``(id1, id2, cosine)`` with id1 < id2 and cosine ≥ threshold. The
     quadratic expansion is confined to each bucket (same blocking
     argument as dedup.blocked_jaccard_pairs)."""
-    t = _prep(df, id_col, vec_col, [bucket_col]).withColumnRenamed(bucket_col, "bucket")
+    t = _prep(df, id_col, vec_col, [bucket_col], spread=True).withColumnRenamed(bucket_col, "bucket")
     a, b = t.alias("a"), t.alias("b")
     sim = F.round(
         dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm")), 4
