@@ -114,3 +114,57 @@ def boilerplate_docs(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_boiler"))
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "page_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Exact line-level dedup (the RefinedWeb / CCNet boilerplate-line
+    rule): across the whole corpus each distinct line survives only at
+    its FIRST occurrence — smallest ``(id, position)`` — and documents
+    are rebuilt without the dropped copies.
+
+    Output: ``(id_col, n_lines, n_kept, text_clean)``.
+
+    Scale design: the keep-first decision is a
+    ``groupBy(line).agg(min(struct(id, pos)))`` — min is a combinable
+    aggregate, so a boilerplate line repeated across millions of pages
+    collapses map-side before the shuffle. The obvious alternative
+    (``row_number() over (partition by line)``) funnels every copy of a
+    hot line through one reducer — exactly the skew this operator
+    exists to clean up. The keeper set then joins back on the FULL
+    ``(line, id, pos)`` triple: keys are distinct per row, so the
+    probe-side shuffle stays uniform no matter how hot a line is.
+    Rebuild is one ``groupBy(id)`` whose collect is bounded by page
+    size, never corpus size.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    first = (
+        lines.groupBy("line")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f"))
+        .select(
+            "line",
+            F.col(f"f.{id_col}").alias(id_col),
+            F.col("f.pos").alias("pos"),
+            F.lit(True).alias("__keep"),
+        )
+    )
+    marked = lines.join(first, ["line", id_col, "pos"], "left")
+    kept_line = F.when(F.col("__keep"), F.col("line"))
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.coalesce(F.sum(F.col("__keep").cast("long")), F.lit(0)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), kept_line.alias("line")))),
+                lambda x: x["line"],
+            ),
+        ).alias("text_clean"),
+    )

@@ -812,3 +812,110 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     t = docs.select("doc_id", F.size(X.ws_tokens("text")).cast("long").alias("n_tokens"))
     return pack_sequences(t, "doc_id", "n_tokens", seq_len=512, n_buckets=32)
+
+
+# --- line-level dedup + JSONL ingest ----------------------------------------
+
+@register(
+    "line_dedup",
+    oracle="""
+WITH ln AS (
+  SELECT a.doc_id // 4 AS page_id, a.doc_id % 4 AS pos, b.text AS line
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 199
+),
+rn AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY page_id, pos) AS r FROM ln)
+SELECT page_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(CASE WHEN r = 1 THEN 1 END) AS BIGINT) AS n_kept,
+       coalesce(string_agg(CASE WHEN r = 1 THEN line END, chr(10) ORDER BY pos), '')
+         AS text_clean
+FROM rn GROUP BY 1
+""",
+    tags=("hygiene", "llm"),
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact line dedup (RefinedWeb/CCNet boilerplate-line
+    rule): multi-line pages are synthesized from a 199-line pool (every
+    4 documents form one page whose lines are drawn by ``doc_id % 199``,
+    planting the cross-page duplicates a web crawl has), then each
+    distinct line is kept only at its first ``(page_id, pos)``
+    occurrence and pages are rebuilt without the dropped copies. The
+    keep-first decision is a combinable min-aggregate, NOT a window over
+    the line key — hot boilerplate lines collapse map-side instead of
+    serializing through one reducer (operators/contamination.py:
+    dedup_lines). The oracle states the same semantics with the window
+    form DuckDB can run single-node."""
+    from is3107datapipelineproject_spark.operators.contamination import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    pool = docs.select(F.col("doc_id").alias("pool_id"), F.col("text").alias("line"))
+    lines = (
+        docs.select(
+            F.floor(F.col("doc_id") / 4).cast("long").alias("page_id"),
+            (F.col("doc_id") % 4).cast("long").alias("pos"),
+            (F.col("doc_id") % 199).alias("pool_id"),
+        )
+        .join(F.broadcast(pool.filter(F.col("pool_id") < 199)), "pool_id")
+    )
+    pages = lines.groupBy("page_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+                lambda x: x["line"],
+            ),
+        ).alias("text")
+    )
+    return dedup_lines(pages, "text", "page_id")
+
+
+@register(
+    "scan_jsonl",
+    oracle="""
+WITH j AS (
+  SELECT '{"k":' || o_orderkey || ',"c":' || o_custkey || ',"p":"' || o_orderpriority || '"}' AS line,
+         o_orderkey % 97 = 0 AS corrupt
+  FROM orders
+),
+l AS (SELECT CASE WHEN corrupt THEN substr(line, 1, len(line) - 4) ELSE line END AS line FROM j)
+SELECT CASE WHEN json_valid(line) THEN CAST(line ->> '$.k' AS BIGINT) END AS k,
+       CASE WHEN json_valid(line) THEN CAST(line ->> '$.c' AS BIGINT) END AS c,
+       CASE WHEN json_valid(line) THEN line ->> '$.p' END AS p,
+       NOT json_valid(line) AS is_corrupt
+FROM l
+""",
+    tags=("source", "llm"),
+)
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with corrupt-record tolerance — the LLM-corpus
+    analog of the reference's corrupt-input skip (S6, reference
+    main_dag.py's parse guard): JSON lines are synthesized from orders
+    (every 97th truncated mid-string), parsed schema-on-read with
+    ``from_json`` in PERMISSIVE mode, and malformed lines land intact in
+    the ``_corrupt_record`` side channel instead of failing the job —
+    the quarantine-don't-crash contract a 100 TB crawl ingest needs.
+    Entirely JVM column expressions; the oracle re-derives the same
+    lines and routes them through DuckDB's json_valid."""
+    orders = _t(spark, sf_dir, "orders")
+    line = F.concat(
+        F.lit('{"k":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"c":'), F.col("o_custkey").cast("string"),
+        F.lit(',"p":"'), F.col("o_orderpriority"), F.lit('"}'),
+    )
+    truncated = F.substring(line, 1, F.length(line) - 4)
+    raw = orders.select(
+        F.when(F.col("o_orderkey") % 97 == 0, truncated).otherwise(line).alias("line")
+    )
+    parsed = raw.select(
+        F.from_json(
+            "line",
+            "k long, c long, p string, _corrupt_record string",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r")
+    )
+    return parsed.select(
+        F.col("r.k").alias("k"),
+        F.col("r.c").alias("c"),
+        F.col("r.p").alias("p"),
+        F.col("r._corrupt_record").isNotNull().alias("is_corrupt"),
+    )

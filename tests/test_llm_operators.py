@@ -218,3 +218,38 @@ def test_minhash_second_pass_subdivides_hot_band(spark):
     }
     assert (1, 2) in got and (11, 12) in got
     assert not any({a, b} & {1, 2} and {a, b} & {11, 12} for a, b in got)
+
+
+def test_dedup_lines_keeps_first_occurrence_only(spark):
+    from is3107datapipelineproject_spark.operators.contamination import dedup_lines
+
+    pages = spark.createDataFrame(
+        [
+            (1, "nav bar\nunique one"),
+            (2, "nav bar\nunique two\nnav bar"),
+            (3, "unique three"),
+        ],
+        ["page_id", "text"],
+    )
+    out = {r.page_id: r for r in dedup_lines(pages, "text", "page_id").collect()}
+    assert out[1].text_clean == "nav bar\nunique one"
+    # both later copies of the hot line drop, including the within-page one
+    assert out[2].text_clean == "unique two"
+    assert (out[2].n_lines, out[2].n_kept) == (3, 1)
+    assert out[3].text_clean == "unique three"
+    assert (out[1].n_lines, out[1].n_kept) == (2, 2)
+
+
+def test_dedup_lines_no_window_over_line_key(docs):
+    """The keep-first decision must be the combinable min-aggregate, not a
+    row_number window partitioned by the (skewed) line content — hot
+    boilerplate lines would serialize through one reducer otherwise."""
+    from is3107datapipelineproject_spark.operators.contamination import dedup_lines
+
+    pages = docs.select(F.col("doc_id").alias("page_id"), "text")
+    plan = (
+        dedup_lines(pages, "text", "page_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
