@@ -58,6 +58,8 @@ HEADLINE = [
     "pack_sequences",
     "unigram_perplexity",
     "chunk_documents",
+    "line_dedup",
+    "scan_jsonl",
 ]
 
 
