@@ -105,3 +105,23 @@ def group_sample_topn(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic output-shard assignment for corpus export: adds
+    ``shard_id`` = floor(hash_unit × n_shards) — content-hashed, so a
+    document lands in the same shard across re-runs, retries, and
+    corpus repartitioning (rewriting shard k touches only shard k's
+    readers downstream). Narrow: sharding 100 TB costs nothing beyond
+    the export scan itself; the physical write is
+    ``df.repartition(n_shards, "shard_id")`` + partitioned write, one
+    shuffle whose keys are uniform by construction (md5), so no shard
+    becomes a straggler."""
+    return df.withColumn(
+        "shard_id", F.floor(hash_unit(id_col, salt) * n_shards).cast("long")
+    )

@@ -365,3 +365,32 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     24) — training / RAG context windows. Entirely narrow: sequence +
     slice + explode inside the row, zero shuffles at any corpus size."""
     return C.chunk_tokens(_t(spark, sf_dir, "documents"), window=32, stride=24)
+
+
+# --- output sharding --------------------------------------------------------
+
+@register(
+    "corpus_shards",
+    oracle=f"""
+SELECT CAST(floor({_sql_frac('shard', 'doc_id')} * 16) AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+""",
+    tags=("sampling", "curation", "llm"),
+)
+def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-shard planner: content-hashed shard assignment (16 shards)
+    plus per-shard balance stats (doc count, char volume). The
+    assignment is narrow and partition-independent — the physical
+    export is ``repartition(n, "shard_id")`` + partitioned write, one
+    shuffle with uniform md5 keys, so no straggler shard at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        S.shard_assignments(docs, id_col="doc_id", n_shards=16)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )

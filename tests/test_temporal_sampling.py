@@ -142,3 +142,24 @@ def test_stratified_rates_and_group_topn(spark):
     topn = group_sample_topn(df, "lang", 5, id_col="doc_id")
     per = {r["lang"]: r["n"] for r in topn.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert per == {"en": 5, "fr": 5}
+
+
+def test_shard_assignments_stable_in_range_balanced(spark):
+    from is3107datapipelineproject_spark.operators.sampling import shard_assignments
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = shard_assignments(df, "doc_id", n_shards=8)
+    counts = {
+        r["shard_id"]: r["n"]
+        for r in out.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == set(range(8))            # every shard id in [0, n) hit
+    assert sum(counts.values()) == 2000            # total preserved (narrow op)
+    assert max(counts.values()) < 2 * min(counts.values())  # md5 keys ~uniform
+    # stability: assignment survives repartitioning (content hash, not partition RNG)
+    first = {r["doc_id"]: r["shard_id"] for r in out.collect()}
+    again = {
+        r["doc_id"]: r["shard_id"]
+        for r in shard_assignments(df.repartition(11), "doc_id", n_shards=8).collect()
+    }
+    assert first == again
