@@ -190,3 +190,82 @@ def chunk_tokens(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-flavored importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): re-weight
+    the corpus toward a target domain using only unigram statistics.
+
+    ``target_pred`` is a boolean Column selecting the in-domain example
+    set (e.g. ``F.col("lang") == "en"``). Each document gets a
+    log2-likelihood ratio per token,
+
+        llr = Σ_w tf_w · (log2 p_tgt(w) − log2 p_src(w)) / n_tokens,
+
+    with add-one smoothing over the SOURCE vocabulary on both models
+    (so unseen-in-target tokens penalize rather than −∞). A document is
+    kept with probability min(1, 2^llr) — target-like docs always
+    survive, off-domain docs survive in proportion to their likelihood
+    ratio — decided by the deterministic content hash of
+    operators.sampling.hash_unit, so the resampled corpus is stable
+    under re-runs, retries, and repartitioning.
+
+    Output: kept rows only, ``(id_col, n_tokens, llr, weight)``; llr and
+    weight rounded to 4 decimals BEFORE the keep decision (fp
+    summation-order tolerance — same contract as the similarity
+    operators).
+
+    Plan: one explode + hash-aggregate builds (doc, token, tf) — reused
+    (localCheckpoint, see unigram_surprisal for why) by both model
+    aggregates; source and target vocabularies are Heaps-bounded, so
+    their score maps broadcast; totals attach as 1-row broadcast cross
+    joins. Scoring 100 TB = one tokenize pass + one broadcast-join
+    rescan of the checkpointed tf frame. Sampling is a narrow filter.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__tgt"),
+        F.explode(ws_tokens(text_col)).alias("__tok"),
+    )
+    tf = (
+        toks.groupBy(id_col, "__tgt", "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=True)
+    )
+    src = tf.groupBy("__tok").agg(F.sum("__tf").alias("__src_cnt")).localCheckpoint(eager=True)
+    tgt = (
+        tf.filter(F.col("__tgt"))
+        .groupBy("__tok")
+        .agg(F.sum("__tf").alias("__tgt_cnt"))
+    )
+    vocab = src.join(F.broadcast(tgt), "__tok", "left").na.fill({"__tgt_cnt": 0})
+    totals = vocab.agg(
+        F.sum("__src_cnt").alias("__src_total"),
+        F.sum("__tgt_cnt").alias("__tgt_total"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    p_src = (F.col("__src_cnt") + 1) / (F.col("__src_total") + F.col("__v"))
+    p_tgt = (F.col("__tgt_cnt") + 1) / (F.col("__tgt_total") + F.col("__v"))
+    scored = (
+        tf.join(F.broadcast(vocab), "__tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__tf") * (F.log2(p_tgt) - F.log2(p_src))) / F.sum("__tf"), 4
+            ).alias("llr"),
+        )
+    )
+    weight = F.round(F.pow(F.lit(2.0), F.least(F.col("llr"), F.lit(0.0))), 4)
+    return (
+        scored.withColumn("weight", weight)
+        .filter(hash_unit(id_col, salt) < F.col("weight"))
+    )

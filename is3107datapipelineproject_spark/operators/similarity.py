@@ -281,3 +281,46 @@ def embedding_neardup_pairs(
         .select(F.col("a.vid").alias("id1"), F.col("b.vid").alias("id2"), sim)
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str, vec_col: str, bits: int = 8
+) -> DataFrame:
+    """Symmetric scalar quantization of the embedding column to signed
+    ``bits``-bit integers — the standard memory-4× (int8) compression
+    step before a large ANN index is built. One corpus pass finds the
+    global max-|x| (exact, order-independent — no fp tolerance needed),
+    scale = maxabs / (2^(bits−1) − 1); a second narrow pass emits one
+    row per (vector, dimension):
+
+        ``(id_col, pos, q, scale)``  with q = clip(round(x / scale)).
+
+    pos is 1-based (matches SQL ``generate_subscripts``). The
+    quantized codes feed ivf_topk-style search with int arithmetic —
+    at 100 TB the index shrinks from 4·d bytes/vec to d bytes/vec, and
+    both passes are scan-parallel (the 1-row max attaches by broadcast
+    cross join, never a driver collect)."""
+    qmax = (1 << (bits - 1)) - 1
+    maxabs = df.select(
+        F.max(F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))).alias(
+            "__maxabs"
+        )
+    )
+    scale = F.col("__maxabs") / F.lit(float(qmax))  # exact: max is order-free, / is one op
+    return (
+        df.crossJoin(F.broadcast(maxabs))
+        .select(
+            F.col(id_col),
+            F.posexplode(F.col(vec_col)).alias("__p0", "__x"),
+            scale.alias("__scale"),
+        )
+        .select(
+            id_col,
+            (F.col("__p0") + 1).cast("long").alias("pos"),
+            F.greatest(
+                F.lit(-qmax),
+                F.least(F.lit(qmax), F.round(F.col("__x").cast("double") / F.col("__scale")).cast("int")),
+            ).alias("q"),
+            F.round(F.col("__scale"), 6).alias("scale"),
+        )
+    )

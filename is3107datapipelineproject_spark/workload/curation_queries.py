@@ -394,3 +394,37 @@ def q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("total_chars"),
         )
     )
+
+
+# --- DSIR-style importance resampling ---------------------------------------
+
+def _dsir_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_TOKS
+
+    frac = _sql_frac("dsir", "doc_id")
+    return f"""
+WITH t AS (SELECT doc_id, lang = 'en' AS tgt, unnest({SQL_TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tgt, tok, count(*) AS tf FROM t GROUP BY 1, 2, 3),
+src AS (SELECT tok, sum(tf) AS src_cnt FROM tf GROUP BY 1),
+tg  AS (SELECT tok, sum(tf) AS tgt_cnt FROM tf WHERE tgt GROUP BY 1),
+vocab AS (SELECT s.tok, s.src_cnt, coalesce(g.tgt_cnt, 0) AS tgt_cnt
+          FROM src s LEFT JOIN tg g USING (tok)),
+tot AS (SELECT sum(src_cnt) AS st, sum(tgt_cnt) AS tt, count(*) AS v FROM vocab),
+sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+              round(sum(tf * (log2((tgt_cnt + 1) / (tt + v))
+                            - log2((src_cnt + 1) / (st + v)))) / sum(tf), 4) AS llr
+       FROM tf JOIN vocab USING (tok), tot GROUP BY 1)
+SELECT doc_id, n_tokens, llr, round(pow(2, least(llr, 0)), 4) AS weight
+FROM sc WHERE {frac} < round(pow(2, least(llr, 0)), 4)
+"""
+
+
+@register("importance_resample", oracle=_dsir_oracle(), tags=("curation", "sampling", "llm"))
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-flavored domain re-weighting: resample the corpus toward the
+    English subset by unigram log-likelihood ratio — keep probability
+    min(1, 2^llr) decided by content hash (reproducible). One tokenize
+    pass; both LM score maps are Heaps-bounded broadcasts."""
+    return C.importance_resample(
+        _t(spark, sf_dir, "documents"), target_pred=F.col("lang") == "en"
+    )

@@ -614,6 +614,25 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantize_embeddings",
+    oracle=f"""
+WITH e AS ({SQL_EMB}),
+m AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) / 127 AS sc FROM e)
+SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+       CAST(greatest(-127, least(127, round(x / sc))) AS INT) AS q,
+       round(sc, 6) AS scale
+FROM (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e), m
+""",
+    tags=("similarity", "llm"),
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus
+    (global max-|x| scale, exact — no fp tolerance needed): the 4×
+    memory-compression pass before a 100 TB ANN index build."""
+    return S.quantize_embeddings(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
 # --- multimodal plumbing ----------------------------------------------------
 
 @register(

@@ -100,3 +100,46 @@ def test_chunk_tokens_boundaries(spark):
     for r in by_doc[4]:
         covered.update(r.chunk_text.split(" "))
     assert covered == {f"t{i}" for i in range(80)}
+
+
+def test_importance_resample_target_always_kept(spark):
+    from is3107datapipelineproject_spark.operators.curation import importance_resample
+
+    # 3 in-domain docs share a vocabulary; the off-domain doc is pure
+    # out-of-target tokens, so its likelihood ratio (and keep weight) < 1.
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma", "en"), (1, "alpha beta beta", "en"),
+         (2, "gamma alpha beta", "en"), (3, "zork quux zork quux zork", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    out = importance_resample(df, F.col("lang") == "en").collect()
+    rows = {r["doc_id"]: r for r in out}
+    # every target-domain doc has weight exactly 1.0 → always survives
+    assert {0, 1, 2} <= set(rows)
+    assert all(rows[i]["weight"] == 1.0 for i in (0, 1, 2))
+    # the off-domain doc's weight is a genuine probability < 1
+    if 3 in rows:
+        assert rows[3]["weight"] < 1.0
+    # deterministic: identical output under a different partitioning
+    again = {r["doc_id"]: r["weight"]
+             for r in importance_resample(df.repartition(5), F.col("lang") == "en").collect()}
+    assert again == {k: v["weight"] for k, v in rows.items()}
+
+
+def test_quantize_embeddings_range_and_reconstruction(spark):
+    from is3107datapipelineproject_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25]), (1, [0.1, 0.0, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = quantize_embeddings(df, "vec_id", "embedding").collect()
+    assert len(out) == 6 and all(-127 <= r["q"] <= 127 for r in out)
+    by = {(r["vec_id"], r["pos"]): r for r in out}
+    # the global max |x| = 1.0 quantizes to the rail exactly
+    assert by[(0, 1)]["q"] == 127 and by[(1, 3)]["q"] == -127
+    # reconstruction error bounded by half a quantization step
+    scale = 1.0 / 127
+    originals = {(0, 1): 1.0, (0, 2): -0.5, (0, 3): 0.25, (1, 1): 0.1, (1, 2): 0.0, (1, 3): -1.0}
+    for k, x in originals.items():
+        assert abs(by[k]["q"] * scale - x) <= scale / 2 + 1e-9
