@@ -428,3 +428,33 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.importance_resample(
         _t(spark, sf_dir, "documents"), target_pred=F.col("lang") == "en"
     )
+
+
+# --- corpus distribution stats ----------------------------------------------
+
+@register(
+    "length_quantiles",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang
+""",
+    tags=("curation", "stats", "llm"),
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentiles (p50/p90/p99), the
+    length-filter calibration report. Registered with EXACT
+    linear-interpolation percentiles so the DuckDB oracle matches
+    bit-for-bit; the 100 TB production twin swaps in
+    ``approx_percentile`` (t-digest: mergeable partial aggregates, no
+    per-group sort buffer) — same plan shape, bounded memory."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+    )

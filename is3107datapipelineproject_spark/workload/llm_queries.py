@@ -615,6 +615,79 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall",
+    oracle=f"""
+WITH e AS ({SQL_EMB}),
+per AS ({SQL_CENTROID_COMPONENTS}),
+cents AS (SELECT bucket, list(c ORDER BY pos) AS centroid FROM per GROUP BY 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+probe AS (
+  SELECT qid, bucket FROM (
+    SELECT q.qid, c.bucket,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY round(list_cosine_similarity(c.centroid, q.qv), 4) DESC, c.bucket
+           ) AS prank
+    FROM q, cents c
+  ) WHERE prank <= 2
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+      SELECT p.qid AS query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+      FROM probe p JOIN e ON e.label = p.bucket JOIN q ON q.qid = p.qid
+      WHERE e.vec_id <> p.qid
+    ) s
+  ) WHERE rank <= 5
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+      FROM e, q WHERE e.vec_id <> q.qid
+    ) s
+  ) WHERE rank <= 5
+)
+SELECT x.query_id,
+       CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+       round(count(i.neighbor_id) / 5.0, 4) AS recall_at_5
+FROM exact x LEFT JOIN ivf i
+  ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+GROUP BY 1
+""",
+    tags=("similarity", "llm", "stats"),
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the 2-probe IVF tier against exact brute force, per
+    query — the measure-don't-guess eval that tells you whether the
+    probe count is set right BEFORE the 100 TB index build. Both tiers
+    are this engine's own operators; the ground-truth side costs one
+    brute-force pass over the (sampled) query set only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = S.cosine_topk(emb, queries, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = (
+        S.ivf_topk(emb, queries, "vec_id", "embedding", "label", probes=2, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("n_hits"),
+            F.round(F.count("__hit") / F.lit(5.0), 4).alias("recall_at_5"),
+        )
+    )
+
+
+@register(
     "quantize_embeddings",
     oracle=f"""
 WITH e AS ({SQL_EMB}),
