@@ -60,6 +60,9 @@ HEADLINE = [
     "chunk_documents",
     "line_dedup",
     "scan_jsonl",
+    "importance_resample",
+    "quantize_embeddings",
+    "ann_recall",
 ]
 
 

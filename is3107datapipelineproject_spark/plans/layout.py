@@ -123,6 +123,34 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    mode: str = "overwrite",
+) -> None:
+    """Corpus-export sink: content-hashed shard directories
+    (``shard_id=K/``), the physical half of
+    operators.sampling.shard_assignments. One shuffle keyed by shard_id
+    — md5-uniform by construction, so shards are balanced and no export
+    task straggles — and one file per shard directory (each directory
+    is produced by exactly the tasks of its shard). Re-running the
+    export reproduces byte-identical shard membership (content hash,
+    not partition RNG), so downstream consumers of shard K can cache by
+    shard."""
+    from is3107datapipelineproject_spark.operators.sampling import shard_assignments
+
+    (
+        shard_assignments(df, id_col, n_shards)
+        .repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", id_col)
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Scan the partitioned table; partition-column predicates prune at
     planning time (assert via PartitionFilters in the explain output)."""

@@ -388,3 +388,27 @@ def test_dynamic_overwrite_touches_only_changed(spark, tmp_path):
     ).agg(F.sum("payload") * 2).collect()[0][0]
     assert abs(new_sum - old_sum) < 1e-6
     assert back.count() == df.count()  # row-for-row replacement, no loss
+
+
+def test_sharded_export_balanced_and_stable(spark, tmp_path):
+    path = str(tmp_path / "corpus_shards")
+    df = spark.range(2000).withColumnRenamed("id", "doc_id").withColumn(
+        "payload", F.md5(F.col("doc_id").cast("string"))
+    )
+    L.write_sharded(df, path, id_col="doc_id", n_shards=8)
+    dirs = sorted(os.path.basename(p) for p in glob.glob(os.path.join(path, "shard_id=*")))
+    assert dirs == [f"shard_id={i}" for i in range(8)]
+    # each shard directory holds exactly one data file (one task per shard)
+    for d in dirs:
+        files = glob.glob(os.path.join(path, d, "*.parquet"))
+        assert len(files) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 2000
+    # shard membership is content-hashed: a re-export from a differently
+    # partitioned frame lands every row in the same shard
+    path2 = str(tmp_path / "corpus_shards_2")
+    L.write_sharded(df.repartition(13), path2, id_col="doc_id", n_shards=8)
+    a = {r["doc_id"]: r["shard_id"] for r in back.select("doc_id", "shard_id").collect()}
+    b = {r["doc_id"]: r["shard_id"]
+         for r in spark.read.parquet(path2).select("doc_id", "shard_id").collect()}
+    assert a == b
