@@ -261,3 +261,355 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, rev["l_suppkey"] == s["s_suppkey"])
         .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
     )
+
+
+@register(
+    "volume_shipping",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
+  FROM lineitem l
+  JOIN orders o    ON o.o_orderkey  = l.l_orderkey
+  JOIN customer c  ON c.c_custkey   = o.o_custkey
+  JOIN supplier s  ON s.s_suppkey   = l.l_suppkey
+  JOIN nation n1   ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2   ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+) GROUP BY 1, 2, 3
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 flavor: bilateral trade volume between two nations by
+    ship year. The nation filter is applied to each TINY dimension
+    BEFORE the joins — supplier and customer are each semi-reduced to
+    the two target nations by a broadcast join, so the fact rows
+    surviving to the 4-way join are ~ (2/25)^2 of the band. The final
+    asymmetric-pair residual (supp != cust) runs on the already-joined
+    rows. All dimension joins broadcast; the only shuffle is the final
+    3-key aggregation."""
+    two = F.col("n_name").isin("NATION_1", "NATION_2")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name").filter(two)
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "market_share",
+    oracle="""
+SELECT o_year,
+       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+            / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey   = l.l_partkey
+  JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+  JOIN customer c ON c.c_custkey   = o.o_custkey
+  JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey  = n2.n_regionkey
+  JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+  JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+) GROUP BY 1
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 flavor: NATION_3's share of ECONOMY-part volume sold
+    into ASIA, by order year. Dimension reductions first: part is
+    filtered to one type then broadcast; the customer side is
+    semi-reduced to the ASIA region via nation⋈region (both broadcast).
+    The share divides two exact DECIMAL sums (cast to double only for
+    the final ratio), so the result is order-insensitive: numerator and
+    denominator are each exact, and the single fp division is
+    deterministic."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    n1 = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("supp_nation"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = (_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("volume")
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), vol, "supp_nation")
+    )
+    return joined.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        )
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+@register(
+    "product_profit",
+    oracle="""
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS amount
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey   = l.l_partkey
+  JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+  WHERE p.p_type = 'PROMO'
+) GROUP BY 1, 2
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 flavor (no partsupp table in this schema, so profit is
+    discounted revenue rather than revenue minus supply cost): per
+    supplier-nation per order-year profit on PROMO parts. part,
+    supplier and nation all broadcast; orders is the only co-shuffled
+    join (fact-to-fact on orderkey), and the PROMO filter reduces the
+    fact before that shuffle. Shape: star with one big join + 2-key
+    agg."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "returned_items",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON o.o_custkey   = c.c_custkey
+JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) DESC,
+         c.c_custkey
+LIMIT 20
+""",
+    tags=("join", "agg", "topk", "tpch"),
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 flavor: top-20 customers by returned-item revenue in a
+    quarter. The returnflag + quarter filters prune the fact scan
+    (pushed to parquet); nation broadcasts onto customer; the heavy
+    join is lineitem⋈orders on orderkey. Top-20 runs as TakeOrdered on
+    the aggregated (small) frame — sort carries c_custkey as an exact
+    tiebreak so the LIMIT frontier is deterministic. Revenue ranks on
+    the exact DECIMAL sum, cast to double only for output."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01"))
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).alias("rev_exact")
+        )
+    )
+    return (
+        agg.orderBy(F.col("rev_exact").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev_exact").cast("double").alias("revenue"),
+            _dec("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+) GROUP BY 1
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 flavor: distribution of non-urgent order counts per
+    customer, INCLUDING zero-order customers — the left outer join with
+    the priority predicate ON THE JOIN (not a WHERE, which would drop
+    the NULL-extended rows) is the point of this shape. count(col)
+    skips the NULL order keys so childless customers land in the
+    c_count=0 bucket. Two aggregations: per-customer (shuffle on
+    custkey, same key as the join → single exchange reused), then the
+    tiny histogram."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "small_qty_revenue",
+    oracle="""
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE)
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12' AND p.p_size < 10
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+  )
+""",
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 flavor: revenue from unusually-small orders of one
+    brand's small parts. The correlated AVG subquery is decorrelated
+    by hand the way Catalyst would: per-part averages are computed ONCE
+    over only the parts that survive the brand/size filter (the
+    broadcast semi-reduction runs before the agg, so the avg leg scans
+    ~1/25 of the fact), then broadcast back. avg of integral-valued
+    doubles = exact-sum / count → bit-identical in any engine; the
+    single /7.0 at the end is one fp division of an exact DECIMAL
+    sum."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#12") & (F.col("p_size") < 10))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    branded = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = branded.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), branded["l_partkey"] == avg_qty["ak"])
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
