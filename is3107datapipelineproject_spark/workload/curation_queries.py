@@ -458,3 +458,146 @@ def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
     )
+
+
+# --- corpus-level curation gates --------------------------------------------
+
+def _quality_decimal_sql() -> str:
+    """Per-doc quality (same formula as text_quality) as an exact
+    DECIMAL(8,4) so source-level means are order-free sums."""
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_TOKS
+
+    return f"""
+SELECT doc_id, source,
+       CAST(round(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                  + 0.3 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text,
+                        '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / length(text)),
+                  4) AS DECIMAL(8,4)) AS qd
+FROM (SELECT doc_id, source, text, {SQL_TOKS} AS toks FROM documents)
+"""
+
+
+@register(
+    "source_quality_filter",
+    oracle=f"""
+WITH q AS ({_quality_decimal_sql()}),
+src AS (SELECT source, CAST(sum(qd) AS DOUBLE) / count(*) AS src_mean_quality
+        FROM q GROUP BY 1),
+tot AS (SELECT CAST(sum(qd) AS DOUBLE) / count(*) AS corpus_mean FROM q)
+SELECT q.doc_id, q.source, src.src_mean_quality
+FROM q JOIN src USING (source), tot
+WHERE src.src_mean_quality >= tot.corpus_mean
+""",
+    tags=("curation", "text", "llm"),
+)
+def q_source_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style SOURCE-level curation gate: score every doc, roll the
+    scores up per source, and keep only docs from sources whose mean
+    quality clears the corpus mean. The doc frame never shuffles — the
+    quality score is narrow, the per-source rollup aggregates to ~one
+    row per source (map-side partial sums on an exact DECIMAL), and the
+    tiny source table + 1-row corpus mean broadcast back onto the scan.
+    Per-source means are sums of DECIMAL(8,4) (order-free) divided
+    once, so the >= comparison is deterministic at any parallelism."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        "source",
+        F.round(X.quality_score("text"), 4).cast("decimal(8,4)").alias("qd"),
+    )
+    src = q.groupBy("source").agg(
+        (F.sum("qd").cast("double") / F.count(F.lit(1))).alias("src_mean_quality")
+    )
+    tot = q.agg(
+        (F.sum("qd").cast("double") / F.count(F.lit(1))).alias("corpus_mean")
+    )
+    return (
+        q.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("src_mean_quality") >= F.col("corpus_mean"))
+        .select("doc_id", "source", "src_mean_quality")
+    )
+
+
+def _lang_mismatch_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import (
+        SQL_TOKS,
+        _LANG_CASE,
+        _LANG_HITS,
+    )
+
+    return f"""
+WITH t AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, lang, {_LANG_HITS} FROM t),
+g AS (SELECT *, greatest(hits_en, hits_de, hits_fr, hits_es) AS best FROM h),
+p AS (SELECT doc_id, lang, CASE {_LANG_CASE} ELSE 'und' END AS pred_lang FROM g)
+SELECT doc_id, lang, pred_lang FROM p
+WHERE pred_lang <> 'und' AND pred_lang <> lang
+"""
+
+
+@register("lang_mismatch", oracle=_lang_mismatch_oracle(), tags=("curation", "text", "llm"))
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content language audit: docs whose DECLARED lang tag
+    disagrees with the stopword-profile prediction (confident
+    predictions only — 'und' abstains). The standard crawl-hygiene gate
+    before per-language sharding; fully narrow (predict + filter inside
+    the scan stage, no shuffle), so it costs one pass at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", X.predict_lang("text").alias("pred_lang"))
+        .filter((F.col("pred_lang") != "und") & (F.col("pred_lang") != F.col("lang")))
+    )
+
+
+@register(
+    "perplexity_buckets",
+    oracle=f"""
+WITH s AS (SELECT doc_id, surprisal FROM ({_surprisal_oracle()})),
+h AS (SELECT surprisal, count(*) AS c FROM s GROUP BY 1),
+cum AS (SELECT surprisal, sum(c) OVER (ORDER BY surprisal) AS cc FROM h),
+tot AS (SELECT count(*) AS n FROM s),
+cuts AS (SELECT min(CASE WHEN cc >= ceil(n / 3.0) THEN surprisal END) AS cut1,
+                min(CASE WHEN cc >= ceil(2 * n / 3.0) THEN surprisal END) AS cut2
+         FROM cum, tot)
+SELECT s.doc_id, s.surprisal,
+       CASE WHEN s.surprisal <= cuts.cut1 THEN 'head'
+            WHEN s.surprisal <= cuts.cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s, cuts
+""",
+    tags=("curation", "text", "llm"),
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing WITHOUT a global
+    sort: tercile cutoffs come from the cumulative histogram of the
+    (4-dp-rounded, therefore boundedly-distinct) surprisal values — the
+    histogram is vocabulary-sized, so its cumsum window is a one-
+    partition no-op — and the two cutoff scalars broadcast back onto
+    the doc frame. Equal surprisals always land in the same bucket
+    (unlike ntile), which is what makes the assignment deterministic
+    AND reproducible across reshards at 100 TB."""
+    s = C.unigram_surprisal(_t(spark, sf_dir, "documents")).select("doc_id", "surprisal")
+    h = s.groupBy("surprisal").agg(F.count(F.lit(1)).alias("c"))
+    cum = h.withColumn(
+        "cc",
+        F.sum("c").over(Window.orderBy("surprisal").rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    tot = h.agg(F.sum("c").alias("n"))
+    cuts = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(
+            F.when(F.col("cc") >= F.ceil(F.col("n") / 3.0), F.col("surprisal"))
+        ).alias("cut1"),
+        F.min(
+            F.when(F.col("cc") >= F.ceil(2 * F.col("n") / 3.0), F.col("surprisal"))
+        ).alias("cut2"),
+    )
+    return s.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "surprisal",
+        F.when(F.col("surprisal") <= F.col("cut1"), F.lit("head"))
+        .when(F.col("surprisal") <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
