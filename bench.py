@@ -63,6 +63,10 @@ HEADLINE = [
     "importance_resample",
     "quantize_embeddings",
     "ann_recall",
+    "volume_shipping",
+    "returned_items",
+    "perplexity_buckets",
+    "source_quality_filter",
 ]
 
 

@@ -392,3 +392,127 @@ def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "val",
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH v AS (SELECT user_id, min(ts) AS view_ts
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT v.user_id, min(e.ts) AS click_ts
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND e.ts > v.view_ts AND e.ts <= v.view_ts + INTERVAL 30 MINUTE
+      GROUP BY 1),
+p AS (SELECT c.user_id, min(e.ts) AS purchase_ts
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.click_ts AND e.ts <= c.click_ts + INTERVAL 30 MINUTE
+      GROUP BY 1)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       CAST(1 + (CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS funnel_depth
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+""",
+    tags=("events", "join", "funnel"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step conversion funnel (view → click within 30 min →
+    purchase within 30 min of the click), anchored at each user's FIRST
+    view. Every stage is a per-user min-aggregate over an interval-
+    bounded self-join — all four shuffles hash on user_id, so AQE/
+    exchange reuse keeps the user partitioning live across stages
+    instead of re-sharding, and per-user state is one timestamp per
+    stage (the streaming twin of this shape is applyInPandasWithState
+    with exactly that state). Left joins preserve users who stall at
+    depth 1 or 2 — the drop-off counts ARE the funnel metric."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (v["user_id"] == clicks["cu"])
+            & (clicks["cts"] > v["view_ts"])
+            & (clicks["cts"] <= v["view_ts"] + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("cts").alias("click_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    p = (
+        c.join(
+            purchases,
+            (c["user_id"] == purchases["pu"])
+            & (purchases["pts"] > c["click_ts"])
+            & (purchases["pts"] <= c["click_ts"] + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.col("click_ts").isNotNull().cast("int")
+                + F.col("purchase_ts").isNotNull().cast("int")
+            )
+            .cast("int")
+            .alias("funnel_depth"),
+        )
+    )
+
+
+@register(
+    "key_skew_stats",
+    oracle="""
+WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1),
+t AS (SELECT sum(cnt) AS tot FROM c)
+SELECT o_custkey, CAST(cnt AS BIGINT) AS cnt,
+       CAST(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS DOUBLE) AS share
+FROM c, t
+ORDER BY cnt DESC, o_custkey
+LIMIT 10
+""",
+    tags=("agg", "diagnostics", "topk"),
+)
+def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the 10 heaviest o_custkey values with
+    their share of the table — the probe you run BEFORE choosing
+    broadcast/salt/AQE-skew strategy for a join on that key (the
+    salted-join operator runs a sampled version of exactly this
+    measurement, operators/relational.py). One partial-agg shuffle on
+    the key, a 1-row total broadcast, then TakeOrdered on the (already
+    tiny) per-key frame — never a full sort. Tie order pinned by key so
+    the top-10 frontier is deterministic."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").alias("tot"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("cnt").desc(), F.col("o_custkey"))
+        .limit(10)
+        .select(
+            "o_custkey",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("tot").cast("double"))
+            .cast("double")
+            .alias("share"),
+        )
+    )
