@@ -984,3 +984,31 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from is3107datapipelineproject_spark.streaming.windows import tumbling_counts
 
     return tumbling_counts(_t(spark, sf_dir, "events"))
+
+
+@register("hll_mergeable_sketch", oracle=None, tags=("agg", "sketch"))
+def q_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch pipeline — the 100 TB count-distinct
+    pattern: each event_type builds its own HyperLogLog sketch
+    INDEPENDENTLY (at scale: one sketch per partition/day, persisted as
+    binary), and the global distinct-user estimate comes from
+    hll_union_agg over those sketch blobs — no re-scan of the raw data.
+    Registers merge by max, so the merged estimate is bit-identical to
+    a single global sketch at the same precision (asserted in
+    tests/test_sketches.py); rows-only driver check because sketch
+    internals are engine-specific by construction."""
+    e = _t(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 12).alias("sketch")
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
+    )
+    merged = per_type.agg(
+        F.hll_union_agg("sketch").alias("m")
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("m").cast("long").alias("approx_users"),
+    )
+    return typed.unionByName(merged)

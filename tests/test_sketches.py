@@ -1,0 +1,78 @@
+"""Mergeable-sketch invariants (the 100 TB count-distinct path) and the
+runtime bloom-filter join optimization."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from is3107datapipelineproject_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_hll_union_equals_global_sketch(spark):
+    """Merging per-group sketches must give the SAME estimate as one
+    global sketch — registers merge by max, so partition-parallel sketch
+    building loses nothing. This is what makes the op safe to run as
+    one sketch per 100 GB split."""
+    e = load_table(spark, SF_ORACLE, "events")
+    merged = (
+        e.groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id", 12).alias("s"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).cast("long").alias("est"))
+        .collect()[0]["est"]
+    )
+    global_ = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).cast("long").alias("est")
+    ).collect()[0]["est"]
+    assert merged == global_
+    exact = e.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05  # lgConfigK=12 → ~1.6% rse
+
+
+def test_hll_query_registered(spark):
+    from is3107datapipelineproject_spark.workload.registry import queries
+
+    rows = queries()["hll_mergeable_sketch"](spark, SF_ORACLE).collect()
+    types = {r["event_type"] for r in rows}
+    assert "ALL" in types and len(types) == 6
+    all_est = next(r["approx_users"] for r in rows if r["event_type"] == "ALL")
+    assert all(r["approx_users"] <= all_est * 1.05 for r in rows)
+
+
+def test_runtime_bloom_filter_join(spark):
+    """A selective dim filter joined to a big fact should inject a
+    runtime bloom filter on the fact side (row-level semi-join
+    pre-filter BEFORE the shuffle) when the bloom confs are on —
+    the Spark-4 spelling is spark.sql.optimizer.runtime.bloomFilter.*."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # production default is 10GB — at test SF the fact scan is KB-sized,
+        # so drop the floor to let the injection trigger on the same shape
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join so the filter pays
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+        o = (
+            load_table(spark, SF_ORACLE, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(
+            F.sum("l_quantity").alias("q")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower() or "BloomFilter" in plan, plan[:2000]
+        assert j.collect()[0]["q"] is not None
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
