@@ -241,3 +241,82 @@ def foreach_batch_merge(known_path: str, key: str):
         spark.read.parquet(f"{known_path}_next").write.mode("overwrite").parquet(known_path)
 
     return apply
+
+
+def funnel_state(events: DataFrame, window_us: int = 30 * 60 * 1_000_000) -> DataFrame:
+    """Streaming twin of the batch ``events_funnel`` query: per-user
+    view → click → purchase progression tracked in applyInPandasWithState
+    (state = three event-time stamps + an update ordinal; a few dozen
+    bytes per user, independent of event volume).
+
+    Events are processed in event-time order WITHIN each micro-batch
+    (sorted in the kernel); cross-batch disorder is the caller's
+    watermark problem, same contract as every stateful op here. Stamps
+    are MICROsecond longs (``ts_ns DIV 1000``) so stage-window
+    comparisons land on exactly the timestamps the batch query compares
+    after the nanos→micros truncation in sources.tables — stream and
+    batch pick the same funnel events bit-for-bit.
+
+    Emits the user's current funnel row each micro-batch (update
+    semantics); ``n_updates`` lets a consumer (and the parity test) pick
+    the final state without relying on sink row order.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("view_us", T.LongType()),
+            T.StructField("click_us", T.LongType()),
+            T.StructField("purchase_us", T.LongType()),
+            T.StructField("funnel_depth", T.IntegerType()),
+            T.StructField("n_updates", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("view_us", T.LongType()),
+            T.StructField("click_us", T.LongType()),
+            T.StructField("purchase_us", T.LongType()),
+            T.StructField("n_updates", T.LongType()),
+        ]
+    )
+    w = int(window_us)
+
+    def update(key, pdfs, state):
+        import pandas as pd  # worker-side import
+
+        view, click, purch, n_upd = (
+            state.get if state.exists else (None, None, None, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("ts_us", kind="stable")
+            for et, t in zip(batch["event_type"], batch["ts_us"]):
+                t = int(t)
+                if et == "view":
+                    if view is None:
+                        view = t
+                elif et == "click":
+                    if view is not None and click is None and view < t <= view + w:
+                        click = t
+                elif et == "purchase":
+                    if click is not None and purch is None and click < t <= click + w:
+                        purch = t
+        n_upd = int(n_upd or 0) + 1
+        state.update((view, click, purch, n_upd))
+        if view is not None:
+            depth = 1 + (click is not None) + (purch is not None)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "view_us": [view],
+                    "click_us": [click],
+                    "purchase_us": [purch],
+                    "funnel_depth": [depth],
+                    "n_updates": [n_upd],
+                }
+            )
+
+    src = events.withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+    return src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", "NoTimeout"
+    )

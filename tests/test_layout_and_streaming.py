@@ -412,3 +412,57 @@ def test_sharded_export_balanced_and_stable(spark, tmp_path):
     b = {r["doc_id"]: r["shard_id"]
          for r in spark.read.parquet(path2).select("doc_id", "shard_id").collect()}
     assert a == b
+
+
+def test_funnel_state_stream_matches_batch(spark, tmp_path):
+    """Streaming funnel (applyInPandasWithState) == batch events_funnel:
+    final state per user after all micro-batches must pick exactly the
+    same view/click/purchase events as the batch query (micros-for-
+    micros), with state carried across two time-split batches."""
+    from is3107datapipelineproject_spark.sources.tables import load_table
+    from is3107datapipelineproject_spark.workload.registry import queries
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts_ns", "event_type"
+    )
+    events_dir = tmp_path / "funnel_split"
+    mid = events.approxQuantile("ts_ns", [0.5], 0.0)[0]
+    events.filter(F.col("ts_ns") <= mid).write.parquet(str(events_dir / "f0.parquet"))
+    events.filter(F.col("ts_ns") > mid).write.parquet(str(events_dir / "f1.parquet"))
+
+    stream = (
+        spark.readStream.schema("user_id LONG, ts_ns LONG, event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(events_dir / "*"))
+    )
+    q = (
+        W.funnel_state(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    final = {}
+    for r in spark.sql("SELECT * FROM funnel_stream").collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_updates > cur.n_updates:
+            final[r.user_id] = r
+    got = {
+        u: (r.view_us, r.click_us, r.purchase_us, r.funnel_depth)
+        for u, r in final.items()
+    }
+
+    def us(ts):
+        return None if ts is None else int(ts.timestamp() * 1_000_000)
+
+    batch = queries()["events_funnel"](spark, SF_SMOKE).collect()
+    want = {
+        r.user_id: (us(r.view_ts), us(r.click_ts), us(r.purchase_ts), r.funnel_depth)
+        for r in batch
+    }
+    assert set(got) == set(want) and len(want) > 0
+    mismatches = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+    assert not mismatches, dict(list(mismatches.items())[:5])
