@@ -601,3 +601,48 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def _doc_features_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import (
+        SQL_TOKS,
+        _LANG_CASE,
+        _LANG_HITS,
+    )
+
+    return f"""
+WITH t AS (SELECT doc_id, lang, text, {SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, lang, text, toks, {_LANG_HITS} FROM t),
+g AS (SELECT *, greatest(hits_en, hits_de, hits_fr, hits_es) AS best FROM h)
+SELECT doc_id, lang,
+       CASE {_LANG_CASE} ELSE 'und' END AS pred_lang,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       round(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+             + 0.3 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+             + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text,
+                   '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / length(text)),
+             4) AS quality
+FROM g
+"""
+
+
+@register("document_features", oracle=_doc_features_oracle(), tags=("curation", "text", "llm"))
+def q_document_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused feature extraction — the feature-store pass of a curation
+    pipeline: declared + predicted language, token and char counts, and
+    the composite quality score, all computed in ONE narrow projection
+    over one scan (Catalyst CSEs the shared tokenization across the
+    five features inside whole-stage codegen). At 100 TB this replaces
+    five separate pipeline passes with one; every downstream gate
+    (quality cutoffs, lang routing, length filters) is then a pushed
+    predicate on a tiny features table."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        X.predict_lang("text").alias("pred_lang"),
+        F.size(X.ws_tokens("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(X.quality_score("text"), 4).alias("quality"),
+    )

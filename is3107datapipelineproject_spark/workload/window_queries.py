@@ -516,3 +516,45 @@ def q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share"),
         )
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS INT)
+           AS day_offset
+  FROM events e JOIN first_seen f ON f.user_id = e.user_id
+)
+SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM activity GROUP BY 1, 2
+""",
+    tags=("events", "agg", "cohort"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, and
+    for each cohort the distinct users still active at each day offset.
+    Both the first-seen aggregate and the activity dedup hash on
+    user_id, so the cohort join never re-shards the fact; the output is
+    days × offsets — tiny at any scale. The classic warehouse-
+    engagement query the reference's star schema can't express but an
+    events table demands."""
+    e = _t(spark, sf_dir, "events").select("user_id", F.date_trunc("day", "ts").alias("d"))
+    first_seen = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
