@@ -1011,3 +1011,70 @@ def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.p").alias("p"),
         F.col("r._corrupt_record").isNotNull().alias("is_corrupt"),
     )
+
+
+# --- Python UDTF surface ----------------------------------------------------
+
+@register(
+    "token_runs",
+    oracle=f"""
+WITH t AS (SELECT doc_id, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) - 1 AS pos
+           FROM ({SQL_DOCS_TOKS})),
+m AS (SELECT doc_id, tok, pos,
+             CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+                  THEN 0 ELSE 1 END AS brk
+      FROM t),
+s AS (SELECT doc_id, tok, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+      FROM m),
+r AS (SELECT doc_id, min(pos) AS start_pos, min(tok) AS run_token,
+             count(*) AS run_len
+      FROM s GROUP BY doc_id, seg)
+SELECT doc_id, CAST(start_pos AS BIGINT) AS start_pos, run_token,
+       CAST(run_len AS BIGINT) AS run_len
+FROM r WHERE run_len >= 2
+""",
+    tags=("text", "udtf", "llm"),
+)
+def q_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.9): maximal repeated-token runs per doc
+    (the run-length segmentation behind stutter/boilerplate detection),
+    emitted by a table-valued function in a LATERAL join — one input
+    row fans out to 0..n output rows, the shape plain UDFs can't
+    return. The UDTF class is a LOCAL definition (cloudpickle ships it
+    by value; workers never import this repo — same contract as the
+    mapInPandas kernels). Run-length scan is O(tokens) per row and
+    partition-local: the lateral join adds NO shuffle, so the operator
+    is scan-bound at any corpus size. The oracle states the same
+    semantics relationally (lag-breaks → segment cumsum → group), which
+    DuckDB runs single-node.
+
+    A UDTF is the right tool ONLY for fan-out logic like this; for 1:1
+    row transforms the Arrow-batched Pandas UDF path (multimodal.py)
+    stays 10-100x faster."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="start_pos BIGINT, run_token STRING, run_len BIGINT")
+    class TokenRuns:
+        def eval(self, toks):
+            if not toks:
+                return
+            start = 0
+            prev = toks[0]
+            for i in range(1, len(toks) + 1):
+                cur = toks[i] if i < len(toks) else None
+                if cur != prev:
+                    if i - start >= 2:
+                        yield (start, prev, i - start)
+                    start, prev = i, cur
+
+    spark.udtf.register("token_runs_udtf", TokenRuns)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.ws_tokens("text").alias("toks")
+    )
+    return spark.sql(
+        "SELECT d.doc_id, r.start_pos, r.run_token, r.run_len "
+        "FROM {d} d, LATERAL token_runs_udtf(d.toks) r",
+        d=docs,
+    )
