@@ -1078,3 +1078,39 @@ def q_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM {d} d, LATERAL token_runs_udtf(d.toks) r",
         d=docs,
     )
+
+
+@register(
+    "incremental_neardup",
+    oracle=f"""
+WITH toks AS ({SQL_DOCS_TOKS}),
+sh AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> {SQL_H28.format(x='s')})) AS hs
+       FROM (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM toks)),
+sig AS (SELECT doc_id, hs, {_MH_COLS} FROM sh),
+bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band FROM sig),
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o ON n.band = o.band
+  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+)
+SELECT new_id, old_id,
+       round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+             / (CAST(len(x.hs) + len(y.hs) AS DOUBLE) - len(list_intersect(x.hs, y.hs))),
+             4) AS jaccard
+FROM cand JOIN sh x ON x.doc_id = new_id JOIN sh y ON y.doc_id = old_id
+WHERE round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+            / (CAST(len(x.hs) + len(y.hs) AS DOUBLE) - len(list_intersect(x.hs, y.hs))),
+            4) >= 0.8
+""",
+    tags=("dedup", "incremental", "llm"),
+)
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the 20%% of docs with ``doc_id %% 5 == 0``
+    play the arriving batch, checked for near-duplicates against the
+    rest of the corpus (never old×old). The batch's LSH bands broadcast
+    onto the corpus-side band stream — zero corpus shuffle
+    (operators/dedup.py::incremental_neardup)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_neardup(old, new, "text", "doc_id", threshold=0.8)
