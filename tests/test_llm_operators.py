@@ -253,3 +253,25 @@ def test_dedup_lines_no_window_over_line_key(docs):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_neardup_broadcasts_batch_not_corpus(docs):
+    """The arriving batch's band frame must be the BROADCAST side and
+    the corpus side must reach the join without an exchange of its own
+    (scan → project → join): zero corpus shuffle is the operator's
+    entire scale contract."""
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    out = D.incremental_neardup(old, new, "text", "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only Exchanges allowed are the broadcast of the new side and
+    # the distinct's shuffle AFTER the join — none may feed the corpus
+    # side of the join (i.e. no 'Exchange hashpartitioning(band' …)
+    assert "hashpartitioning(band" not in plan
+
+    # correctness of the split semantics: every returned pair crosses
+    # the batch/corpus boundary
+    rows = out.collect()
+    assert all(r.new_id % 5 == 0 and r.old_id % 5 != 0 for r in rows)
