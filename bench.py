@@ -67,6 +67,9 @@ HEADLINE = [
     "returned_items",
     "perplexity_buckets",
     "source_quality_filter",
+    "incremental_neardup",
+    "events_funnel",
+    "token_runs",
 ]
 
 

@@ -195,3 +195,30 @@ def run_marker(spark: SparkSession, run_date: str) -> DataFrame:
     """ST1 (`main_dag.py:40-43`): the one-row watermark of the last run,
     Y/M/D unpadded format, written via write_csv_single."""
     return spark.createDataFrame([(run_date,)], ["timestamp"])
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    mode: str = "overwrite",
+) -> None:
+    """Training-data handoff sink: the corpus as JSON-lines files in
+    content-hashed shard directories (``shard_id=K/part-*.json``, one
+    line per row) — the format every downstream tokenizer/loader
+    consumes. Same physical plan as write_sharded (one md5-keyed
+    shuffle, one file per shard, byte-stable membership across
+    re-exports); only the encoder differs. gzip codec keeps the
+    JSON-text inflation (~2-3x vs parquet) off the wire."""
+    from is3107datapipelineproject_spark.operators.sampling import shard_assignments
+
+    (
+        shard_assignments(df, id_col, n_shards)
+        .repartition(n_shards, F.col("shard_id"))
+        .sortWithinPartitions("shard_id", id_col)
+        .write.mode(mode)
+        .partitionBy("shard_id")
+        .option("compression", "gzip")
+        .json(path)
+    )

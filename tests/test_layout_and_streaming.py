@@ -466,3 +466,33 @@ def test_funnel_state_stream_matches_batch(spark, tmp_path):
     assert set(got) == set(want) and len(want) > 0
     mismatches = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+def test_jsonl_shard_export_roundtrip(spark, tmp_path):
+    """JSONL export: shard directories line up with write_sharded's
+    (same content-hash membership), files are real JSON lines, and the
+    frame round-trips losslessly through the text format."""
+    import gzip, json
+
+    path = str(tmp_path / "jsonl_shards")
+    df = spark.range(500).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.concat(F.lit("doc "), F.col("doc_id").cast("string"))
+    )
+    L.write_jsonl_shards(df, path, id_col="doc_id", n_shards=4)
+    dirs = sorted(os.path.basename(p) for p in glob.glob(os.path.join(path, "shard_id=*")))
+    assert dirs == [f"shard_id={i}" for i in range(4)]
+    files = glob.glob(os.path.join(path, "shard_id=0", "*.json.gz"))
+    assert len(files) == 1
+    with gzip.open(files[0], "rt") as fh:
+        first = json.loads(fh.readline())
+    assert set(first) == {"doc_id", "text"}
+    back = spark.read.json(path)
+    assert back.count() == 500
+    assert {r.doc_id for r in back.select("doc_id").collect()} == set(range(500))
+    # same membership as the parquet shard export
+    ppath = str(tmp_path / "parquet_shards")
+    L.write_sharded(df, ppath, id_col="doc_id", n_shards=4)
+    a = {r.doc_id: r.shard_id for r in back.select("doc_id", "shard_id").collect()}
+    b = {r.doc_id: r.shard_id
+         for r in spark.read.parquet(ppath).select("doc_id", "shard_id").collect()}
+    assert a == b
