@@ -6,12 +6,16 @@ parquet scans. At cluster scale each of these would be a partitioned /
 bucketed table; at test scale they are single parquet files under
 ``/root/testdata/sf*/``.
 
-The ``events`` table is written with INT64 TIMESTAMP(NANOS), which the
-vectorized Spark parquet reader rejects by default; we flip the
-``nanosAsLong`` runtime conf and materialize both the raw nanosecond
-long (``ts_ns``) and a truncated-to-micros proper timestamp (``ts``) so
-downstream windowing can pick either representation. Truncation (not
-rounding) matches DuckDB's ns→us cast, keeping oracle parity.
+The ``events`` table's on-disk timestamp layout has varied across driver
+testdata generations — INT64 TIMESTAMP(NANOS) (needs the ``nanosAsLong``
+conf, reads as ``bigint``), TIMESTAMP(MICROS, isAdjustedToUTC=false)
+(reads as ``timestamp_ntz``), and plain UTC TIMESTAMP. ``load_table``
+normalizes all three to the same contract: a proper UTC ``timestamp``
+column ``ts`` plus a nanosecond-epoch long ``ts_ns``, so downstream
+windowing can pick either representation. Truncation (not rounding) on
+the nanos path matches DuckDB's ns→us cast; the NTZ→UTC cast is exact
+because the session timezone is pinned to UTC (session.py), which is
+also how DuckDB reads the same naive column — oracle parity holds.
 """
 
 from __future__ import annotations
@@ -37,6 +41,28 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize an events frame to (``ts`` UTC timestamp, ``ts_ns``
+    nanosecond-epoch long) regardless of the on-disk layout it was read
+    with. Works identically on batch and streaming frames — the streaming
+    source (streaming.windows.events_stream) routes through this too, so
+    stream/batch twins agree exactly.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        # INT64 TIMESTAMP(NANOS) read via the nanosAsLong legacy conf.
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts_ns DIV 1000 AS LONG))")
+        )
+    else:
+        if dt == "timestamp_ntz":
+            # Naive micros; session tz is UTC so this cast is the identity
+            # on the wall-clock value (same reading DuckDB gives it).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
+    return df.select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table. Column pruning / predicate pushdown are left
     to Catalyst — callers express filters declaratively on the result."""
@@ -48,15 +74,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # A driver may pin confs as static; degrade like
             # session.apply_runtime_confs and let the read proceed.
             pass
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = (
-                df.withColumnRenamed("ts", "ts_ns")
-                .withColumn("ts", F.expr("timestamp_micros(CAST(ts_ns DIV 1000 AS LONG))"))
-            )
-        else:  # a session that read nanos natively (future Spark)
-            df = df.withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
-        return df.select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+        return normalize_events(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -24,13 +24,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Explicit schema for streaming reads of the events table: streaming
-# sources cannot infer schemas. ts arrives as INT64 TIMESTAMP(NANOS)
-# (read as long under nanosAsLong — see sources.tables).
+# Fallback schema for streaming reads of the events table when the
+# directory can't be batch-probed: streaming sources cannot infer
+# schemas. The driver's testdata generations have shipped ts as INT64
+# TIMESTAMP(NANOS) and as TIMESTAMP(MICROS, NTZ); events_stream probes
+# the footer via a batch read so the declared schema always matches.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -40,20 +42,31 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def normalize_event_time(df: DataFrame) -> DataFrame:
-    """Nanos-long → proper timestamp (truncation to micros, matching the
-    batch loader in sources.tables so stream and batch agree exactly)."""
-    return df.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts_ns DIV 1000 AS LONG))")
-    )
+    """Any on-disk ts layout → (ts UTC timestamp, ts_ns long), matching
+    the batch loader exactly (it IS the batch loader's normalizer, so
+    stream and batch twins agree by construction)."""
+    from is3107datapipelineproject_spark.sources.tables import normalize_events
+
+    return normalize_events(df)
 
 
 def events_stream(spark, events_dir: str) -> DataFrame:
     """File-source stream over a DIRECTORY of events parquet files — the
     staging-dir scan of a continuously-fed pipeline (file streams track
     directories; single files are a batch concern). maxFilesPerTrigger
-    bounds micro-batch size at scale."""
+    bounds micro-batch size at scale.
+
+    Streaming sources can't infer schemas, and the events timestamp
+    layout differs across testdata generations — probe it with a batch
+    footer read (cheap: metadata only) so the declared schema matches
+    the files; fall back to EVENTS_RAW_SCHEMA on an empty directory.
+    """
+    try:
+        schema = spark.read.parquet(events_dir).schema
+    except Exception:
+        schema = EVENTS_RAW_SCHEMA
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(events_dir)
     )
