@@ -7,10 +7,11 @@ defaults below are the ones that matter at that scale and are harmless on
 - AQE on (runtime re-planning: coalesce small shuffle partitions,
   broadcast-convert joins, split skewed partitions),
 - Arrow for any pandas interchange (vectorized UDF transfer),
-- ``nanosAsLong`` so nanosecond-precision parquet (the ``events`` table)
-  scans natively instead of failing,
+- ``nanosAsLong`` so nanosecond-precision parquet (older ``events``
+  testdata generations) scans natively instead of failing,
 - UTC session timezone so date/timestamp semantics are deterministic
-  regardless of host configuration.
+  regardless of host configuration (and so naive/NTZ parquet timestamps
+  cast to ``timestamp`` without shifting the wall-clock value).
 """
 
 from __future__ import annotations
@@ -22,8 +23,9 @@ from pyspark.sql import SparkSession
 # Runtime (non-static) confs applied to sessions we build AND to sessions
 # handed to us by a driver (see `apply_runtime_confs`).
 _RUNTIME_CONFS: dict[str, str] = {
-    # events.parquet carries INT64 TIMESTAMP(NANOS) — read as long, convert
-    # explicitly in sources.tables.load_table.
+    # Older testdata generations carried INT64 TIMESTAMP(NANOS) events —
+    # read as long, normalized in sources.tables.normalize_events (which
+    # also handles the current micros-NTZ layout). Harmless when unused.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
