@@ -72,8 +72,41 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     file arrives as ONE partition, serializing the whole signature
     computation on one core. If the scan is under-partitioned relative
     to the cluster, pay one tiny shuffle to spread it; at real scale the
-    input already has ≥ cores partitions and this is a no-op."""
+    input already has ≥ cores partitions and this is a no-op.
+
+    The under-partitioning probe estimates scan splits from the source
+    file listing (metadata only — ~ms): sum over files of
+    ceil(size / 128MB), the default ``spark.sql.files.maxPartitionBytes``
+    split rule, with an early exit once the estimate reaches the target.
+    The previous probe (``df.rdd.getNumPartitions()``) forced physical
+    planning plus Python-RDD setup — ~1 s of driver time per fresh plan,
+    which dominated small-corpus dedup queries. Frames that aren't
+    file-backed (or whose files this process can't stat, e.g. object
+    stores) fall back to the exact RDD probe.
+    """
+    import os
+    from urllib.parse import unquote, urlparse
+
     target = df.sparkSession.sparkContext.defaultParallelism
+    split_bytes = 128 << 20
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        est = 0
+        for uri in files:
+            path = unquote(urlparse(uri).path) or uri
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                est = None  # non-local source: stat failed, use exact probe
+                break
+            est += max(1, -(-size // split_bytes))
+            if est >= target:
+                return df
+        if est is not None:
+            return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
