@@ -63,6 +63,7 @@ HEADLINE = [
     "importance_resample",
     "quantize_embeddings",
     "ann_recall",
+    "centroid_outliers",
     "volume_shipping",
     "returned_items",
     "perplexity_buckets",

@@ -324,3 +324,51 @@ def quantize_embeddings(
             F.round(F.col("__scale"), 6).alias("scale"),
         )
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-label embedding outliers: the ``k`` vectors of each label
+    whose cosine to their OWN label centroid is lowest — the standard
+    "mislabeled / off-topic sample" sweep run before a labeled corpus
+    is trusted for training.
+
+    Plan: centroids (labels × dim — tiny) broadcast back onto the
+    corpus, the cosine computed as a JVM fold per row (no UDF), then a
+    per-label bottom-k via row_number over (cosine asc, id asc). The
+    rank filter is pushed into the shuffle by Spark 4's
+    WindowGroupLimit: each map task keeps only its local bottom-k per
+    label before exchanging, so the window shuffle carries
+    O(labels × k × tasks) rows, not the corpus — the property that
+    keeps the sweep viable when one label holds billions of vectors.
+
+    Cosine is rounded to 4 decimals BEFORE ranking (cross-engine fp
+    determinism); ties break on id. Returns
+    ``(id_col, label_col, centroid_cos, rnk)``.
+    """
+    cents = bucket_centroids(df, vec_col, label_col)
+    corpus = _prep(df, id_col, vec_col, extra=[label_col], spread=True)
+    scored = corpus.join(
+        F.broadcast(cents), corpus[label_col] == cents["bucket"]
+    ).select(
+        F.col("vid"),
+        F.col(label_col),
+        F.round(
+            dot(F.col("vec"), F.col("centroid"))
+            / (F.col("norm") * l2_norm(F.col("centroid"))),
+            4,
+        ).alias("centroid_cos"),
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("centroid_cos").asc(), F.col("vid").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("vid").alias(id_col), label_col, "centroid_cos", "rnk")
+    )

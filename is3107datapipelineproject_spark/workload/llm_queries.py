@@ -537,6 +537,34 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "centroid_outliers",
+    oracle=f"""
+WITH e AS ({SQL_EMB}),
+per AS ({SQL_CENTROID_COMPONENTS}),
+cents AS (SELECT bucket, list(c ORDER BY pos) AS centroid FROM per GROUP BY 1),
+scored AS (
+  SELECT e.vec_id, e.label,
+         round(list_cosine_similarity(e.v, c.centroid), 4) AS centroid_cos
+  FROM e JOIN cents c ON c.bucket = e.label
+)
+SELECT vec_id, label, centroid_cos, CAST(rnk AS INT) AS rnk FROM (
+  SELECT s.*,
+         row_number() OVER (PARTITION BY label ORDER BY centroid_cos ASC, vec_id ASC) AS rnk
+  FROM scored s
+) WHERE rnk <= 10
+""",
+    tags=("similarity", "curation", "llm"),
+)
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mislabeled-sample sweep: the 10 vectors of each label
+    least similar to their own label centroid
+    (operators/similarity.py::centroid_outliers — broadcast centroids,
+    JVM cosine fold, WindowGroupLimit-pushed bottom-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.centroid_outliers(emb, "vec_id", "embedding", "label", k=10)
+
+
+@register(
     "ivf_topk",
     oracle=f"""
 WITH e AS ({SQL_EMB}),
