@@ -64,6 +64,7 @@ HEADLINE = [
     "quantize_embeddings",
     "ann_recall",
     "centroid_outliers",
+    "mixture_sample",
     "volume_shipping",
     "returned_items",
     "perplexity_buckets",

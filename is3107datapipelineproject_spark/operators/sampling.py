@@ -125,3 +125,57 @@ def shard_assignments(
     return df.withColumn(
         "shard_id", F.floor(hash_unit(id_col, salt) * n_shards).cast("long")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weights: Mapping[str, float],
+    n_target: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Sample toward a TARGET MIXTURE: given per-stratum mixing weights
+    (the data-mixing step of training-corpus assembly — "2 parts web,
+    1 part wiki…"), derive each stratum's Bernoulli rate from its
+    observed size so the kept set approximates ``n_target`` rows
+    distributed proportionally to ``weights``:
+
+        desired_s = n_target · w_s / Σw
+        rate_s    = min(1, desired_s / count_s)
+
+    Strata absent from ``weights`` are excluded. A stratum too small
+    for its quota saturates at rate 1 (it cannot be oversampled —
+    upsampling is a separate epoch-repeat concern, not row sampling).
+
+    Plan: one tiny per-stratum count aggregate (map-side partial)
+    broadcast back onto the scan, then the same narrow content-hash
+    filter as stratified_sample — membership is deterministic and
+    partition-independent, so the mixture is reproducible and stable
+    under corpus growth of OTHER strata. Cost at 100 TB: the scan,
+    twice (count + filter); no corpus shuffle.
+    """
+    wsum = float(sum(weights.values()))
+    wcol = F.lit(None).cast("double")
+    for k, v in weights.items():
+        wcol = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(wcol)
+    rates = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(strata_col, "__n", wcol.alias("__w"))
+        # drop unweighted strata BEFORE least(): least() skips nulls, so
+        # folding a null weight into it would silently yield rate 1.0.
+        .filter(F.col("__w").isNotNull())
+        .select(
+            strata_col,
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(n_target)) * F.col("__w") / F.lit(wsum)) / F.col("__n"),
+            ).alias("__rate"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_unit(id_col, salt) < F.col("__rate"))
+        .drop("__rate")
+    )

@@ -153,6 +153,36 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hash_split(docs, id_col="doc_id")
 
 
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0}
+_MIX_TARGET = 30
+
+
+@register(
+    "mixture_sample",
+    oracle=f"""
+WITH w(source, w) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())}),
+c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+r AS (
+  SELECT c.source, least(1.0, ({float(_MIX_TARGET)} * w.w / {float(sum(_MIX_WEIGHTS.values()))}) / c.n) AS rate
+  FROM c JOIN w ON w.source = c.source
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON r.source = d.source
+WHERE {_sql_frac('mix', 'd.doc_id')} < r.rate
+""",
+    tags=("sampling", "curation", "llm"),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing sample (operators/sampling.py::mixture_sample): hit a
+    4:2:1 source mixture of ~30 docs — per-source rates derived from the
+    observed counts (tiny agg, broadcast back), membership by content
+    hash so the mixture is reproducible and append-stable."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return S.mixture_sample(
+        docs, "source", "doc_id", _MIX_WEIGHTS, _MIX_TARGET
+    ).select("doc_id", "source")
+
+
 def _curation_oracle() -> str:
     # Reuse the text-pipeline SQL fragments so the composite cannot drift
     # from the standalone text_quality / exact_dedup / hash_split oracles.
