@@ -105,6 +105,62 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_neardup_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8)
 
 
+@register(
+    "neardup_by_source",
+    oracle=f"""
+WITH pairs AS ({MINHASH_ORACLE}),
+lab AS (
+  SELECT least(x.source, y.source) AS source_a,
+         greatest(x.source, y.source) AS source_b,
+         p.jaccard
+  FROM pairs p
+  JOIN documents x ON x.doc_id = p.doc1
+  JOIN documents y ON y.doc_id = p.doc2
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(CAST(jaccard AS DECIMAL(8,4))) AS DOUBLE) / count(*), 4) AS avg_jaccard
+FROM lab GROUP BY 1, 2
+""",
+    tags=("dedup", "curation", "llm"),
+)
+def q_neardup_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication audit by source: near-dup pairs rolled up to the
+    (source, source) level — the dashboard that tells you WHICH feeds
+    are flooding the corpus with boilerplate (cross-source cells) or
+    re-crawls (diagonal cells) before you spend the dedup rewrite.
+
+    Composition: minhash_neardup_pairs (bucketed LSH — never all-pairs)
+    then two equi-joins attaching each side's source and a tiny
+    (sources²-bounded) aggregate. The joins key on doc_id; AQE
+    broadcast-converts them when the pair set is small, and at worst
+    they shuffle the PAIRS, never expand them. DECIMAL-cast mean keeps
+    avg_jaccard deterministic across engines and partitionings."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.8)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(src.withColumnsRenamed({"doc_id": "doc1", "source": "s1"}), "doc1")
+        .join(src.withColumnsRenamed({"doc_id": "doc2", "source": "s2"}), "doc2")
+    )
+    return (
+        lab.select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(8,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_jaccard"),
+        )
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 _SQL_TOKHASHES = f"list_distinct(list_transform(toks, t -> {SQL_H60.format(x='t')}))"
