@@ -163,3 +163,32 @@ def test_shard_assignments_stable_in_range_balanced(spark):
         for r in shard_assignments(df.repartition(11), "doc_id", n_shards=8).collect()
     }
     assert first == again
+
+
+def test_mixture_sample_semantics(spark):
+    from is3107datapipelineproject_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big") for i in range(400)] + [(i + 1000, "tiny") for i in range(5)] + [
+        (i + 2000, "unlisted") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, src STRING")
+
+    out = mixture_sample(df, "src", "id", {"big": 1.0, "tiny": 1.0}, n_target=40)
+    got = {r.src: r.cnt for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+
+    # unweighted strata are excluded entirely (not silently kept at rate 1)
+    assert "unlisted" not in got
+    # the tiny stratum saturates: quota 20 > 5 rows -> rate 1, all kept
+    assert got.get("tiny") == 5
+    # the big stratum samples at ~20/400: Bernoulli, so allow slack
+    assert 5 <= got.get("big", 0) <= 40
+
+    # membership is append-stable: growing OTHER strata never changes
+    # which big-stratum rows are kept (same rate -> same hash filter)
+    grown = df.union(
+        spark.createDataFrame([(i + 5000, "unlisted") for i in range(100)], "id LONG, src STRING")
+    )
+    kept_before = {r.id for r in out.filter(F.col("src") == "big").collect()}
+    out2 = mixture_sample(grown, "src", "id", {"big": 1.0, "tiny": 1.0}, n_target=40)
+    kept_after = {r.id for r in out2.filter(F.col("src") == "big").collect()}
+    assert kept_before == kept_after
