@@ -500,19 +500,39 @@ def dedup_corpus(
     text_col: str,
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    score_col: str | None = None,
 ) -> DataFrame:
     """THE end-user dedup operation: return the corpus with near-
-    duplicates removed — one survivor (the min-id document) per
-    connected near-dup cluster, singletons untouched. Exact copies are
-    subsumed (Jaccard 1 ≥ threshold).
+    duplicates removed — one survivor per connected near-dup cluster,
+    singletons untouched. Exact copies are subsumed (Jaccard 1 ≥
+    threshold).
 
-    Composition: minhash_neardup_pairs → neardup_clusters → keep rows
-    whose id IS their cluster label. The keep-join is a left-semi
-    against the (linear-sized) keeper set, so output and intermediate
-    state stay O(corpus), never O(pairs)."""
+    Survivor policy: min-id by default; with ``score_col`` the HIGHEST-
+    scoring member of each cluster survives (ties break on min id) —
+    the policy a curation pipeline actually wants, since the min-id
+    copy of a boilerplate cluster is rarely its best copy.
+
+    Composition: minhash_neardup_pairs → neardup_clusters → keeper
+    selection → left-semi join back. Keeper selection is a filter
+    (min-id: label == id) or a per-cluster top-1 window whose rank
+    filter pushes pre-shuffle (WindowGroupLimit), so output and
+    intermediate state stay O(corpus), never O(pairs)."""
     pairs = minhash_neardup_pairs(docs, text_col, id_col, threshold=threshold)
     clusters = neardup_clusters(docs, pairs, id_col)
-    keepers = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    if score_col is None:
+        keepers = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    else:
+        from pyspark.sql import Window
+
+        scored = clusters.join(docs.select(id_col, score_col), id_col)
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        keepers = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col)
+        )
     return docs.join(keepers, id_col, "left_semi")
 
 

@@ -267,20 +267,23 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality",
-    oracle=f"""
-WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
-m AS (SELECT doc_id,
+# (doc_id, quality) from documents — shared by text_quality and the
+# keep-best dedup survivor policy so the two oracles cannot drift.
+SQL_QUALITY_FROM_DOCS = f"""
+SELECT doc_id,
+       round(0.5 * least(1.0, n / 100.0) + 0.3 * ttr + 0.2 * (1.0 - pr), 4) AS quality
+FROM (SELECT doc_id,
              CAST(len(toks) AS DOUBLE) AS n,
              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
              CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
                / length(text) AS pr
-      FROM t)
-SELECT doc_id,
-       round(0.5 * least(1.0, n / 100.0) + 0.3 * ttr + 0.2 * (1.0 - pr), 4) AS quality
-FROM m
-""",
+      FROM (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents))
+"""
+
+
+@register(
+    "text_quality",
+    oracle=SQL_QUALITY_FROM_DOCS,
     tags=("text", "llm"),
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,6 +484,36 @@ def q_corpus_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_corpus(docs, "text", "doc_id", threshold=0.8).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "corpus_dedup_keep_best",
+    oracle=CLUSTERS_ORACLE_CTES
+    + f""",
+q AS ({SQL_QUALITY_FROM_DOCS}),
+k AS (
+  SELECT c.doc_id,
+         row_number() OVER (
+           PARTITION BY c.cluster_id ORDER BY q.quality DESC, c.doc_id ASC
+         ) AS rn
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN k ON k.doc_id = d.doc_id
+WHERE k.rn = 1
+""",
+    tags=("dedup", "curation", "llm", "iterative"),
+)
+def q_corpus_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: the HIGHEST-quality member of each near-dup
+    cluster survives (ties → min id) instead of the arbitrary min-id
+    copy — same cluster machinery, survivor picked by the text_quality
+    score (operators/dedup.py::dedup_corpus score_col path)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    scored = docs.withColumn("quality", F.round(X.quality_score("text"), 4))
+    return D.dedup_corpus(
+        scored, "text", "doc_id", threshold=0.8, score_col="quality"
+    ).select("doc_id", "lang", "source")
 
 
 # --- embedding similarity ---------------------------------------------------
