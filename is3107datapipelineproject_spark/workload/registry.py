@@ -46,14 +46,83 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
     return deco
 
 
-def queries() -> dict[str, QueryFn]:
+# Queries with the thinnest external-correctness evidence go first so a
+# prefix sample of the registry exercises them before the repeatedly
+# checked core.  Ordering is presentation-only: every query is registered
+# exactly once and the full dict always contains all of them.
+_EVIDENCE_PRIORITY: tuple[str, ...] = (
+    # never externally sampled: TPC-H-flavor join suite
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue_share",
+    "order_priority_exists",
+    "large_order_customers",
+    "disjunctive_part_revenue",
+    "dormant_rich_customers",
+    "cheapest_part_per_type",
+    "top_supplier_revenue",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+    "returned_items",
+    "customer_order_distribution",
+    "small_qty_revenue",
+    # never externally sampled: window / shaping family
+    "filter_bool",
+    "agg_cube",
+    "agg_percentiles",
+    "window_lag_lead",
+    "window_rank_dense",
+    "window_moving_sum",
+    "pivot_priority_by_year",
+    "unpivot_lineitem_metrics",
+    "salted_join_agg",
+    "key_skew_stats",
+    # never externally sampled: events family
+    "events_funnel",
+    "events_sliding_window",
+    "events_session_window",
+    "events_sessionize",
+    "events_dedup_keys",
+    "click_purchase_attribution",
+    "cohort_retention",
+    # never externally sampled: domain + scalar stragglers
+    "xml_flatten",
+    "dblp_contains_author",
+    "dblp_nth_author_count",
+    "dblp_collab_totals",
+    "f_parse_int_map",
+    "f_null_fill",
+    "importance_resample",
+    "length_quantiles",
+    "source_quality_filter",
+    "lang_mismatch",
+    "perplexity_buckets",
+    "document_features",
+    # previously rows-only / err:no_oracle — now hash-checkable
+    "hll_mergeable_sketch",
+    "approx_distinct",
+    # re-check queries whose operators changed this round
+    "simhash_neardup",
+    "cosine_topk",
+    "boilerplate_flag",
+)
+
+
+def _ordered() -> dict[str, QuerySpec]:
     _ensure_loaded()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    first = {n: REGISTRY[n] for n in _EVIDENCE_PRIORITY if n in REGISTRY}
+    rest = {n: s for n, s in REGISTRY.items() if n not in first}
+    return {**first, **rest}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    _ensure_loaded()
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {name: spec.oracle for name, spec in _ordered().items() if spec.oracle is not None}
 
 
 _LOADED = False

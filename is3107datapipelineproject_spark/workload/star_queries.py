@@ -388,13 +388,38 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
 
 
-@register("approx_distinct", oracle=None, tags=("agg", "sketch"))
+@register(
+    "approx_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+       TRUE AS within_tol
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "sketch"),
+)
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++) — rows-only check: sketch
-    estimates are engine-specific by construction."""
+    """approx_count_distinct (HyperLogLog++) with a hash-checkable
+    contract: the raw estimate is engine-specific, so the emitted row is
+    (group, exact distinct, |approx-exact| <= 5%·exact).  The oracle
+    emits (group, exact, TRUE) — the row hashes only if the sketch's
+    estimate actually lands inside the tolerance, turning the former
+    rows-only check into a real accuracy gate.  rsd=0.01 → 5% is ~5σ."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("exact_suppliers"),
+            F.approx_count_distinct("l_suppkey", 0.01).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_suppliers",
+            (
+                F.abs(F.col("_approx") - F.col("exact_suppliers"))
+                <= F.col("exact_suppliers") * F.lit(0.05)
+            ).alias("within_tol"),
+        )
     )
 
 
@@ -986,7 +1011,21 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(_t(spark, sf_dir, "events"))
 
 
-@register("hll_mergeable_sketch", oracle=None, tags=("agg", "sketch"))
+@register(
+    "hll_mergeable_sketch",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_tol
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL' AS event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_tol
+FROM events
+""",
+    tags=("agg", "sketch"),
+)
 def q_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketch pipeline — the 100 TB count-distinct
     pattern: each event_type builds its own HyperLogLog sketch
@@ -995,20 +1034,34 @@ def q_hll_mergeable_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_union_agg over those sketch blobs — no re-scan of the raw data.
     Registers merge by max, so the merged estimate is bit-identical to
     a single global sketch at the same precision (asserted in
-    tests/test_sketches.py); rows-only driver check because sketch
-    internals are engine-specific by construction."""
+    tests/test_sketches.py).
+
+    Hash-checkable contract: sketch internals are engine-specific, so
+    each row emits (group, exact distinct, |estimate-exact| <= 5%·exact)
+    and the oracle emits (group, exact, TRUE) — green only if every
+    sketch estimate, including the merged 'ALL' sketch, lands inside the
+    tolerance (lgConfigK=12 → ~1.6% rse, 5% ≈ 3σ; deterministic)."""
     e = _t(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", 12).alias("sketch")
+        F.hll_sketch_agg("user_id", 12).alias("sketch"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+
+    def _check(est, exact):
+        return (F.abs(est.cast("long") - exact) <= exact * F.lit(0.05)).alias("within_tol")
+
     typed = per_type.select(
         "event_type",
-        F.hll_sketch_estimate("sketch").cast("long").alias("approx_users"),
+        "exact_users",
+        _check(F.hll_sketch_estimate("sketch"), F.col("exact_users")),
     )
-    merged = per_type.agg(
-        F.hll_union_agg("sketch").alias("m")
-    ).select(
-        F.lit("ALL").alias("event_type"),
-        F.hll_sketch_estimate("m").cast("long").alias("approx_users"),
+    merged = (
+        F.broadcast(per_type.agg(F.hll_union_agg("sketch").alias("m")))
+        .crossJoin(F.broadcast(e.agg(F.countDistinct("user_id").alias("exact_users"))))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "exact_users",
+            _check(F.hll_sketch_estimate("m"), F.col("exact_users")),
+        )
     )
     return typed.unionByName(merged)

@@ -36,8 +36,11 @@ def test_hll_query_registered(spark):
     rows = queries()["hll_mergeable_sketch"](spark, SF_ORACLE).collect()
     types = {r["event_type"] for r in rows}
     assert "ALL" in types and len(types) == 6
-    all_est = next(r["approx_users"] for r in rows if r["event_type"] == "ALL")
-    assert all(r["approx_users"] <= all_est * 1.05 for r in rows)
+    # hash-checkable contract: every sketch estimate (per-type AND the
+    # merged ALL sketch) must land within the 5% tolerance band
+    assert all(r["within_tol"] for r in rows)
+    all_exact = next(r["exact_users"] for r in rows if r["event_type"] == "ALL")
+    assert all(r["exact_users"] <= all_exact for r in rows)
 
 
 def test_runtime_bloom_filter_join(spark):
