@@ -90,7 +90,7 @@ def hot_ngrams(
     freqs = per_doc.groupBy("ngram_hash").agg(F.count(F.lit(1)).alias("doc_freq"))
     total = docs.agg(F.count(F.lit(1)).alias("__n_docs"))
     return (
-        freqs.crossJoin(total)
+        freqs.crossJoin(F.broadcast(total))
         .filter(F.col("doc_freq") >= F.col("__n_docs") * F.lit(min_doc_share))
         .select("ngram_hash", "doc_freq")
     )

@@ -67,6 +67,22 @@ LSH_ROWS = 4  # MINHASH_K // LSH_BANDS
 SIMHASH_BITS = 60  # fits signed int64; 4 bands × 15 bits
 
 
+def _max_partition_bytes(spark) -> int:
+    """``spark.sql.files.maxPartitionBytes`` as an int, handling the JVM
+    byte-string spellings (plain digits = bytes; k/m/g[b] suffixes)."""
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return 128 << 20
+
+
 def spread_small_input(df: DataFrame) -> DataFrame:
     """Parallelism guard for CPU-heavy narrow stages: a small parquet
     file arrives as ONE partition, serializing the whole signature
@@ -76,8 +92,12 @@ def spread_small_input(df: DataFrame) -> DataFrame:
 
     The under-partitioning probe estimates scan splits from the source
     file listing (metadata only — ~ms): sum over files of
-    ceil(size / 128MB), the default ``spark.sql.files.maxPartitionBytes``
-    split rule, with an early exit once the estimate reaches the target.
+    ceil(size / maxPartitionBytes), reading the split size from the live
+    session conf so a tuned ``spark.sql.files.maxPartitionBytes`` keeps
+    the estimate aligned with Spark's real splits. (The estimate still
+    ignores openCostInBytes bin-packing — it UNDERcounts splits, which
+    only errs toward a harmless extra repartition, never a wrong no-op
+    for genuinely under-partitioned scans wider than one split.)
     The previous probe (``df.rdd.getNumPartitions()``) forced physical
     planning plus Python-RDD setup — ~1 s of driver time per fresh plan,
     which dominated small-corpus dedup queries. Frames that aren't
@@ -88,7 +108,7 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     from urllib.parse import unquote, urlparse
 
     target = df.sparkSession.sparkContext.defaultParallelism
-    split_bytes = 128 << 20
+    split_bytes = _max_partition_bytes(df.sparkSession)
     try:
         files = df.inputFiles()
     except Exception:
@@ -382,13 +402,34 @@ def simhash_signatures(
     return t.select("doc_id", sig.cast("long").alias("simhash"))
 
 
-def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_bucket: int = 1024,
+) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``
     (≤ 3 so the 4-band pigeonhole is exact: 3 flipped bits cannot touch
     all 4 bands, hence every qualifying pair shares at least one exact
-    15-bit band key — candidate generation is an equi-join, not n²).
+    15-bit band key — candidate generation is bucket-local, never n²
+    over the corpus).
 
     Returns ``(doc1, doc2, hamming)``, doc1 < doc2.
+
+    Hot-band handling (mirrors ``minhash_neardup_pairs``): a boilerplate
+    cluster whose members share one 15-bit band value would make the
+    bucket's quadratic expansion unbounded. Buckets larger than
+    ``max_bucket`` go through a second banding pass that is STILL exact:
+    within a hot band the 45 out-of-band bits are split into 4 sub-bands
+    (12+11+11+11), and ≤3 flipped bits cannot touch all 4 sub-bands, so
+    every qualifying pair in the hot bucket shares an exact sub-band key.
+    Sub-buckets still larger than ``max_bucket`` are near-identical
+    boilerplate (same 15+11 bits of the fingerprint); they degrade to a
+    STAR (every member paired with the min-id member): O(n) pairs that
+    keep the cluster connected for neardup_clusters instead of O(n²)
+    enumeration — bounded work, documented recall fallback, never a
+    silent drop.
     """
     assert max_hamming <= LSH_BANDS - 1, "band pigeonhole requires max_hamming < n_bands"
     width = SIMHASH_BITS // 4
@@ -409,22 +450,113 @@ def simhash_neardup_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming
             )
         ).alias("band"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.col("a.sh").alias("sh1"),
-            F.col("b.sh").alias("sh2"),
+    # Bucket the band join instead of self-joining: the size gate needs
+    # the bucket materialized anyway, and the combination generator
+    # confines the quadratic to the bucket. localCheckpoint: the frame
+    # feeds both the small path and the hot second pass (exchange reuse
+    # does not dedupe union branches; signatures would recompute).
+    buckets = (
+        bands.groupBy("band")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sh"))).alias("items"))
+        .filter(F.size("items") > 1)
+        .localCheckpoint(eager=True)
+    )
+
+    def pair_with_hamming(x, y):
+        return F.struct(
+            x["doc_id"].alias("doc1"),
+            y["doc_id"].alias("doc2"),
+            F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
         )
-        .distinct()
+
+    def all_pairs(bucketed: DataFrame) -> DataFrame:
+        combos = F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x, i: F.transform(
+                        F.slice("items", i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))),
+                        lambda y: pair_with_hamming(x, y),
+                    ),
+                )
+            )
+        )
+        return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.hamming")
+
+    small = buckets.filter(F.size("items") <= max_bucket)
+    hot = buckets.filter(F.size("items") > max_bucket)
+
+    # Cheap existence probe on the materialized buckets: the common case
+    # (no hot bands) skips planning the second-pass shuffle chains.
+    if hot.limit(1).count() == 0:
+        return (
+            all_pairs(small).filter(F.col("hamming") <= max_hamming).distinct()
+        )
+
+    # --- second pass: re-band hot buckets on the 45 out-of-band bits.
+    # rest_i = sh with band i's 15 bits excised (low bits | high bits
+    # shifted down) — a 45-bit value, computed with static shifts per
+    # possible band index and selected by the bucket's parsed index.
+    b_idx = F.element_at(F.split("band", ":"), 1).cast("int")
+    hot_rows = hot.select(
+        F.col("band").alias("band0"), b_idx.alias("b0"), F.explode("items").alias("it")
+    ).select(
+        "band0",
+        "b0",
+        F.col("it.doc_id").alias("doc_id"),
+        F.col("it.sh").alias("sh"),
     )
-    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
-    return (
-        cand.select("doc1", "doc2", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+
+    def rest_for(i: int) -> Column:
+        low = F.col("sh") % F.lit(1 << (i * width)) if i > 0 else F.lit(0).cast("long")
+        high = F.shiftright(F.col("sh"), (i + 1) * width) * F.lit(1 << (i * width))
+        return low + high
+
+    rest = F.when(F.col("b0") == 0, rest_for(0))
+    for i in range(1, 4):
+        rest = rest.when(F.col("b0") == i, rest_for(i))
+    hot_rows = hot_rows.select("band0", "doc_id", "sh", rest.alias("rest"))
+
+    # 45 bits → sub-bands of 12+11+11+11; ≤3 flips leave one untouched.
+    sub_widths = (12, 11, 11, 11)
+    sub_offsets = (0, 12, 23, 34)
+    sub_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.col("band0"),
+                F.lit(str(j)),
+                (F.shiftright(F.col("rest"), sub_offsets[j]) % F.lit(1 << sub_widths[j])).cast(
+                    "string"
+                ),
+            )
+            for j in range(4)
+        ]
     )
+    sub_buckets = (
+        hot_rows.select("doc_id", "sh", F.explode(sub_keys).alias("band"))
+        .groupBy("band")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sh"))).alias("items"))
+        .filter(F.size("items") > 1)
+        .localCheckpoint(eager=True)  # consumed by both fine and star
+    )
+    fine = sub_buckets.filter(F.size("items") <= max_bucket)
+
+    # --- residual hot sub-buckets: star-link to the min-id member.
+    star_combos = F.explode(
+        F.transform(
+            F.slice("items", 2, F.size("items") - 1),
+            lambda y: pair_with_hamming(F.element_at("items", 1), y),
+        )
+    )
+    star = (
+        sub_buckets.filter(F.size("items") > max_bucket)
+        .select(star_combos.alias("p"))
+        .select("p.doc1", "p.doc2", "p.hamming")
+    )
+
+    pairs = all_pairs(small).unionByName(all_pairs(fine)).unionByName(star)
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 def neardup_clusters(

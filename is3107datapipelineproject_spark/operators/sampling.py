@@ -147,6 +147,12 @@ def mixture_sample(
     Strata absent from ``weights`` are excluded. A stratum too small
     for its quota saturates at rate 1 (it cannot be oversampled —
     upsampling is a separate epoch-repeat concern, not row sampling).
+    Conversely, a ``weights`` entry with NO rows in the data still
+    claims its share of ``n_target`` (Σw includes it), so the kept total
+    undershoots the target by that share — the quota of an empty stratum
+    is deliberately NOT redistributed, keeping every other stratum's
+    rate (and therefore its kept membership) independent of which other
+    strata happen to be present.
 
     Plan: one tiny per-stratum count aggregate (map-side partial)
     broadcast back onto the scan, then the same narrow content-hash

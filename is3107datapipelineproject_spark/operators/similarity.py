@@ -67,6 +67,7 @@ def cosine_topk(
     id_col: str,
     vec_col: str,
     k: int = 10,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k: for every query vector, the k nearest corpus
     vectors (self-matches excluded). Returns
@@ -75,7 +76,22 @@ def cosine_topk(
     Plan shape: broadcast(queries) × corpus scan → narrow cosine →
     window top-k partitioned by query. The corpus is never shuffled; the
     only exchange is the final rank partition on query_id (|Q| keys).
+
+    The exact tier's contract is a SMALL query set: the query side is
+    broadcast whole to every executor, so a huge query frame would OOM
+    the cluster, not just run slow. ``max_broadcast_queries`` enforces
+    the contract with a cheap count (columnar count-only scan) and
+    raises toward the scale tiers (``cosine_topk_bucketed`` /
+    ``ivf_topk``) instead of silently degrading exact→approximate.
     """
+    n_q = queries.count()
+    if n_q > max_broadcast_queries:
+        raise ValueError(
+            f"cosine_topk broadcasts the query side; got {n_q} query vectors "
+            f"(> max_broadcast_queries={max_broadcast_queries}). Use ivf_topk or "
+            "cosine_topk_bucketed for large query sets, or raise the limit "
+            "explicitly if the executors can hold the broadcast."
+        )
     c = _prep(corpus, id_col, vec_col, spread=True)
     q = _prep(queries, id_col, vec_col).select(
         F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
@@ -351,8 +367,16 @@ def centroid_outliers(
     determinism); ties break on id. Returns
     ``(id_col, label_col, centroid_cos, rnk)``.
     """
-    cents = bucket_centroids(df, vec_col, label_col)
-    corpus = _prep(df, id_col, vec_col, extra=[label_col], spread=True)
+    # Zero-norm vectors (and all-zero centroids) make the cosine NULL,
+    # and NULL ordering diverges across engines (Spark ASC = NULLS
+    # FIRST, DuckDB row_number = NULLS LAST) — exclude them up front so
+    # a zero vector can never top the outlier ranking.
+    cents = bucket_centroids(df, vec_col, label_col).filter(
+        l2_norm(F.col("centroid")) > 0
+    )
+    corpus = _prep(df, id_col, vec_col, extra=[label_col], spread=True).filter(
+        F.col("norm") > 0
+    )
     scored = corpus.join(
         F.broadcast(cents), corpus[label_col] == cents["bucket"]
     ).select(

@@ -61,9 +61,17 @@ def events_stream(spark, events_dir: str) -> DataFrame:
     footer read (cheap: metadata only) so the declared schema matches
     the files; fall back to EVENTS_RAW_SCHEMA on an empty directory.
     """
+    from pyspark.errors import AnalysisException
+
     try:
         schema = spark.read.parquet(events_dir).schema
-    except Exception:
+    except AnalysisException:
+        # empty/absent dir at stream start: schema inference has nothing
+        # to read. The fallback pins the CURRENT testdata generation's
+        # NTZ layout; a later generation feeding a different physical
+        # timestamp type must land at least one file before stream start
+        # (or this declared schema will mismatch its files). Real read
+        # errors (permissions, corrupt footers) are NOT swallowed.
         schema = EVENTS_RAW_SCHEMA
     raw = (
         spark.readStream.schema(schema)

@@ -89,6 +89,25 @@ def test_cosine_topk_self_excluded_and_ranked(spark):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_cosine_topk_guards_huge_query_broadcast(spark):
+    """The exact tier broadcasts the query side; a query frame over the
+    limit must raise toward the bucketed/IVF tiers instead of OOMing
+    every executor at scale."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    with pytest.raises(ValueError, match="ivf_topk"):
+        S.cosine_topk(emb, emb, "vec_id", "embedding", k=5, max_broadcast_queries=10)
+    # explicit opt-up past the guard still works
+    out = S.cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 3),
+        "vec_id",
+        "embedding",
+        k=1,
+        max_broadcast_queries=10,
+    )
+    assert out.count() > 0
+
+
 def test_bucketed_topk_stays_in_bucket(spark):
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
@@ -218,6 +237,56 @@ def test_minhash_second_pass_subdivides_hot_band(spark):
     }
     assert (1, 2) in got and (11, 12) in got
     assert not any({a, b} & {1, 2} and {a, b} & {11, 12} for a, b in got)
+
+
+def test_simhash_hot_band_bounded_not_dropped(spark):
+    """Planted hot band for SIMHASH: more identical docs than max_bucket
+    share every 15-bit band. The pair output must stay bounded (the
+    residual star emits n-1 pairs, not C(n,2)) while keeping the cluster
+    connected — the same contract the minhash hot path honors."""
+    n = 30
+    text = "identical boilerplate header shared across every mirrored page body"
+    rows = [(i, text) for i in range(1, n + 1)]
+    rows += [(100, "entirely different content about something unrelated warm")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    pairs = D.simhash_neardup_pairs(df, "text", "doc_id", max_hamming=3, max_bucket=8)
+    got = [(r.doc1, r.doc2, r.hamming) for r in pairs.collect()]
+    assert got, "hot band produced zero pairs — overflow bucket dropped"
+    assert all(h == 0 for _, _, h in got)
+    assert all(d1 != 100 and d2 != 100 for d1, d2, _ in got)
+    # Bounded: identical docs collapse to the min-id star (n-1 pairs),
+    # never the quadratic C(n,2) enumeration the old self-join produced.
+    assert len(got) == n - 1
+    assert all(d1 == 1 for d1, _, _ in got)
+
+    clusters = D.neardup_clusters(df, pairs)
+    labels = {r.doc_id: r.cluster_id for r in clusters.collect()}
+    assert {labels[i] for i in range(1, n + 1)} == {1}
+    assert labels[100] == 100
+
+
+def test_simhash_small_buckets_unchanged_by_cap(spark):
+    """With no hot bands the capped path must emit exactly the pairs the
+    uncapped path does (the bucketed combination generator replaces the
+    band self-join 1:1)."""
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappb"),
+        (3, "one two three four five six seven eight nine ten"),
+        (4, "one two three four five six seven eight nine ten eleven"),
+        (5, "completely unrelated text mentioning nothing shared at all"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    capped = {
+        (r.doc1, r.doc2, r.hamming)
+        for r in D.simhash_neardup_pairs(df, "text", "doc_id", max_bucket=1024).collect()
+    }
+    tiny_corpus_exact = {
+        (r.doc1, r.doc2, r.hamming)
+        for r in D.simhash_neardup_pairs(df, "text", "doc_id", max_bucket=100000).collect()
+    }
+    assert capped == tiny_corpus_exact
 
 
 def test_dedup_lines_keeps_first_occurrence_only(spark):
