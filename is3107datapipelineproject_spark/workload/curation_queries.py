@@ -676,3 +676,109 @@ def q_document_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.round(X.quality_score("text"), 4).alias("quality"),
     )
+
+
+# --- corpus governance: leakage / contamination reporting / dedup audit ------
+
+def _leakage_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_DOCS_SHINGLES
+
+    frac = _sql_frac("split", "doc_id")
+    return f"""
+WITH sh AS ({SQL_DOCS_SHINGLES}),
+ev AS (SELECT DISTINCT unnest(hs) AS ngram_hash FROM sh WHERE {frac} >= 0.9),
+tr AS (SELECT doc_id, unnest(hs) AS ngram_hash FROM sh WHERE {frac} < 0.9)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr JOIN ev USING (ngram_hash)
+GROUP BY 1
+"""
+
+
+@register("split_leakage", oracle=_leakage_oracle(), tags=("hygiene", "sampling", "llm"))
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split leakage audit: after the deterministic 80/10/10
+    hash split, flag every NON-test document sharing a word-3-gram with
+    the held-out test split (`n_hits` = distinct leaked 3-grams). This
+    is eval decontamination run against the pipeline's OWN split — the
+    check that the dedup/split stages actually kept eval text out of
+    train. Plan: test-side n-gram hashes (10% of corpus, distinct) are
+    the semi-join build side against the exploded train n-grams — one
+    shuffle, broadcastable at any corpus size the test split permits."""
+    from is3107datapipelineproject_spark.operators.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    split = S.hash_split(docs.select("doc_id", "text"), id_col="doc_id")
+    test = split.filter(F.col("split") == "test")
+    train_side = split.filter(F.col("split") != "test")
+    return decontaminate(train_side, test, "text", "doc_id", k=3)
+
+
+def _contamination_report_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_DOCS_SHINGLES
+
+    return f"""
+WITH sh AS ({SQL_DOCS_SHINGLES}),
+ev AS (SELECT DISTINCT unnest(hs) AS ngram_hash FROM sh WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, unnest(hs) AS ngram_hash FROM sh WHERE doc_id % 50 <> 0),
+hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (ngram_hash))
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(h.doc_id) AS BIGINT) AS n_contaminated,
+       round(CAST(count(h.doc_id) AS DOUBLE) / count(*), 4) AS contaminated_share
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+GROUP BY 1
+"""
+
+
+@register(
+    "contamination_report",
+    oracle=_contamination_report_oracle(),
+    tags=("hygiene", "llm"),
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination rate — the governance rollup over
+    `decontaminate`: for each source, how many training docs carry
+    eval-set 3-grams and what share of the source that is. The heavy
+    work is the same one-shuffle semi-join as `decontaminate`; the
+    report is a broadcast-joinable (doc_id) hit list folded into a
+    per-source aggregate, so the fact table never shuffles twice."""
+    from is3107datapipelineproject_spark.operators.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    hits = decontaminate(tr, ev, "text", "doc_id", k=3).select("doc_id")
+    return (
+        tr.select("doc_id", "source")
+        .join(F.broadcast(hits.withColumn("__hit", F.lit(1))), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__hit").alias("n_contaminated"),
+            F.round(F.count("__hit") / F.count(F.lit(1)), 4).alias("contaminated_share"),
+        )
+    )
+
+
+def _dup_cluster_sizes_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_NORM
+
+    return f"""
+WITH g AS (
+  SELECT md5({SQL_NORM}) AS fingerprint, CAST(count(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT n_copies, CAST(count(*) AS BIGINT) AS n_clusters
+FROM g GROUP BY 1
+"""
+
+
+@register("dup_cluster_sizes", oracle=_dup_cluster_sizes_oracle(), tags=("dedup", "llm"))
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram — the dedup audit stat
+    (how much of the corpus is 1-copy vs heavy-tail boilerplate).
+    Two partial-aggregatable shuffles, output rows = distinct cluster
+    sizes (tiny at any corpus scale)."""
+    groups = D.exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return groups.groupBy("n_copies").agg(F.count(F.lit(1)).alias("n_clusters"))

@@ -1231,3 +1231,57 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     old = docs.filter(F.col("doc_id") % 5 != 0)
     return D.incremental_neardup(old, new, "text", "doc_id", threshold=0.8)
+
+
+# --- count-min sketch heavy hitters ------------------------------------------
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+WITH toks AS (SELECT unnest({SQL_TOKS}) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1)
+SELECT token, cnt, TRUE AS no_undercount, TRUE AS within_eps
+FROM c ORDER BY cnt DESC, token LIMIT 20
+""",
+    tags=("sketch", "text", "llm"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with a hash-checkable accuracy
+    contract (same pattern as hll_mergeable_sketch): the top-20 exact
+    token counts are emitted alongside two booleans the sketch must
+    satisfy — `no_undercount` (CMS estimates never fall below truth, a
+    structural guarantee) and `within_eps` (estimate ≤ exact + (2/w)·N,
+    the CMS error bound at w=2048). The oracle emits the exact counts
+    with TRUE/TRUE, so the row hashes only if the sketch obeys both
+    bounds. Estimates are md5-hash deterministic — no flakiness.
+
+    Plan: token counts are one partial-agg shuffle (localCheckpointed:
+    three consumers — total, top-k, sketch build — must not re-tokenize
+    the corpus); the sketch is d×w = 8192 rows, broadcast for probing.
+    """
+    from is3107datapipelineproject_spark.operators import sketches as K
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.ws_tokens("text")).alias("token"))
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(20)
+    sketch = K.cms_build(counts, "token", "cnt")
+    est = K.cms_estimate(sketch, top.select("token"), "token")
+    return (
+        top.join(est, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            (F.col("cms_est") >= F.col("cnt")).alias("no_undercount"),
+            (
+                F.col("cms_est")
+                <= F.col("cnt") + F.lit(2.0 / K.CMS_W) * F.col("n_total")
+            ).alias("within_eps"),
+        )
+    )

@@ -79,3 +79,55 @@ def test_runtime_bloom_filter_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cms_merge_bit_identical_and_bounds(spark):
+    """Count-min sketch invariants: (1) sketches built on corpus slices
+    and merged are BIT-identical to one built on the whole corpus
+    (counter addition commutes) — the per-shard/day build shape at
+    100 TB; (2) estimates never undercount; (3) estimates respect the
+    (2/w)·N error bound on this corpus."""
+    from is3107datapipelineproject_spark.operators import sketches as K
+    from is3107datapipelineproject_spark.operators.text import ws_tokens
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(ws_tokens("text")).alias("token")
+    )
+    counts_all = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    full = K.cms_build(counts_all, "token", "cnt")
+
+    halves = [
+        toks.filter(F.col("doc_id") % 2 == i)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        for i in (0, 1)
+    ]
+    merged = K.cms_merge(*[K.cms_build(h, "token", "cnt") for h in halves])
+
+    as_map = lambda df: {(r.row, r.bucket): r.bucket_cnt for r in df.collect()}
+    assert as_map(full) == as_map(merged)
+
+    exact = {r.token: r.cnt for r in counts_all.collect()}
+    n_total = sum(exact.values())
+    probes = counts_all.select("token").limit(200)
+    ests = {
+        r.token: r.cms_est
+        for r in K.cms_estimate(full, probes, "token").collect()
+    }
+    assert ests and all(ests[t] >= exact[t] for t in ests)
+    assert all(ests[t] <= exact[t] + 2.0 / K.CMS_W * n_total for t in ests)
+
+
+def test_cms_unseen_item_estimates_low(spark):
+    """A probe item the sketch never saw can only pick up collision
+    mass — bounded by the eps band, and zero if its buckets are empty."""
+    from is3107datapipelineproject_spark.operators import sketches as K
+
+    counts = spark.createDataFrame(
+        [("alpha", 10), ("beta", 5)], ["token", "cnt"]
+    )
+    sk = K.cms_build(counts, "token", "cnt")
+    probes = spark.createDataFrame([("never-seen-token-xyz",)], ["token"])
+    est = K.cms_estimate(sk, probes, "token").collect()[0]
+    assert 0 <= est.cms_est <= 15

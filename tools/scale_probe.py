@@ -72,12 +72,29 @@ DEFAULT_OPS = [
 ]
 
 
-def build(spark, k: int) -> str:
+def build(spark, k: int, tables: set[str] | None = None) -> str:
+    """Replicate the base corpus K×. ``tables`` ∈ {docs, emb, events,
+    star} limits the build — an x100 docs-only sweep should not pay for
+    100× lineitem."""
+    tables = tables or {"docs", "emb", "events", "star"}
     out = f"{ROOT}/x{k}"
-    if os.path.exists(out):
-        return out
     os.makedirs(out, exist_ok=True)
 
+    def _done(name: str) -> bool:
+        return os.path.exists(f"{out}/{name}.parquet")
+
+    if "docs" in tables and not _done("documents"):
+        _build_docs(spark, out, k)
+    if "emb" in tables and not _done("embeddings"):
+        _build_emb(spark, out, k)
+    if "events" in tables and not _done("events"):
+        _build_events(spark, out, k)
+    if "star" in tables and not _done("lineitem"):
+        _build_star(spark, out, k)
+    return out
+
+
+def _build_docs(spark, out: str, k: int) -> None:
     docs = load_table(spark, BASE, "documents")
     reps = []
     for i in range(k):
@@ -100,6 +117,8 @@ def build(spark, k: int) -> str:
         )
     _union_write(reps, f"{out}/documents.parquet")
 
+
+def _build_emb(spark, out: str, k: int) -> None:
     emb = load_table(spark, BASE, "embeddings")
     _union_write(
         [
@@ -113,6 +132,8 @@ def build(spark, k: int) -> str:
         f"{out}/embeddings.parquet",
     )
 
+
+def _build_events(spark, out: str, k: int) -> None:
     ev = load_table(spark, BASE, "events")
     _union_write(
         [
@@ -129,6 +150,8 @@ def build(spark, k: int) -> str:
         f"{out}/events.parquet",
     )
 
+
+def _build_star(spark, out: str, k: int) -> None:
     # Star-schema facts: offset every key column jointly so each replica
     # is a self-contained sub-universe — per-replica join fan-outs and
     # group sizes are IDENTICAL to 1×, so output and work scale K× and
@@ -147,7 +170,6 @@ def build(spark, k: int) -> str:
     _replicate_keyed(spark, out, k, "part", {"p_partkey": 10_000_000})
     for dim in ("nation", "region"):
         load_table(spark, BASE, dim).write.mode("overwrite").parquet(f"{out}/{dim}.parquet")
-    return out
 
 
 def _replicate_keyed(spark, out: str, k: int, table: str, key_steps: dict[str, int]) -> None:
@@ -168,6 +190,35 @@ def _union_write(frames, path):
     df.write.mode("overwrite").parquet(path)
 
 
+def time_funnel_stream(spark, sf_dir: str) -> tuple[float, int]:
+    """Streaming sweep for the stateful funnel: drain the whole events
+    directory through applyInPandasWithState (availableNow) and report
+    wall time + state cardinality (distinct users). Per-user state is a
+    fixed few dozen bytes, so time should scale with event volume and
+    state memory with users — never superlinearly."""
+    import tempfile
+
+    from is3107datapipelineproject_spark.streaming import windows as W
+
+    events_dir = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(events_dir).schema
+    raw = spark.readStream.schema(schema).parquet(events_dir)
+    src = W.normalize_event_time(raw).select("user_id", "ts_ns", "event_type")
+    t0 = time.perf_counter()
+    q = (
+        W.funnel_state(src)
+        .writeStream.format("noop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="funnel_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.perf_counter() - t0
+    users = spark.read.parquet(events_dir).select("user_id").distinct().count()
+    return dt, users
+
+
 def time_op(spark, fn, sf_dir: str) -> tuple[float, int]:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -181,6 +232,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--ops", type=str, default=",".join(DEFAULT_OPS))
+    ap.add_argument("--tables", type=str, default="docs,emb,events,star",
+                    help="comma subset of docs,emb,events,star to replicate")
     ap.add_argument("--rebuild", action="store_true")
     args = ap.parse_args()
 
@@ -189,16 +242,22 @@ def main() -> None:
 
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
-    big = build(spark, args.factor)
+    big = build(spark, args.factor, set(args.tables.split(",")))
     qs = registry.queries()
 
     for op in args.ops.split(","):
-        fn = qs.get(op)
-        if fn is None:
-            print(json.dumps({"op": op, "error": "not registered"}))
-            continue
-        t1, r1 = time_op(spark, fn, BASE)
-        tk, rk = time_op(spark, fn, big)
+        if op == "funnel_state":
+            # stream op: x1 side also needs a directory-of-parts layout
+            small = build(spark, 1, {"events"})
+            t1, r1 = time_funnel_stream(spark, small)
+            tk, rk = time_funnel_stream(spark, big)
+        else:
+            fn = qs.get(op)
+            if fn is None:
+                print(json.dumps({"op": op, "error": "not registered"}))
+                continue
+            t1, r1 = time_op(spark, fn, BASE)
+            tk, rk = time_op(spark, fn, big)
         print(
             json.dumps(
                 {
