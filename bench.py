@@ -72,6 +72,18 @@ HEADLINE = [
     "incremental_neardup",
     "events_funnel",
     "token_runs",
+    "simhash_neardup",
+    "boilerplate_flag",
+    "salted_join_agg",
+    "window_moving_sum",
+    "cohort_retention",
+    "agg_percentiles",
+    "knn_classify",
+    "key_skew_stats",
+    "hll_mergeable_sketch",
+    "cms_heavy_hitters",
+    "split_leakage",
+    "contamination_report",
 ]
 
 

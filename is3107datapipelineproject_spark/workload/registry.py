@@ -103,7 +103,13 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # previously rows-only / err:no_oracle — now hash-checkable
     "hll_mergeable_sketch",
     "approx_distinct",
-    # re-check queries whose operators changed this round
+    # new this round, no external evidence yet
+    "cms_heavy_hitters",
+    "split_leakage",
+    "contamination_report",
+    "dup_cluster_sizes",
+    # operators changed this round — worth an external re-check after
+    # the zero-evidence queries above are covered
     "simhash_neardup",
     "cosine_topk",
     "boilerplate_flag",

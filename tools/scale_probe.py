@@ -98,18 +98,26 @@ def _build_docs(spark, out: str, k: int) -> None:
     docs = load_table(spark, BASE, "documents")
     reps = []
     for i in range(k):
-        # Replica salt must scale with document LENGTH: a fixed few-token
-        # salt leaves long replicas above the 0.8 Jaccard threshold and
-        # the probe corpus silently plants quadratic cross-replica
-        # near-dups. ~1 salt token per 5 original tokens on each side
-        # pushes cross-replica Jaccard to ~0.6 at any length.
-        n_rep = F.greatest(F.lit(1), (F.col("n_chars") / F.lit(80)).cast("int"))
-        salt_pre = F.repeat(F.lit(f"ra{i} rb{i} rc{i} rd{i} "), n_rep)
-        salt_suf = F.repeat(F.lit(f" re{i} rf{i} rg{i} rh{i}"), n_rep)
+        # Replica salt must scale with document LENGTH in DISTINCT
+        # shingles: a fixed few-token salt (or a repeated one — repeats
+        # collapse to O(1) distinct k-grams) leaves long replicas above
+        # the 0.8 Jaccard threshold, planting C(K,2) cross-replica
+        # near-dup pairs per leaky doc. Position-distinct salt tokens
+        # (~1 per 4 original tokens, each side) keep cross-replica
+        # Jaccard ≈ 0.65 at every length.
+        n_rep = F.greatest(F.lit(4), (F.col("n_chars") / F.lit(20)).cast("int"))
+        def _salt(tag: str):
+            return F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), n_rep),
+                    lambda p: F.concat(F.lit(f"{tag}{i}x"), p.cast("string")),
+                ),
+            )
         reps.append(
             docs.select(
                 (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
-                F.concat(salt_pre, F.col("text"), salt_suf).alias("text"),
+                F.concat(_salt("ra"), F.lit(" "), F.col("text"), F.lit(" "), _salt("rz")).alias("text"),
                 "lang",
                 "source",
                 "n_chars",
@@ -249,6 +257,7 @@ def main() -> None:
         if op == "funnel_state":
             # stream op: x1 side also needs a directory-of-parts layout
             small = build(spark, 1, {"events"})
+            time_funnel_stream(spark, small)  # warm-up: worker forks, state store init
             t1, r1 = time_funnel_stream(spark, small)
             tk, rk = time_funnel_stream(spark, big)
         else:
