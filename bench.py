@@ -84,6 +84,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "split_leakage",
     "contamination_report",
+    "corpus_shuffle",
 ]
 
 

@@ -185,3 +185,45 @@ def mixture_sample(
         .filter(hash_unit(id_col, salt) < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str,
+    salt: str = "shuffle",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Global training-order shuffle: every row gets ``shuffle_pos`` =
+    its 1-based rank under content-hash order (ties broken by id) — the
+    epoch-shuffle of a training pipeline, reproducible across reruns and
+    partitioning changes because the order derives only from md5.
+
+    A naive ``row_number() OVER (ORDER BY hash)`` is a single-partition
+    window — the anti-pattern at 100 TB. This is the two-level
+    distributed rank (same machinery as packing.pack_sequences): the
+    hash fraction's leading bits pick one of ``n_buckets`` ORDER-ALIGNED
+    buckets (bucket ascending ⇔ hash ascending), rows rank inside their
+    bucket in parallel, and each bucket adds the row-count prefix of the
+    buckets below it — a window over ``n_buckets`` rows, not the corpus.
+    Total: one hash-partition shuffle + a broadcast of bucket offsets.
+
+    Returns the input columns plus ``shuffle_pos`` (long).
+    """
+    frac = hash_unit(id_col, salt)
+    t = df.withColumn("__frac", frac).withColumn(
+        "__bucket", F.floor(F.col("__frac") * n_buckets).cast("int")
+    )
+    local_w = Window.partitionBy("__bucket").orderBy("__frac", id_col)
+    t = t.withColumn("__local_rank", F.row_number().over(local_w))
+
+    totals = t.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__total"))
+    prefix_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = totals.select(
+        "__bucket",
+        F.coalesce(F.sum("__total").over(prefix_w), F.lit(0)).alias("__prefix"),
+    )
+    return (
+        t.join(F.broadcast(prefixes), "__bucket")
+        .withColumn("shuffle_pos", (F.col("__prefix") + F.col("__local_rank")).cast("long"))
+        .drop("__frac", "__bucket", "__local_rank", "__prefix")
+    )

@@ -782,3 +782,24 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes (tiny at any corpus scale)."""
     groups = D.exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
     return groups.groupBy("n_copies").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+@register(
+    "corpus_shuffle",
+    oracle=f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY {_sql_frac('shuffle', 'doc_id')}, doc_id) AS BIGINT)
+         AS shuffle_pos
+FROM documents
+""",
+    tags=("sampling", "llm"),
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every document's 1-based position in
+    the content-hash training order. The oracle is the single-window
+    ``row_number() OVER (ORDER BY hash)``; the Spark plan is the
+    two-level distributed rank (order-aligned hash buckets ranked in
+    parallel + an n_buckets-row offset prefix) — no global sort, no
+    single-partition window."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return S.deterministic_shuffle(docs, "doc_id")

@@ -192,3 +192,26 @@ def test_mixture_sample_semantics(spark):
     out2 = mixture_sample(grown, "src", "id", {"big": 1.0, "tiny": 1.0}, n_target=40)
     kept_after = {r.id for r in out2.filter(F.col("src") == "big").collect()}
     assert kept_before == kept_after
+
+
+def test_deterministic_shuffle_is_total_order_and_partition_independent(spark):
+    from is3107datapipelineproject_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(1, 1001).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, "doc_id", n_buckets=16)
+    pos = {r.doc_id: r.shuffle_pos for r in out.collect()}
+    # exact permutation of 1..n
+    assert sorted(pos.values()) == list(range(1, 1001))
+    # physical partitioning must not change the order (content-hash only)
+    pos2 = {
+        r.doc_id: r.shuffle_pos
+        for r in deterministic_shuffle(df.repartition(7), "doc_id", n_buckets=16).collect()
+    }
+    assert pos == pos2
+    # two-level rank must agree with the single-window reference order
+    from is3107datapipelineproject_spark.operators.sampling import hash_unit
+    ref = sorted(
+        ((r["__f"], r.doc_id) for r in df.select("doc_id", hash_unit("doc_id", "shuffle").alias("__f")).collect())
+    )
+    want = {doc: i + 1 for i, (_, doc) in enumerate(ref)}
+    assert pos == want
