@@ -85,6 +85,7 @@ HEADLINE = [
     "split_leakage",
     "contamination_report",
     "corpus_shuffle",
+    "bloom_contamination",
 ]
 
 

@@ -109,3 +109,73 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("bucket_cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+# --- Bloom filter (bit-set sibling of the CMS) -------------------------------
+
+BLOOM_D = 4  # hash functions
+BLOOM_M = 1 << 16  # bits
+
+
+def bloom_bucket(col: Column, row: int, m: int = BLOOM_M) -> Column:
+    """Bit index of ``col`` under hash ``row``: md5-derived, mod m.
+    Oracle twin: ``CAST('0x' || substr(md5('bf{row}|' || x), 1, 7) AS
+    BIGINT) % m``."""
+    return h28(F.concat(F.lit(f"bf{row}|"), col)) % F.lit(m)
+
+
+def bloom_build(items: DataFrame, item_col: str, d: int = BLOOM_D, m: int = BLOOM_M) -> DataFrame:
+    """Build the filter as a ``(row, bit)`` DISTINCT set — the sparse
+    representation of the bit array (dense bitmap packing is a storage
+    concern; the set IS the filter's semantics, and stays join-able).
+    Mergeable by union+distinct (bit OR), the same slice-and-merge
+    shape as cms_build. Size is bounded by d×m rows but in practice
+    ~d×|items| — broadcastable whenever the item set is (an eval
+    benchmark, a blocklist, yesterday's new fingerprints)."""
+    keys = F.array(
+        *[
+            F.struct(F.lit(j).alias("row"), bloom_bucket(F.col(item_col), j, m).alias("bit"))
+            for j in range(d)
+        ]
+    )
+    return (
+        items.select(F.explode(keys).alias("rb"))
+        .select(F.col("rb.row").alias("row"), F.col("rb.bit").alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    d: int = BLOOM_D,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Membership test: an item is (maybe-)present iff ALL d of its bits
+    are set — no false negatives ever; false positives at the classic
+    (1-e^{-dn/m})^d rate. Adds ``bloom_hit`` (boolean). The filter side
+    is broadcast; the probe side stays partition-local (the 100 TB
+    shape: corpus-side scan probed against a constant-size filter,
+    instead of shipping the full reference set into a shuffle)."""
+    keys = F.array(
+        *[
+            F.struct(F.lit(j).alias("row"), bloom_bucket(F.col(item_col), j, m).alias("bit"))
+            for j in range(d)
+        ]
+    )
+    # distinct first: duplicated probe values would otherwise contribute
+    # d bits EACH and break the all-d-bits-set count below
+    probed = (
+        probes.select(item_col).distinct()
+        .select(F.col(item_col), F.explode(keys).alias("rb"))
+        .select(item_col, F.col("rb.row").alias("row"), F.col("rb.bit").alias("bit"))
+    )
+    hits = (
+        probed.join(F.broadcast(bloom), ["row", "bit"], "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("__set_bits"))
+        .filter(F.col("__set_bits") == d)
+        .select(item_col, F.lit(True).alias("bloom_hit"))
+    )
+    return probes.join(F.broadcast(hits), item_col, "left").fillna({"bloom_hit": False})

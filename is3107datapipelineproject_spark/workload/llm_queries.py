@@ -1285,3 +1285,62 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_eps"),
         )
     )
+
+
+# --- bloom-filter decontamination --------------------------------------------
+
+def _bloom_oracle() -> str:
+    from is3107datapipelineproject_spark.operators.sketches import BLOOM_D, BLOOM_M
+
+    bit = (
+        "CAST('0x' || substr(md5('bf' || j || '|' || CAST(g AS VARCHAR)), 1, 7) AS BIGINT)"
+        f" % {BLOOM_M}"
+    )
+    return f"""
+WITH sh AS ({SQL_DOCS_SHINGLES}),
+evg AS (SELECT DISTINCT unnest(hs) AS g FROM sh WHERE doc_id % 50 = 0),
+bits AS (SELECT DISTINCT j, {bit} AS bit
+         FROM evg, generate_series(0, {BLOOM_D - 1}) AS t(j)),
+trg AS (SELECT doc_id, unnest(hs) AS g FROM sh WHERE doc_id % 50 <> 0),
+probe AS (
+  SELECT g FROM (
+    SELECT tg.g, count(*) AS setb
+    FROM (SELECT g, j, {bit} AS bit
+          FROM (SELECT DISTINCT g FROM trg), generate_series(0, {BLOOM_D - 1}) AS t(j)) tg
+    JOIN bits ON bits.j = tg.j AND bits.bit = tg.bit
+    GROUP BY tg.g
+  ) WHERE setb = {BLOOM_D}
+)
+SELECT trg.doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+FROM trg JOIN probe USING (g)
+GROUP BY 1
+"""
+
+
+@register("bloom_contamination", oracle=_bloom_oracle(), tags=("hygiene", "sketch", "llm"))
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the at-ingest shape of
+    `decontaminate`: the eval set's 3-gram hashes are folded into a
+    CONSTANT-SIZE bit set (bloom_build) that ships to every executor
+    once, and the corpus probes it partition-locally; a doc's
+    `n_bloom_hits` counts its 3-grams whose d bits are all set. No
+    false negatives (every truly contaminated 3-gram hits), false
+    positives at the classic bloom rate — and the oracle replicates the
+    ENTIRE filter bit-for-bit in SQL, so the check is exact, not a
+    tolerance band. At 100 TB the filter stays KBs while the exact
+    semi-join's build side grows with the benchmark suite."""
+    from is3107datapipelineproject_spark.operators import sketches as K
+    from is3107datapipelineproject_spark.operators.contamination import _doc_ngram_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    ev_g = _doc_ngram_hashes(ev, "text", "doc_id", 3).select(
+        F.col("ngram_hash").cast("string").alias("g")
+    ).distinct()
+    bloom = K.bloom_build(ev_g, "g")
+    tr_g = _doc_ngram_hashes(tr, "text", "doc_id", 3).select(
+        "doc_id", F.col("ngram_hash").cast("string").alias("g")
+    )
+    flagged = K.bloom_probe(bloom, tr_g, "g").filter(F.col("bloom_hit"))
+    return flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom_hits"))

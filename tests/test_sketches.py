@@ -131,3 +131,35 @@ def test_cms_unseen_item_estimates_low(spark):
     probes = spark.createDataFrame([("never-seen-token-xyz",)], ["token"])
     est = K.cms_estimate(sk, probes, "token").collect()[0]
     assert 0 <= est.cms_est <= 15
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted item must probe positive (structural no-false-
+    negative guarantee); filters built on slices and unioned behave as
+    the bit-OR of the slices (set semantics)."""
+    from is3107datapipelineproject_spark.operators import sketches as K
+
+    items = spark.range(0, 500).select(F.col("id").cast("string").alias("g"))
+    bloom = K.bloom_build(items, "g")
+    probed = K.bloom_probe(bloom, items, "g")
+    assert probed.filter(~F.col("bloom_hit")).count() == 0
+
+    halves = [
+        items.filter(F.col("g").cast("long") % 2 == i) for i in (0, 1)
+    ]
+    merged = (
+        K.bloom_build(halves[0], "g")
+        .unionByName(K.bloom_build(halves[1], "g"))
+        .distinct()
+    )
+    as_set = lambda df: {(r.row, r.bit) for r in df.collect()}
+    assert as_set(merged) == as_set(bloom)
+
+    # unseen probes: mostly negative at this load factor (n·d ≪ m)
+    unseen = spark.range(10_000, 10_500).select(F.col("id").cast("string").alias("g"))
+    fp = K.bloom_probe(bloom, unseen, "g").filter(F.col("bloom_hit")).count()
+    assert fp < 25  # theory: ~(1-e^(-4*500/65536))^4 ≈ 8e-7 per probe
+
+    # duplicate probe rows must not break the all-bits-set count
+    dup = items.unionByName(items)
+    assert K.bloom_probe(bloom, dup, "g").filter(~F.col("bloom_hit")).count() == 0
