@@ -86,6 +86,7 @@ HEADLINE = [
     "contamination_report",
     "corpus_shuffle",
     "bloom_contamination",
+    "data_card",
 ]
 
 

@@ -803,3 +803,83 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return S.deterministic_shuffle(docs, "doc_id")
+
+
+def _data_card_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_NORM, SQL_TOKS
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, source, lang,
+         CAST(len(toks) AS BIGINT) AS n_toks,
+         CAST(round(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+                    + 0.3 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                    + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text,
+                          '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / length(text)),
+                    4) AS DECIMAL(8,4)) AS qd,
+         md5({SQL_NORM}) AS fp
+  FROM (SELECT doc_id, source, lang, text, {SQL_TOKS} AS toks FROM documents)
+),
+s AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         CAST(sum(qd) AS DOUBLE) / count(*) AS mean_quality,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_unique
+  FROM q GROUP BY 1
+),
+lc AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+tl AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+    FROM lc
+  ) WHERE rn = 1
+)
+SELECT s.source, n_docs, total_tokens, mean_quality,
+       round(CAST(n_docs - n_unique AS DOUBLE) / n_docs, 4) AS dup_share,
+       top_lang
+FROM s JOIN tl USING (source)
+"""
+
+
+@register("data_card", oracle=_data_card_oracle(), tags=("curation", "governance", "llm"))
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet rollup — the per-source "data card" a corpus
+    release ships with: document and token counts, order-free DECIMAL
+    mean quality, exact-dup share (1 - distinct fingerprints / docs),
+    and the dominant language (deterministic tie-break). One narrow
+    feature projection feeds a per-source partial aggregate (~sources
+    rows) plus a tiny (source, lang) count ranked for the mode — the
+    corpus is scanned once and never shuffled; only aggregates move."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(X.ws_tokens("text")).cast("long").alias("n_toks"),
+        F.round(X.quality_score("text"), 4).cast("decimal(8,4)").alias("qd"),
+        D.exact_fingerprint("text").alias("fp"),
+    )
+    per_src = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        (F.sum("qd").cast("double") / F.count(F.lit(1))).alias("mean_quality"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("lang").asc())
+    top_lang = (
+        lang_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        per_src.join(F.broadcast(top_lang), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_quality",
+            F.round((F.col("n_docs") - F.col("n_unique")).cast("double") / F.col("n_docs"), 4).alias("dup_share"),
+            "top_lang",
+        )
+    )
