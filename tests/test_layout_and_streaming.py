@@ -496,3 +496,68 @@ def test_jsonl_shard_export_roundtrip(spark, tmp_path):
     b = {r.doc_id: r.shard_id
          for r in spark.read.parquet(ppath).select("doc_id", "shard_id").collect()}
     assert a == b
+
+
+def test_funnel_state_survives_checkpoint_restart(spark, tmp_path):
+    """Exactly-once state recovery: drain batch 1, STOP the query, start
+    a NEW query on the same checkpoint after more files arrive — the
+    file source must skip already-processed files, the state store must
+    restore every user's funnel progress, and the final state must match
+    the batch query bit-for-bit. This is the crash/redeploy cycle of a
+    production ingest stream."""
+    from is3107datapipelineproject_spark.sources.tables import load_table
+    from is3107datapipelineproject_spark.streaming import windows as W
+    from is3107datapipelineproject_spark.workload.registry import queries
+
+    events = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts_ns", "event_type"
+    )
+    events_dir = tmp_path / "restart_events"
+    out_dir = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+    mid = events.approxQuantile("ts_ns", [0.5], 0.0)[0]
+    events.filter(F.col("ts_ns") <= mid).write.parquet(str(events_dir / "f0.parquet"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("user_id LONG, ts_ns LONG, event_type STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(events_dir / "*"))
+        )
+        q = (
+            W.funnel_state(stream)
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # run 1: only the first half exists
+    events.filter(F.col("ts_ns") > mid).write.parquet(str(events_dir / "f1.parquet"))
+    drain()  # run 2: NEW query, same checkpoint — state restored
+
+    final = {}
+    for r in spark.read.parquet(out_dir).collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.n_updates > cur.n_updates:
+            final[r.user_id] = r
+    got = {
+        u: (r.view_us, r.click_us, r.purchase_us, r.funnel_depth)
+        for u, r in final.items()
+    }
+
+    def us(ts):
+        return None if ts is None else int(ts.timestamp() * 1_000_000)
+
+    batch = queries()["events_funnel"](spark, SF_SMOKE).collect()
+    want = {
+        r.user_id: (us(r.view_ts), us(r.click_ts), us(r.purchase_ts), r.funnel_depth)
+        for r in batch
+    }
+    assert set(got) == set(want) and len(want) > 0
+    mismatches = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+    assert not mismatches, dict(list(mismatches.items())[:5])
