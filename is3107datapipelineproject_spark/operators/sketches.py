@@ -154,10 +154,15 @@ def bloom_probe(
 ) -> DataFrame:
     """Membership test: an item is (maybe-)present iff ALL d of its bits
     are set — no false negatives ever; false positives at the classic
-    (1-e^{-dn/m})^d rate. Adds ``bloom_hit`` (boolean). The filter side
-    is broadcast; the probe side stays partition-local (the 100 TB
-    shape: corpus-side scan probed against a constant-size filter,
-    instead of shipping the full reference set into a shuffle)."""
+    (1-e^{-dn/m})^d rate. Adds ``bloom_hit`` (boolean).
+
+    Plan: the FILTER side is broadcast (bounded by d×m rows ≈ a few MB
+    at the defaults — the whole point vs shipping the reference set);
+    probe values are deduplicated (one shuffle on the value, which the
+    following groupBy reuses), tested against the broadcast bits, and
+    the surviving hit set joins back by value — hit-set size is
+    data-dependent, so that join is left to the planner (broadcast when
+    small, shuffle join when not), never force-broadcast."""
     keys = F.array(
         *[
             F.struct(F.lit(j).alias("row"), bloom_bucket(F.col(item_col), j, m).alias("bit"))
@@ -178,4 +183,4 @@ def bloom_probe(
         .filter(F.col("__set_bits") == d)
         .select(item_col, F.lit(True).alias("bloom_hit"))
     )
-    return probes.join(F.broadcast(hits), item_col, "left").fillna({"bloom_hit": False})
+    return probes.join(hits, item_col, "left").fillna({"bloom_hit": False})
