@@ -70,3 +70,47 @@ def test_adaptive_salting_triggers_only_on_skew(spark):
     assert _bag(salted.select("k", "lv", "rv")) == _bag(
         skewed.join(right, "k").select("k", "lv", "rv")
     )
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew-join split is the FIRST line of defense the
+    session relies on (manual salting is the documented escape hatch for
+    what AQE can't see) — prove the session confs actually engage it:
+    a planted hot key under a forced sort-merge join must come out of
+    adaptive planning with the skew=true marker and still produce exact
+    results."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # production defaults are 256MB-scale; test rows are KBs, so
+        # drop thresholds to let the same machinery trigger on the shape
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") % 3 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("padpadpadpadpadpadpadpad-"), F.col("id")).alias("lv"),
+        )
+        right = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("rv"))
+        j = left.join(right, "k")
+        # execute THIS frame (count() would build a different query whose
+        # adaptive plan finalizes separately)
+        got = len(j.collect())
+        want = left.filter(F.col("k") < 1000).count()  # right matches k in [0,1000)
+        assert got == want
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
