@@ -723,26 +723,41 @@ def incremental_neardup(
     Returns ``(new_id, old_id, jaccard)``, jaccard ≥ threshold, rounded
     to 4 decimals (cross-engine fp determinism).
     """
+    ob = band_signature_frame(old, text_col, id_col, k).toDF("old_id", "old_hs", "band")
+    nb = band_signature_frame(new, text_col, id_col, k).toDF("new_id", "new_hs", "band")
+    return incremental_neardup_from_bands(ob, nb, threshold=threshold)
 
-    def bands_frame(df: DataFrame, out_id: str, out_hs: str) -> DataFrame:
-        # spread_small_input parallelizes the CPU-bound signature stage
-        # (an under-partitioned scan would serialize it on one core —
-        # measured 3.7× on the corpus side at sf0.1).
-        sigs = spread_small_input(df).select(
-            F.col(id_col).alias(out_id), shingle_hash_set(text_col, k).alias(out_hs)
-        ).select(out_id, out_hs, *minhash_signature_cols(out_hs))
-        return sigs.select(
-            out_id, out_hs, F.explode(F.array(*lsh_band_keys())).alias("band")
-        )
 
-    ob = bands_frame(old, "old_id", "old_hs")
-    nb = bands_frame(new, "new_id", "new_hs")
+def band_signature_frame(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """``(doc_id, hs, band)`` — the exploded LSH band/signature frame,
+    the thing a production ingest PERSISTS per document so the corpus
+    text is hashed exactly once, at ingest (see neardup_ingest_sink in
+    streaming.windows). spread_small_input parallelizes the CPU-bound
+    signature stage (an under-partitioned scan would serialize it on one
+    core — measured 3.7× on the corpus side at sf0.1)."""
+    sigs = spread_small_input(df).select(
+        F.col(id_col).alias("doc_id"), shingle_hash_set(text_col, k).alias("hs")
+    ).select("doc_id", "hs", *minhash_signature_cols("hs"))
+    return sigs.select("doc_id", "hs", F.explode(F.array(*lsh_band_keys())).alias("band"))
+
+
+def incremental_neardup_from_bands(
+    old_bands: DataFrame,
+    new_bands: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The join half of ``incremental_neardup``, over pre-built band
+    frames (columns ``(old_id, old_hs, band)`` / ``(new_id, new_hs,
+    band)``): lets the corpus side come from a PERSISTED signature table
+    instead of re-hashing text every ingest."""
     inter = F.size(F.array_intersect(F.col("new_hs"), F.col("old_hs"))).cast("double")
     union = (
         F.size(F.col("new_hs")) + F.size(F.col("old_hs"))
     ).cast("double") - inter
     return (
-        ob.join(F.broadcast(nb), "band")
+        old_bands.join(F.broadcast(new_bands), "band")
         .select(
             "new_id",
             "old_id",

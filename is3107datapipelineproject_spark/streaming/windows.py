@@ -341,3 +341,58 @@ def funnel_state(events: DataFrame, window_us: int = 30 * 60 * 1_000_000) -> Dat
     return src.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+def neardup_ingest_sink(
+    sig_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+):
+    """Streaming corpus ingest with every-batch near-dup detection —
+    the 100 TB ingest loop made concrete: returns a foreachBatch
+    function that, per micro-batch of arriving documents,
+
+    1. builds the batch's LSH band/signature frame ONCE
+       (localCheckpoint: it feeds both the join and the table append);
+    2. joins it (broadcast, new side) against the PERSISTED corpus
+       signature table at ``sig_dir`` — the corpus text is never
+       re-read or re-hashed, the property that keeps per-ingest cost
+       proportional to the batch;
+    3. appends surviving ``(new_id, old_id, jaccard)`` pairs to
+       ``pairs_dir``;
+    4. appends the batch's own bands to the signature table, so the
+       NEXT batch sees this one as corpus.
+
+    Within-batch pairs are intentionally out of scope (same contract as
+    operators.dedup.incremental_neardup: new×old only; run
+    minhash_neardup_pairs on the batch if intra-batch dups matter).
+    Batch order within a trigger is the micro-batch order, so the
+    old/new attribution is deterministic per checkpoint lineage.
+    """
+    from pyspark.errors import AnalysisException
+
+    from is3107datapipelineproject_spark.operators.dedup import (
+        band_signature_frame,
+        incremental_neardup_from_bands,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        nb = band_signature_frame(batch_df, text_col, id_col, k).localCheckpoint(eager=True)
+        try:
+            corpus = spark.read.parquet(sig_dir)
+        except AnalysisException:  # cold start: first batch IS the corpus
+            corpus = None
+        if corpus is not None:
+            pairs = incremental_neardup_from_bands(
+                corpus.toDF("old_id", "old_hs", "band"),
+                nb.toDF("new_id", "new_hs", "band"),
+                threshold=threshold,
+            )
+            pairs.write.mode("append").parquet(pairs_dir)
+        nb.write.mode("append").parquet(sig_dir)
+
+    return apply

@@ -561,3 +561,68 @@ def test_funnel_state_survives_checkpoint_restart(spark, tmp_path):
     assert set(got) == set(want) and len(want) > 0
     mismatches = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
     assert not mismatches, dict(list(mismatches.items())[:5])
+
+
+def test_neardup_ingest_sink_matches_batch_incremental(spark, tmp_path):
+    """Streaming ingest dedup == batch incremental_neardup: drain two
+    document micro-batches through the foreachBatch sink; batch 2's
+    pairs against the persisted signature table must equal the batch
+    operator run with batch 1 as the corpus, and the signature table
+    must hold every doc's 4 bands (hashed exactly once, at ingest)."""
+    from is3107datapipelineproject_spark.operators import dedup as D
+    from is3107datapipelineproject_spark.streaming.windows import neardup_ingest_sink
+
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely unrelated text about distributed query processing"),
+        (3, "a third document with its own distinctive wording throughout"),
+    ]
+    b2 = [
+        (11, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+        (12, "a third document with its own distinctive wording throughout today"),  # near 3
+        (13, "fresh content that matches nothing in the existing corpus"),
+    ]
+    docs_dir = tmp_path / "ingest_docs"
+    spark.createDataFrame(b1, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(docs_dir / "f0.parquet")
+    )
+    spark.createDataFrame(b2, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(docs_dir / "f1.parquet")
+    )
+    sig_dir = str(tmp_path / "sig_table")
+    pairs_dir = str(tmp_path / "pairs_out")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            neardup_ingest_sink(sig_dir, pairs_dir, threshold=0.7)
+        )
+        .option("checkpointLocation", str(tmp_path / "ingest_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in D.incremental_neardup(
+            spark.createDataFrame(b1, ["doc_id", "text"]),
+            spark.createDataFrame(b2, ["doc_id", "text"]),
+            "text",
+            "doc_id",
+            threshold=0.7,
+        ).collect()
+    }
+    assert got == want and (11, 1, 1.0) in got
+    # signature table: 4 bands per ingested doc, every doc present
+    sig = spark.read.parquet(sig_dir)
+    assert sig.count() == 4 * 6
+    assert {r.doc_id for r in sig.select("doc_id").distinct().collect()} == {1, 2, 3, 11, 12, 13}
