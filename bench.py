@@ -87,6 +87,7 @@ HEADLINE = [
     "corpus_shuffle",
     "bloom_contamination",
     "data_card",
+    "corpus_diff",
 ]
 
 

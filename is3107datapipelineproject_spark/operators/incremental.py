@@ -19,6 +19,7 @@ from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from is3107datapipelineproject_spark.operators.relational import deleted_rows, new_rows, union_all
 
@@ -48,3 +49,45 @@ def incremental_merge(known: DataFrame, parsed: DataFrame, key: str | Sequence[s
     survivors = known.join(parsed.select(*keys), keys, "left_semi")
     next_unique = union_all(survivors, new.select(*known.columns))
     return MergeResult(new=new, deleted=deleted, next_unique=next_unique)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus version diff — the dataset-release counterpart of the
+    reference's new/deleted CDC (ref main_dag.py:242-262), extended with
+    CONTENT-change detection: every id on either side is classified
+
+    - ``added``:     id only in ``new``
+    - ``removed``:   id only in ``old``
+    - ``changed``:   id on both sides, normalized-content fingerprint
+                     differs (edits invisible to key-based CDC)
+    - ``unchanged``: id on both sides, same fingerprint
+
+    Returns ``(id_col, status)``. Plan: each side reduces to (id,
+    fingerprint) narrowly, then one co-partitioned full-outer join on
+    the id — the scan is the cost; at 100 TB both sides would read
+    PERSISTED fingerprint manifests (the same persist-don't-recompute
+    shape as the dedup signature table)."""
+    from is3107datapipelineproject_spark.operators.dedup import exact_fingerprint
+
+    o = old.select(F.col(id_col), exact_fingerprint(text_col).alias("__ofp"))
+    n = new.select(F.col(id_col), exact_fingerprint(text_col).alias("__nfp"))
+    joined = o.withColumnRenamed(id_col, "__oid").join(
+        n.withColumnRenamed(id_col, "__nid"),
+        F.col("__oid") == F.col("__nid"),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("__oid").isNull(), F.lit("added"))
+        .when(F.col("__nid").isNull(), F.lit("removed"))
+        .when(F.col("__ofp") != F.col("__nfp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        F.coalesce(F.col("__oid"), F.col("__nid")).alias(id_col),
+        status.alias("status"),
+    )

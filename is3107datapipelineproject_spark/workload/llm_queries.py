@@ -1344,3 +1344,47 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = K.bloom_probe(bloom, tr_g, "g").filter(F.col("bloom_hit"))
     return flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+
+
+# --- corpus version diff -----------------------------------------------------
+
+@register(
+    "corpus_diff",
+    oracle=f"""
+WITH o AS (
+  SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents WHERE doc_id % 7 <> 0
+),
+n AS (
+  SELECT doc_id, md5({SQL_NORM}) AS fp
+  FROM (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' edited in v2'
+                            ELSE text END AS text
+        FROM documents WHERE doc_id % 11 <> 0)
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""",
+    tags=("incremental", "llm"),
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff: version 1 is every doc_id not divisible by 7;
+    version 2 drops every 11th doc and edits every 5th doc's text — so
+    all four statuses occur. The diff classifies each id added / removed
+    / changed / unchanged by normalized-content fingerprint — content
+    `changed` detection is what key-based CDC (incremental_merge) cannot
+    see. One narrow fingerprint projection per side + one co-partitioned
+    full-outer join."""
+    from is3107datapipelineproject_spark.operators.incremental import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" edited in v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return corpus_diff(old, new)

@@ -86,3 +86,23 @@ def test_ordinals_invariant_under_input_order(spark, rows):
     for g in (0, 1):
         ordered = sorted(o for gg, o in got if gg == g)
         assert [got[(g, o)] for o in ordered] == list(range(1, len(ordered) + 1))
+
+
+def test_corpus_diff_partitions_ids_and_detects_edits(spark):
+    """corpus_diff invariants: every id appears exactly once; statuses
+    partition (old ∪ new); an id edited in place is `changed`, never
+    `added`+`removed`."""
+    from is3107datapipelineproject_spark.operators.incremental import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma EDITED"), (4, "delta")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # normalization: whitespace/case edits are NOT content changes
+    new2 = spark.createDataFrame([(2, "  BETA "), (3, "gamma")], ["doc_id", "text"])
+    got2 = {r.doc_id: r.status for r in corpus_diff(old, new2).collect()}
+    assert got2 == {1: "removed", 2: "unchanged", 3: "unchanged"}
