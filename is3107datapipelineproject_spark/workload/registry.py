@@ -103,11 +103,16 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # previously rows-only / err:no_oracle — now hash-checkable
     "hll_mergeable_sketch",
     "approx_distinct",
-    # new this round, no external evidence yet
+    # new this round, no external evidence yet (first two fit in the
+    # 50-query sample window; the rest lead the next round's rotation)
     "cms_heavy_hitters",
     "split_leakage",
     "contamination_report",
     "dup_cluster_sizes",
+    "corpus_shuffle",
+    "bloom_contamination",
+    "data_card",
+    "corpus_diff",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",
