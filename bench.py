@@ -88,6 +88,7 @@ HEADLINE = [
     "bloom_contamination",
     "data_card",
     "corpus_diff",
+    "incremental_curation",
 ]
 
 

@@ -1388,3 +1388,64 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     return corpus_diff(old, new)
+
+
+# --- the ingest loop as ONE declarative plan --------------------------------
+
+_QUALITY_EXPR = """round(0.5 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+       + 0.3 * CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       + 0.2 * (1.0 - CAST(length(text) - length(regexp_replace(text,
+             '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE) / length(text)),
+       4)"""
+
+
+@register(
+    "incremental_curation",
+    oracle=f"""
+WITH toks AS ({SQL_DOCS_TOKS}),
+sh AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> {SQL_H28.format(x='s')})) AS hs
+       FROM (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM toks)),
+sig AS (SELECT doc_id, hs, {_MH_COLS} FROM sh),
+bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band FROM sig),
+q AS (SELECT t.doc_id, {_QUALITY_EXPR} AS quality
+      FROM (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents) t(doc_id, text, toks)),
+clean AS (SELECT doc_id, quality FROM q WHERE doc_id % 5 = 0 AND quality >= 0.4),
+dupped AS (
+  SELECT DISTINCT n.doc_id AS new_id
+  FROM bands n JOIN bands o ON n.band = o.band
+  JOIN sh x ON x.doc_id = n.doc_id JOIN sh y ON y.doc_id = o.doc_id
+  WHERE n.doc_id IN (SELECT doc_id FROM clean) AND o.doc_id % 5 <> 0
+    AND round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+              / (CAST(len(x.hs) + len(y.hs) AS DOUBLE) - len(list_intersect(x.hs, y.hs))),
+              4) >= 0.8
+)
+SELECT doc_id, quality FROM clean WHERE doc_id NOT IN (SELECT new_id FROM dupped)
+""",
+    tags=("curation", "incremental", "llm"),
+)
+def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole ingest loop as one declarative plan — what a corpus
+    pipeline runs on every arriving batch: (1) quality-gate the arrivals
+    (narrow), (2) near-dup-check survivors against the EXISTING corpus
+    (batch side broadcast, corpus never shuffled — incremental_neardup's
+    plan), (3) admit arrivals with no corpus near-dup. The 20% of docs
+    with doc_id % 5 == 0 play the arriving batch. Returns
+    ``(doc_id, quality)`` of admitted docs.
+
+    Composing the three stages in one DataFrame lets Catalyst fuse the
+    quality projection into the arrivals scan and prune columns through
+    the anti-join — the stages cost one corpus pass + one pair shuffle,
+    not three pipeline jobs."""
+    from is3107datapipelineproject_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    arrivals = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    clean = arrivals.select(
+        "doc_id", "text", F.round(quality_score("text"), 4).alias("quality")
+    ).filter(F.col("quality") >= 0.4)
+    pairs = D.incremental_neardup(corpus, clean, "text", "doc_id", threshold=0.8)
+    kept = clean.join(
+        pairs.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    return kept.select("doc_id", "quality")

@@ -113,6 +113,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "bloom_contamination",
     "data_card",
     "corpus_diff",
+    "incremental_curation",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",
