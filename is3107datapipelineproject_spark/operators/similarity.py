@@ -286,7 +286,14 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs within coarse buckets:
     ``(id1, id2, cosine)`` with id1 < id2 and cosine ≥ threshold. The
     quadratic expansion is confined to each bucket (same blocking
-    argument as dedup.blocked_jaccard_pairs)."""
+    argument as dedup.blocked_jaccard_pairs) — which means BUCKET
+    GRANULARITY MUST GROW WITH THE CORPUS: per-bucket work is
+    O(|bucket|²), so a fixed coarse partition (the registered query's
+    ~10 labels — fine at test scale) becomes quadratic at 100 TB. The
+    production formulation feeds ``bucket_col`` = an IVF cell id from
+    ``bucket_centroids``/``ivf_topk``'s coarse quantizer (cells sized
+    ~√corpus), keeping per-bucket work bounded while recall follows the
+    same cell-locality argument as the ANN tier."""
     t = _prep(df, id_col, vec_col, [bucket_col], spread=True).withColumnRenamed(bucket_col, "bucket")
     a, b = t.alias("a"), t.alias("b")
     sim = F.round(
