@@ -89,6 +89,7 @@ HEADLINE = [
     "data_card",
     "corpus_diff",
     "incremental_curation",
+    "embedding_neardup_lsh",
 ]
 
 

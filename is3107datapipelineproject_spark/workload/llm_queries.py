@@ -1449,3 +1449,48 @@ def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("new_id").alias("doc_id")).distinct(), "doc_id", "left_anti"
     )
     return kept.select("doc_id", "quality")
+
+
+# --- embedding near-dup with scale-controlled LSH cells ----------------------
+
+_LSH_BITS = 8
+_SQL_CELL = " + ".join(
+    f"(CASE WHEN v[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)" for j in range(_LSH_BITS)
+)
+
+
+@register(
+    "embedding_neardup_lsh",
+    oracle=f"""
+WITH e AS ({SQL_EMB}),
+c AS (SELECT vec_id, v, CAST({_SQL_CELL} AS INT) AS cell FROM e)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+""",
+    tags=("similarity", "dedup", "llm"),
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with SCALE-CONTROLLED blocking — the 100 TB
+    formulation of `embedding_neardup`: the bucket is a sign-bit LSH
+    cell (bit j = sign of dimension j, 2^8 = 256 cells here) instead of
+    a fixed coarse label, so per-bucket quadratic work is corpus/2^bits
+    and ``bits`` is the granularity knob that grows with log(corpus).
+    Near-identical vectors agree on every sign except dimensions near
+    zero — the random-hyperplane LSH recall argument with axis planes.
+    Same plan shape (bucket equi-join, quadratic confined to the cell),
+    plan-lint asserted like every registry entry."""
+    from functools import reduce
+    from operator import add
+
+    v = F.col("embedding")
+    cell = reduce(
+        add,
+        [
+            F.when(F.element_at(v, j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(_LSH_BITS)
+        ],
+    )
+    emb = _t(spark, sf_dir, "embeddings").withColumn("cell", cell.cast("int"))
+    return S.embedding_neardup_pairs(emb, "vec_id", "embedding", "cell", threshold=0.4)

@@ -114,6 +114,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "data_card",
     "corpus_diff",
     "incremental_curation",
+    "embedding_neardup_lsh",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",
