@@ -90,6 +90,7 @@ HEADLINE = [
     "corpus_diff",
     "incremental_curation",
     "embedding_neardup_lsh",
+    "minhash_topk_similar",
 ]
 
 

@@ -1494,3 +1494,66 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = _t(spark, sf_dir, "embeddings").withColumn("cell", cell.cast("int"))
     return S.embedding_neardup_pairs(emb, "vec_id", "embedding", "cell", threshold=0.4)
+
+
+# --- per-doc top-k similar (LSH retrieval shape) ----------------------------
+
+@register(
+    "minhash_topk_similar",
+    oracle=f"""
+WITH toks AS ({SQL_DOCS_TOKS}),
+sh AS (SELECT doc_id, list_distinct(list_transform(shingles, s -> {SQL_H28.format(x='s')})) AS hs
+       FROM (SELECT doc_id, {SQL_SHINGLES} AS shingles FROM toks)),
+sig AS (SELECT doc_id, hs, {_MH_COLS} FROM sh),
+bands AS (SELECT doc_id, unnest([{_BAND_LIST}]) AS band FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT doc1, doc2,
+         round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+               / (CAST(len(x.hs) + len(y.hs) AS DOUBLE) - len(list_intersect(x.hs, y.hs))),
+               4) AS jaccard
+  FROM cand JOIN sh x ON x.doc_id = doc1 JOIN sh y ON y.doc_id = doc2
+  WHERE round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+              / (CAST(len(x.hs) + len(y.hs) AS DOUBLE) - len(list_intersect(x.hs, y.hs))),
+              4) >= 0.05
+),
+sym AS (
+  SELECT doc1 AS doc_id, doc2 AS similar_id, jaccard FROM scored
+  UNION ALL
+  SELECT doc2, doc1, jaccard FROM scored
+)
+SELECT doc_id, similar_id, jaccard, rnk FROM (
+  SELECT doc_id, similar_id, jaccard,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY jaccard DESC, similar_id) AS INT) AS rnk
+  FROM sym
+) WHERE rnk <= 3
+""",
+    tags=("dedup", "similarity", "llm"),
+)
+def q_minhash_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 most similar documents — the LSH RETRIEVAL
+    shape ('show me this doc's near-relatives'), as opposed to the
+    threshold-pair DEDUP shape: band-collision candidates get exact
+    Jaccard, each direction of a pair feeds its endpoint's ranking, and
+    a per-doc window keeps the best 3 (WindowGroupLimit prunes the rank
+    pre-shuffle). Low 0.05 floor: retrieval wants weak relatives too;
+    candidate volume is still band-bounded, never all-pairs."""
+    pairs = D.minhash_neardup_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.05)
+    sym = pairs.select(
+        F.col("doc1").alias("doc_id"), F.col("doc2").alias("similar_id"), "jaccard"
+    ).unionAll(
+        pairs.select(
+            F.col("doc2").alias("doc_id"), F.col("doc1").alias("similar_id"), "jaccard"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("similar_id").asc())
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -115,6 +115,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "corpus_diff",
     "incremental_curation",
     "embedding_neardup_lsh",
+    "minhash_topk_similar",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",
