@@ -91,6 +91,7 @@ HEADLINE = [
     "incremental_curation",
     "embedding_neardup_lsh",
     "minhash_topk_similar",
+    "decontaminate_fixed_bench",
 ]
 
 

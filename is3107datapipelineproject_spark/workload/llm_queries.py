@@ -1557,3 +1557,31 @@ def q_minhash_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "decontaminate_fixed_bench",
+    oracle=f"""
+WITH sh AS ({SQL_DOCS_SHINGLES}),
+ev AS (SELECT DISTINCT unnest(hs) AS ngram_hash FROM sh WHERE doc_id < 100),
+tr AS (SELECT doc_id, unnest(hs) AS ngram_hash FROM sh WHERE doc_id >= 100)
+SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM tr JOIN ev USING (ngram_hash)
+GROUP BY 1
+""",
+    tags=("hygiene", "llm"),
+)
+def q_decontaminate_fixed_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a FIXED-SIZE benchmark (docs with id
+    < 100 play a frozen eval suite) — the deployment shape, where the
+    broadcast n-gram set is CONSTANT as the corpus grows, unlike the
+    `decontaminate` twin whose modulo eval split grows with the corpus.
+    At any corpus scale the cost is one corpus-side explode probed
+    against a fixed broadcast set — work ∼ corpus × benchmark density,
+    with the benchmark factor pinned."""
+    from is3107datapipelineproject_spark.operators.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 100)
+    tr = docs.filter(F.col("doc_id") >= 100)
+    return decontaminate(tr, ev, "text", "doc_id", k=3)

@@ -116,6 +116,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "incremental_curation",
     "embedding_neardup_lsh",
     "minhash_topk_similar",
+    "decontaminate_fixed_bench",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",
