@@ -92,6 +92,8 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "minhash_topk_similar",
     "decontaminate_fixed_bench",
+    "kmeans_assign",
+    "semantic_dedup",
 ]
 
 

@@ -1,0 +1,185 @@
+"""Distributed k-means over an embedding column, plus the SemDeDup-style
+semantic-dedup sweep built on it.
+
+Beyond-reference surface (driver mandate): the clustering stage of a
+training-data pipeline — SemDeDup (Abbas et al., 2023) clusters corpus
+embeddings with k-means and drops near-duplicates WITHIN each cluster,
+which confines the quadratic pair search to cluster-sized buckets the
+same way minhash bands confine text near-dup.
+
+Determinism contract (the whole point of this formulation):
+- init centroids = the vectors of the k SMALLEST ids (no RNG),
+- per-point assignment = argmin over squared L2 distance ROUNDED to 6
+  decimals, ties broken by smaller cluster id,
+- centroid update = per-(cluster, dimension) mean summed as DECIMAL
+  (exact, order-independent) and rounded to 6 decimals.
+Every step is reproducible bit-for-bit across engines and partitionings,
+so a DuckDB oracle can replay the exact iteration.
+
+Plan shape at 100 TB:
+- assignment is NARROW: the k×dim centroid table collapses to ONE row
+  (array of structs), broadcast to every task; the argmin is a per-row
+  fold over that array inside whole-stage codegen — the corpus is never
+  shuffled and never expanded k×.
+- update is one hash-aggregate of (cluster, pos, x) triples — dim×N
+  shuffle rows with map-side partial aggregation, same layout as
+  similarity.bucket_centroids.
+- per-iteration centroids are localCheckpoint'd (k rows) so the lineage
+  stays O(1) deep and the corpus scan count is exactly
+  iters + 1 (one per assignment), not exponential in iters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.operators.similarity import dot, l2_norm
+
+
+def _sq_dist(vec: Column, cent: Column, decimals: int = 6) -> Column:
+    """Squared L2 distance as a sequential elementwise fold (identical
+    evaluation order to the oracle's list_transform + list_sum), rounded
+    before any comparison so both engines agree on the argmin."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec, cent, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        decimals,
+    )
+
+
+def _pack_centroids(cents: DataFrame) -> DataFrame:
+    """(cid, centroid) → ONE row holding array<struct<cid,centroid>>
+    sorted by cid — the broadcastable codebook for narrow assignment."""
+    return cents.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "centroid"))).alias("cents")
+    )
+
+
+def _assign(t: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the 1-row codebook, fold
+    over it per point. Returns (vid, vec, cluster, d2) — no shuffle, no
+    k× row expansion."""
+    zero = F.struct(
+        F.lit(float("inf")).alias("d2"), F.lit(-1).cast("int").alias("cid")
+    )
+
+    def merge(acc: Column, c: Column) -> Column:
+        d2 = _sq_dist(F.col("vec"), c["centroid"])
+        better = (d2 < acc["d2"]) | ((d2 == acc["d2"]) & (c["cid"] < acc["cid"]))
+        return F.when(better, F.struct(d2.alias("d2"), c["cid"].alias("cid"))).otherwise(acc)
+
+    best = F.aggregate("cents", zero, merge)
+    return t.crossJoin(F.broadcast(_pack_centroids(cents))).select(
+        "vid",
+        "vec",
+        best["cid"].alias("cluster"),
+        best["d2"].alias("d2"),
+    )
+
+
+def _update(assigned: DataFrame, decimals: int = 6) -> DataFrame:
+    """Lloyd update: per-(cluster, dimension) DECIMAL-exact mean →
+    (cid, centroid). One hash-aggregate; k×dim output."""
+    t = assigned.select(
+        F.col("cluster").alias("cid"),
+        F.posexplode("vec").alias("pos", "x"),
+    )
+    per = t.groupBy("cid", "pos").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(28,12)")).cast("double") / F.count(F.lit(1)),
+            decimals,
+        ).alias("c")
+    )
+    return per.groupBy("cid").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias(
+            "centroid"
+        )
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means: init from the k smallest ids, run
+    ``iters`` update rounds, return the FINAL assignment
+    ``(id_col, cluster, d2)`` (d2 = rounded squared distance to the
+    point's final centroid).
+
+    Per iteration: one narrow corpus scan (assignment) + one dim×N
+    hash-aggregate (update). Total corpus scans = iters + 1. The k-row
+    centroid frames are localCheckpoint'd each round, keeping the plan
+    depth constant — the iterative-algorithm discipline from
+    dedup.neardup_clusters applied to centroids instead of cluster ids.
+    """
+    from is3107datapipelineproject_spark.operators.dedup import spread_small_input
+
+    t = spread_small_input(df).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    w = Window.orderBy("vid")
+    cents = (
+        t.orderBy("vid")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).cast("int").alias("cid"), F.col("vec").alias("centroid"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _assign(t, cents)
+        cents = _update(assigned).localCheckpoint(eager=True)
+    final = _assign(t, cents)
+    return final.select(F.col("vid").alias(id_col), "cluster", "d2")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup: k-means-cluster the embeddings, then inside each
+    cluster mark a vector as a semantic duplicate iff a SMALLER-id
+    vector in the same cluster has cosine ≥ ``threshold`` to it. Returns
+    ``(id_col, cluster, is_kept)`` — the keep-list decision per vector.
+
+    The cluster is the blocking key: the quadratic pair search runs
+    per-cluster, never corpus-wide (cluster granularity must grow with
+    the corpus — pick k ~ √N at scale, exactly the
+    embedding_neardup_pairs bucket contract). Keep rule is
+    exists-smaller-neighbor, the deterministic representative choice an
+    oracle can replay (no transitive-closure ambiguity).
+    """
+    asg = kmeans_assign(df, id_col, vec_col, k=k, iters=iters).localCheckpoint(eager=True)
+    vecs = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    vecs = vecs.select("vid", "vec", l2_norm(F.col("vec")).alias("norm"))
+    t = asg.select(F.col(id_col).alias("vid"), "cluster").join(vecs, "vid")
+    a, b = t.alias("a"), t.alias("b")
+    sim = F.round(
+        dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm")), 4
+    )
+    dup_ids = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vid") < F.col("b.vid")))
+        .filter(sim >= threshold)
+        .select(F.col("b.vid").alias("vid"))
+        .distinct()
+    )
+    return (
+        asg.select(F.col(id_col).alias("vid"), "cluster")
+        .join(dup_ids.withColumn("__dup", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
+        )
+    )

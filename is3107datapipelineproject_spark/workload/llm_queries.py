@@ -1585,3 +1585,103 @@ def q_decontaminate_fixed_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") < 100)
     tr = docs.filter(F.col("doc_id") >= 100)
     return decontaminate(tr, ev, "text", "doc_id", k=3)
+
+
+# --- deterministic k-means + SemDeDup --------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+SEMDEDUP_THR = 0.3  # demo threshold; synthetic embeddings are well-spread
+
+
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """Unrolled Lloyd iteration CTE chain mirroring
+    operators.clustering.kmeans_assign step-for-step (decimal-exact
+    centroid means, d2 rounded to 6 before the argmin, ties to the
+    smaller cluster id). Returns (cte_sql, final_assignment_name)."""
+    d2 = "round(list_sum(list_transform(list_zip(e.v, i.c), x -> (x[1]-x[2])*(x[1]-x[2]))), 6)"
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, i.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, i.cid ASC) AS rn
+    FROM e, {cents} i
+  ) WHERE rn = 1
+)"""
+
+    def update(name: str, asg: str) -> str:
+        return f"""{name}_long AS (
+  SELECT a.cid, u.pos, round(CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS cc
+  FROM {asg} a JOIN (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) u USING (vec_id)
+  GROUP BY 1, 2
+),
+{name} AS (SELECT cid, list(cc ORDER BY pos) AS c FROM {name}_long GROUP BY 1)"""
+
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+  FROM e ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for i in range(iters):
+        parts.append(assign(f"a{i}", f"c{i}"))
+        parts.append(update(f"c{i+1}", f"a{i}"))
+    parts.append(assign(f"a{iters}", f"c{iters}"))
+    return ",\n".join(parts), f"a{iters}"
+
+
+_KM_CTES, _KM_FINAL = _kmeans_ctes(KMEANS_K, KMEANS_ITERS)
+
+
+@register(
+    "kmeans_assign",
+    oracle=f"""
+WITH {_KM_CTES}
+SELECT vec_id, cid AS cluster, d2 FROM {_KM_FINAL}
+""",
+    tags=("clustering", "similarity", "llm"),
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=8, 2 update rounds, init = the 8
+    smallest vec_ids) — the clustering stage a SemDeDup/IVF pipeline
+    runs before its quadratic-within-bucket passes. Assignment is a
+    narrow fold over the broadcast 1-row codebook (no k x row expansion,
+    corpus never shuffled); each update is one dim x N hash-aggregate
+    with decimal-exact means (operators/clustering.py::kmeans_assign)."""
+    from is3107datapipelineproject_spark.operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+WITH {_KM_CTES},
+t AS (SELECT a.vec_id, a.cid AS cluster, e.v FROM {_KM_FINAL} a JOIN e USING (vec_id)),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM t a JOIN t b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {SEMDEDUP_THR}
+)
+SELECT t.vec_id, t.cluster, (dup.vec_id IS NULL) AS is_kept
+FROM t LEFT JOIN dup USING (vec_id)
+""",
+    tags=("clustering", "dedup", "llm"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then inside each cluster drop any vector whose cosine to a
+    smaller-id cluster-mate is >= threshold. The cluster is the blocking
+    key confining the quadratic pair search
+    (operators/clustering.py::semantic_dedup); at 100 TB pick
+    k ~ sqrt(N) so per-cluster work stays bounded, the same granularity
+    contract as embedding_neardup_pairs."""
+    from is3107datapipelineproject_spark.operators.clustering import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_THR
+    )

@@ -117,6 +117,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "embedding_neardup_lsh",
     "minhash_topk_similar",
     "decontaminate_fixed_bench",
+    "kmeans_assign",
+    "semantic_dedup",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",

@@ -1,0 +1,87 @@
+"""Planted-structure tests for the k-means / SemDeDup operators
+(operators/clustering.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from is3107datapipelineproject_spark.operators.clustering import kmeans_assign, semantic_dedup
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("vid", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _planted(spark):
+    """Two tight groups far apart; ids interleave across groups so the
+    deterministic init (2 smallest ids) seeds one centroid in each."""
+    rows = []
+    for i in range(10):
+        rows.append((2 * i, [10.0 + 0.01 * i, 0.0, 0.0]))  # group A near (10,0,0)
+        rows.append((2 * i + 1, [0.0, 10.0 + 0.01 * i, 0.0]))  # group B near (0,10,0)
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_kmeans_separates_planted_groups(spark):
+    df = _planted(spark)
+    out = kmeans_assign(df, "vid", "vec", k=2, iters=2).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.vid)
+    assert len(out) == 20
+    assert set(by_cluster) == {0, 1}
+    # init: vid 0 (group A) -> cid 0, vid 1 (group B) -> cid 1
+    assert by_cluster[0] == {2 * i for i in range(10)}
+    assert by_cluster[1] == {2 * i + 1 for i in range(10)}
+    # converged assignment puts every point near its own centroid
+    assert all(r.d2 < 1.0 for r in out)
+
+
+def test_kmeans_deterministic_across_repartitioning(spark):
+    df = _planted(spark)
+    a = sorted((r.vid, r.cluster, r.d2) for r in kmeans_assign(df, "vid", "vec", k=2, iters=2).collect())
+    b = sorted(
+        (r.vid, r.cluster, r.d2)
+        for r in kmeans_assign(df.repartition(7), "vid", "vec", k=2, iters=2).collect()
+    )
+    assert a == b
+
+
+def test_semantic_dedup_drops_higher_id_neardup(spark):
+    df = _planted(spark)
+    # plant an exact duplicate of vid 0 with a HIGHER id, and one with a
+    # near-but-not-identical direction below the threshold
+    extra = spark.createDataFrame(
+        [(100, [10.0, 0.0, 0.0]), (101, [10.0, 9.0, 0.0])], _SCHEMA
+    )
+    out = semantic_dedup(df.union(extra), "vid", "vec", k=2, iters=2, threshold=0.999).collect()
+    kept = {r.vid for r in out if r.is_kept}
+    dropped = {r.vid for r in out if not r.is_kept}
+    assert 100 in dropped  # duplicate of vid 0 (cosine 1.0), higher id loses
+    assert 0 in kept  # the smaller-id representative survives
+    assert 101 in kept  # cosine ~0.74 < 0.999 -> not a dup
+    # group members are mutually near-parallel within a group: with the
+    # tight 0.999 threshold the later members of each group also collapse
+    # onto the group's smallest id — every drop must have a smaller-id
+    # cluster-mate kept
+    clusters = {r.vid: r.cluster for r in out}
+    for d in dropped:
+        assert any(kv < d and clusters[kv] == clusters[d] for kv in kept)
+
+
+def test_kmeans_assignment_plan_is_narrow(spark):
+    """The assignment side must not expand the corpus k-fold or shuffle
+    it: the codebook arrives by broadcast and the argmin is a per-row
+    fold. Guard: no hashpartitioning exchange keyed on the point id in
+    the final-assignment subtree."""
+    df = _planted(spark)
+    plan = (
+        kmeans_assign(df, "vid", "vec", k=2, iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(vid" not in plan
