@@ -94,6 +94,9 @@ HEADLINE = [
     "decontaminate_fixed_bench",
     "kmeans_assign",
     "semantic_dedup",
+    "dup_ngram_fraction",
+    "hard_negatives",
+    "temperature_sample",
 ]
 
 

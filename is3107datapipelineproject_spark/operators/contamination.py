@@ -116,6 +116,43 @@ def boilerplate_docs(
     )
 
 
+def dup_ngram_fraction(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction (the RefinedWeb /
+    MassiveText quality rule: docs whose k-grams mostly appear elsewhere
+    are templated or scraped copies and get filtered): for each doc, the
+    share of its DISTINCT k-gram hashes whose corpus document-frequency
+    is ≥ 2. Returns ``(doc_id, n_grams, n_dup, dup_frac)`` with the
+    fraction rounded to 4 decimals (one exact division — deterministic).
+
+    Plan: one hash-aggregate for per-gram document frequency (distinct
+    per doc already, so count == doc freq), one join back keyed on the
+    gram hash, one per-doc re-aggregate. The join's build side has
+    exactly ONE row per gram; the probe side's hottest key carries at
+    most #docs rows — a boilerplate gram skews a probe partition, which
+    AQE's skew-join split re-balances at runtime (asserted for the
+    salted-join family in tests/test_salted_join.py). Unlike
+    boilerplate_docs there is no df-share floor bounding the build side,
+    so it does NOT broadcast — it shuffles once, same key both sides.
+    """
+    per_doc = _doc_ngram_hashes(docs, text_col, id_col, k)
+    freqs = per_doc.groupBy("ngram_hash").agg(F.count(F.lit(1)).alias("__df"))
+    dup = F.sum((F.col("__df") >= 2).cast("long")).cast("long")
+    return (
+        per_doc.join(freqs, "ngram_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            dup.alias("n_dup"),
+            F.round(dup / F.count(F.lit(1)), 4).alias("dup_frac"),
+        )
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

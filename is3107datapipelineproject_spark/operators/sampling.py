@@ -187,6 +187,53 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_target: int,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: derive the mixing weights
+    FROM the observed stratum sizes, ``w_s ∝ √n_s`` (the multilingual /
+    multi-source rebalancing rule w_s ∝ n_s^α with α = 0.5 — small
+    sources get boosted relative to their raw share, big sources get
+    tempered), then keep each stratum at
+
+        rate_s = round(min(1, (n_target · w_s / Σw) / n_s), 6)
+
+    via the same content-hash Bernoulli filter as stratified_sample.
+    α is fixed at 0.5 because IEEE sqrt is correctly rounded — both
+    engines (and any partitioning) agree bit-for-bit, which a general
+    ``pow(n, α)`` does not guarantee. The rate rounds to 6 decimals so
+    the Σ√n summation order (engine-dependent in the last ulp) cannot
+    flip a keep decision: hash fractions live on a 2⁻²⁸ grid that never
+    sits within an ulp of a 10⁻⁶ grid point.
+
+    Unlike ``mixture_sample`` there is no weights argument to go stale:
+    the mixture adapts as the corpus grows. Plan: one tiny per-stratum
+    count (map-side partial) + a 1-row Σ√n attach, broadcast back onto
+    the scan, then a narrow filter — no corpus shuffle at any scale.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    wsum = counts.agg(F.sum(F.sqrt("__n")).alias("__wsum"))
+    rates = counts.crossJoin(F.broadcast(wsum)).select(
+        strata_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(n_target)) * F.sqrt("__n") / F.col("__wsum")) / F.col("__n"),
+            ),
+            6,
+        ).alias("__rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_unit(id_col, salt) < F.col("__rate"))
+        .drop("__rate")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,

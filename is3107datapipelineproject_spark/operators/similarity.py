@@ -280,6 +280,60 @@ def knn_classify(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    max_broadcast_queries: int = 100_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector, the ``k`` most cosine-similar corpus vectors whose label
+    DIFFERS from the query's own — near the anchor in embedding space
+    but semantically wrong, the negatives that actually teach the
+    margin. Returns ``(query_id, negative_id, cosine, rank)``.
+
+    Same plan family as cosine_topk (queries broadcast whole, corpus
+    scanned once, never shuffled; WindowGroupLimit pushes the per-query
+    top-k below the rank exchange) with the label-mismatch predicate
+    applied before ranking. The same small-query-set contract applies
+    and is enforced the same way; the bucketed/IVF tiers are the
+    fallback shape when the anchor set itself is corpus-sized.
+    """
+    n_q = queries.count()
+    if n_q > max_broadcast_queries:
+        raise ValueError(
+            f"hard_negatives broadcasts the query side; got {n_q} query vectors "
+            f"(> max_broadcast_queries={max_broadcast_queries}). Mine negatives "
+            "bucket-wise (cosine_topk_bucketed with a label-mismatch filter) "
+            "for corpus-sized anchor sets."
+        )
+    c = _prep(corpus, id_col, vec_col, [label_col], spread=True).withColumnRenamed(
+        label_col, "nlabel"
+    )
+    q = _prep(queries, id_col, vec_col, [label_col]).select(
+        F.col("vid").alias("qid"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col(label_col).alias("qlabel"),
+    )
+    sim = F.round(
+        dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+    ).alias("cosine")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter((F.col("vid") != F.col("qid")) & (F.col("nlabel") != F.col("qlabel")))
+        .select(F.col("qid").alias("query_id"), F.col("vid").alias("negative_id"), sim)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, bucket_col: str, threshold: float = 0.95
 ) -> DataFrame:

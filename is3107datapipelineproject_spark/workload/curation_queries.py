@@ -883,3 +883,34 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_lang",
         )
     )
+
+
+_TEMP_TARGET = 40
+
+
+@register(
+    "temperature_sample",
+    oracle=f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+s AS (SELECT sum(sqrt(n)) AS wsum FROM c),
+r AS (
+  SELECT c.source,
+         round(least(1.0, ({float(_TEMP_TARGET)} * sqrt(c.n) / s.wsum) / c.n), 6) AS rate
+  FROM c, s
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON r.source = d.source
+WHERE {_sql_frac('temp', 'd.doc_id')} < r.rate
+""",
+    tags=("sampling", "curation", "llm"),
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixture (w_s proportional to
+    sqrt(n_s), the alpha=0.5 multilingual rebalancing rule) toward ~40
+    kept docs (operators/sampling.py::temperature_sample — weights
+    derived from the observed counts, content-hash membership, narrow
+    filter; no stale weights map to drift)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return S.temperature_sample(docs, "source", "doc_id", _TEMP_TARGET).select(
+        "doc_id", "source"
+    )

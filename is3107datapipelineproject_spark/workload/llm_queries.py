@@ -1685,3 +1685,58 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_THR
     )
+
+
+@register(
+    "dup_ngram_fraction",
+    oracle=f"""
+WITH sh AS ({SQL_DOCS_SHINGLES}),
+pd AS (SELECT doc_id, unnest(hs) AS ngram_hash FROM sh),
+dfc AS (SELECT ngram_hash, count(*) AS dfq FROM pd GROUP BY 1)
+SELECT pd.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN dfq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(CAST(sum(CASE WHEN dfq >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS dup_frac
+FROM pd JOIN dfc USING (ngram_hash)
+GROUP BY 1
+""",
+    tags=("hygiene", "text", "llm"),
+)
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb duplicated-n-gram-fraction quality rule: per doc, the
+    share of its distinct word-3-grams whose corpus document frequency
+    is >= 2 (operators/contamination.py::dup_ngram_fraction — one df
+    aggregate + one gram-keyed join back, AQE skew-split on hot
+    boilerplate grams)."""
+    from is3107datapipelineproject_spark.operators.contamination import dup_ngram_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_ngram_fraction(docs, "text", "doc_id", k=3)
+
+
+@register(
+    "hard_negatives",
+    oracle=f"""
+WITH e AS ({SQL_EMB}),
+q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e WHERE vec_id < 50),
+s AS (
+  SELECT q.qid AS query_id, e.vec_id AS negative_id,
+         round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+  FROM e, q WHERE e.vec_id <> q.qid AND e.label <> q.qlabel
+)
+SELECT query_id, negative_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS INT) AS rank
+  FROM s
+) WHERE rank <= 5
+""",
+    tags=("similarity", "llm"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector the 5
+    most-similar corpus vectors with a DIFFERENT label
+    (operators/similarity.py::hard_negatives — broadcast query set,
+    single corpus scan, WindowGroupLimit top-k)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding", "label", k=5
+    )

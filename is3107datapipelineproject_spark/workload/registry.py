@@ -119,6 +119,9 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "decontaminate_fixed_bench",
     "kmeans_assign",
     "semantic_dedup",
+    "dup_ngram_fraction",
+    "hard_negatives",
+    "temperature_sample",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",

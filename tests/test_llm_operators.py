@@ -344,3 +344,68 @@ def test_incremental_neardup_broadcasts_batch_not_corpus(docs):
     # the batch/corpus boundary
     rows = out.collect()
     assert all(r.new_id % 5 == 0 and r.old_id % 5 != 0 for r in rows)
+
+
+def test_dup_ngram_fraction_planted(spark):
+    """Two identical docs share every 3-gram (frac 1.0); a disjoint doc
+    shares none (frac 0.0)."""
+    from is3107datapipelineproject_spark.operators.contamination import dup_ngram_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dup_ngram_fraction(df, "text", "doc_id", k=3).collect()}
+    assert out[1].dup_frac == 1.0 and out[2].dup_frac == 1.0
+    assert out[3].dup_frac == 0.0
+    assert out[1].n_grams == 3 and out[1].n_dup == 3
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """The nearest vector overall shares the query's label and must NOT
+    appear; the nearest other-label vector must rank first."""
+    rows = [
+        (0, [1.0, 0.0], 0),      # query
+        (1, [0.99, 0.1], 0),     # nearest, same label -> excluded
+        (2, [0.9, 0.2], 1),      # nearest other-label -> rank 1
+        (3, [0.0, 1.0], 1),
+        (4, [-1.0, 0.0], 2),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "vec", "label"])
+    out = S.hard_negatives(
+        df, df.filter(F.col("vec_id") == 0), "vec_id", "vec", "label", k=3
+    ).collect()
+    ids = [r.negative_id for r in sorted(out, key=lambda r: r.rank)]
+    assert 1 not in ids
+    assert ids[0] == 2
+
+
+def test_hard_negatives_guards_query_broadcast(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(20)], ["vec_id", "vec", "label"]
+    )
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        S.hard_negatives(df, df, "vec_id", "vec", "label", k=2, max_broadcast_queries=5)
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """w proportional to sqrt(n): the small stratum's keep RATE must exceed the big
+    stratum's, and membership must be partition-independent."""
+    from is3107datapipelineproject_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = temperature_sample(df, "source", "doc_id", n_target=100).collect()
+    by_src = {"big": 0, "small": 0}
+    for r in kept:
+        by_src[r.source] += 1
+    # raw shares are 90%/10%; sqrt-flattened quotas are 75%/25% --
+    # the small stratum's keep rate (kept/size) must be boosted above
+    # the big stratum's
+    assert by_src["small"] / 100 > by_src["big"] / 900
+    again = temperature_sample(df.repartition(13), "source", "doc_id", n_target=100).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
