@@ -97,6 +97,7 @@ HEADLINE = [
     "dup_ngram_fraction",
     "hard_negatives",
     "temperature_sample",
+    "quality_classifier",
 ]
 
 

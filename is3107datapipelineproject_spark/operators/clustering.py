@@ -129,11 +129,14 @@ def kmeans_assign(
         t.orderBy("vid")
         .limit(k)
         .select((F.row_number().over(w) - 1).cast("int").alias("cid"), F.col("vec").alias("centroid"))
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
         assigned = _assign(t, cents)
-        cents = _update(assigned).localCheckpoint(eager=True)
+        # k rows: collapse to one partition before materializing so each
+        # checkpoint is one task, not shuffle-partition-many empty ones.
+        cents = _update(assigned).coalesce(1).localCheckpoint(eager=True)
     final = _assign(t, cents)
     return final.select(F.col("vid").alias(id_col), "cluster", "d2")
 

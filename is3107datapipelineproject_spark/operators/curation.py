@@ -269,3 +269,65 @@ def importance_resample(
         scored.withColumn("weight", weight)
         .filter(hash_unit(id_col, salt) < F.col("weight"))
     )
+
+
+# fasttext-style linear quality classifier: fixed, versioned weights (a
+# stand-in for a trained model's coefficients — the deployment shape is
+# identical: tiny weight vector compiled into the plan, never a join).
+QC_WEIGHTS = {
+    "bias": -3.0,
+    "log_tokens": 0.55,  # enough content
+    "ttr": 2.0,          # lexical diversity
+    "punct": -4.0,       # punctuation soup penalty
+    "stopword": 3.0,     # natural-language prior (English function words)
+}
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality filtering (the fasttext/linear-classifier
+    stage of CCNet/LLaMA-style pipelines): a logistic score over narrow
+    text features,
+
+        z = w·[1, log2(1+n_tokens), ttr, punct_ratio, stopword_ratio]
+        quality_prob = sigmoid(z)
+
+    Returns ``(id_col, quality_prob, is_quality)``. The "model" is a
+    constant weight vector folded into the expression — scoring 100 TB
+    is one scan in whole-stage codegen, no joins, no UDFs, and the
+    plan's filter form (``is_quality``) pushes down to parquet like any
+    other predicate.
+
+    Determinism: z is a fixed-order linear combination of exact-rational
+    features plus one log2, rounded to 6 before the (monotone) sigmoid,
+    whose output rounds to 4 — the same transcendental-plus-round
+    convention as unigram_surprisal, safe cross-engine.
+    """
+    from is3107datapipelineproject_spark.operators.text import (
+        LANG_STOPWORDS,
+        punct_ratio,
+        stopword_ratio,
+        type_token_ratio,
+        ws_tokens,
+    )
+
+    w = QC_WEIGHTS
+    n = F.size(ws_tokens(text_col)).cast("double")
+    z = F.round(
+        F.lit(w["bias"])
+        + F.lit(w["log_tokens"]) * F.log2(F.lit(1.0) + n)
+        + F.lit(w["ttr"]) * type_token_ratio(text_col)
+        + F.lit(w["punct"]) * punct_ratio(text_col)
+        + F.lit(w["stopword"]) * stopword_ratio(text_col, LANG_STOPWORDS["en"]),
+        6,
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return df.select(
+        F.col(id_col),
+        prob.alias("quality_prob"),
+        (prob >= F.lit(threshold)).alias("is_quality"),
+    )

@@ -914,3 +914,48 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.temperature_sample(docs, "source", "doc_id", _TEMP_TARGET).select(
         "doc_id", "source"
     )
+
+
+def _qc_oracle(threshold: float) -> str:
+    # generated from the SAME weight constants as the Spark expression
+    from is3107datapipelineproject_spark.operators.curation import QC_WEIGHTS as W
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_TOKS
+
+    en = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
+    return f"""
+WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+               / length(text) AS pr,
+             CAST(len(list_filter(toks, tk -> list_contains([{en}], tk))) AS DOUBLE) / len(toks) AS sw
+      FROM t),
+z AS (SELECT doc_id,
+             round({W["bias"]} + {W["log_tokens"]} * log2(1.0 + n) + {W["ttr"]} * ttr
+                   + {W["punct"]} * pr + {W["stopword"]} * sw, 6) AS zz
+      FROM f)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-zz)), 4) AS quality_prob,
+       round(1.0 / (1.0 + exp(-zz)), 4) >= {threshold} AS is_quality
+FROM z
+"""
+
+
+_QC_THRESHOLD = 0.78
+
+
+@register(
+    "quality_classifier",
+    oracle=_qc_oracle(_QC_THRESHOLD),
+    tags=("curation", "text", "llm"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style linear quality classifier
+    (operators/curation.py::quality_classifier): logistic score over
+    log-token-count, lexical diversity, punctuation density, and
+    English-stopword prior — constant weight vector folded into the
+    scan expression, so model-scoring 100 TB is one codegen pass and
+    the is_quality flag pushes down like any predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.quality_classifier(docs, "text", "doc_id", threshold=_QC_THRESHOLD)

@@ -122,6 +122,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "dup_ngram_fraction",
     "hard_negatives",
     "temperature_sample",
+    "quality_classifier",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",

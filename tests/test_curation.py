@@ -143,3 +143,23 @@ def test_quantize_embeddings_range_and_reconstruction(spark):
     originals = {(0, 1): 1.0, (0, 2): -0.5, (0, 3): 0.25, (1, 1): 0.1, (1, 2): 0.0, (1, 3): -1.0}
     for k, x in originals.items():
         assert abs(by[k]["q"] * scale - x) <= scale / 2 + 1e-9
+
+
+def test_quality_classifier_orders_obvious_cases(spark):
+    """Natural prose with stopwords must outscore punctuation soup, and
+    the score must be invariant to partitioning (pure row expression)."""
+    from is3107datapipelineproject_spark.operators.curation import quality_classifier
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs to the hills in a day"),
+            (2, "!!! ??? ... ;;; ::: ((( ))) [[[ ]]] --- !!! ??? ... ;;;"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in quality_classifier(df, "text", "doc_id").collect()}
+    assert out[1].quality_prob > out[2].quality_prob
+    again = {
+        r.doc_id: r for r in quality_classifier(df.repartition(5), "text", "doc_id").collect()
+    }
+    assert all(out[k].quality_prob == again[k].quality_prob for k in out)
