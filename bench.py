@@ -98,6 +98,7 @@ HEADLINE = [
     "hard_negatives",
     "temperature_sample",
     "quality_classifier",
+    "kmeans_assign_hier",
 ]
 
 

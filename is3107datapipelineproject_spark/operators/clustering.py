@@ -141,6 +141,121 @@ def kmeans_assign(
     return final.select(F.col("vid").alias(id_col), "cluster", "d2")
 
 
+def kmeans_assign_two_level(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    groups: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Two-level (IVF-style) k-means assignment — the k ≫ 1000 scale
+    path where the flat O(N·k·d) argmin fold stops being the plan you
+    want. Returns ``(id_col, group_id, cluster, d2)``.
+
+    1. Train k centroids exactly as ``kmeans_assign`` (init = k smallest
+       ids, ``iters`` decimal-exact Lloyd rounds).
+    2. Group the k centroids: super-inits = the centroids of the
+       ``groups`` smallest cluster ids; each centroid joins its nearest
+       super-init (rounded d2, ties to the smaller group id) — every
+       group is nonempty because each super-init is distance 0 from
+       itself. Routing probes = the decimal-exact MEAN of each group's
+       members.
+    3. Per point: argmin over the ``groups`` routing probes, then argmin
+       over only that group's member centroids — O(g + k/g) distance
+       folds per row instead of O(k), with the whole two-level codebook
+       still ONE broadcast row.
+
+    The group prune is the standard IVF recall tradeoff: a point whose
+    true nearest centroid lives in a non-nearest group takes the
+    group-local optimum (deterministically — and the oracle replays the
+    same routing, so correctness checking is exact even where the
+    assignment is approximate).
+    """
+    from is3107datapipelineproject_spark.operators.dedup import spread_small_input
+
+    t = spread_small_input(df).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    w = Window.orderBy("vid")
+    cents = (
+        t.orderBy("vid")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).cast("int").alias("cid"), F.col("vec").alias("centroid"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _assign(t, cents)
+        cents = _update(assigned).coalesce(1).localCheckpoint(eager=True)
+
+    # --- level 2: group the k centroids (k-row frames throughout) ----
+    sup_init = cents.filter(F.col("cid") < groups).select(
+        F.col("cid").alias("gid"), F.col("centroid").alias("scent")
+    )
+    pairs = cents.crossJoin(F.broadcast(sup_init)).select(
+        "cid",
+        "centroid",
+        "gid",
+        _sq_dist(F.col("centroid"), F.col("scent")).alias("gd2"),
+    )
+    wg = Window.partitionBy("cid").orderBy(F.col("gd2").asc(), F.col("gid").asc())
+    membered = (
+        pairs.withColumn("__rn", F.row_number().over(wg))
+        .filter(F.col("__rn") == 1)
+        .select("cid", "centroid", "gid")
+    )
+    probes = _update(
+        membered.select(F.col("gid").alias("cluster"), F.col("centroid").alias("vec"))
+    ).select(F.col("cid").alias("gid"), F.col("centroid").alias("probe"))
+
+    codebook = (
+        membered.groupBy("gid")
+        .agg(F.array_sort(F.collect_list(F.struct("cid", "centroid"))).alias("members"))
+        .join(probes, "gid")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("gid", "probe", "members"))).alias("book")
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+
+    # --- per-point two-level argmin (narrow) -------------------------
+    gzero = F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).cast("int").alias("gid"))
+
+    def gmerge(acc: Column, g: Column) -> Column:
+        d2 = _sq_dist(F.col("vec"), g["probe"])
+        better = (d2 < acc["d2"]) | ((d2 == acc["d2"]) & (g["gid"] < acc["gid"]))
+        return F.when(better, F.struct(d2.alias("d2"), g["gid"].alias("gid"))).otherwise(acc)
+
+    czero = F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).cast("int").alias("cid"))
+
+    def cmerge(acc: Column, c: Column) -> Column:
+        d2 = _sq_dist(F.col("vec"), c["centroid"])
+        better = (d2 < acc["d2"]) | ((d2 == acc["d2"]) & (c["cid"] < acc["cid"]))
+        return F.when(better, F.struct(d2.alias("d2"), c["cid"].alias("cid"))).otherwise(acc)
+
+    routed = (
+        t.crossJoin(F.broadcast(codebook))
+        .withColumn("__g", F.aggregate("book", gzero, gmerge))
+        # book is sorted by gid and gids are dense 0..groups-1 only for
+        # groups that exist; look the winner up by value, not position
+        .withColumn(
+            "__members",
+            F.element_at(
+                F.filter("book", lambda b: b["gid"] == F.col("__g.gid")), 1
+            )["members"],
+        )
+        .withColumn("__c", F.aggregate("__members", czero, cmerge))
+    )
+    return routed.select(
+        F.col("vid").alias(id_col),
+        F.col("__g.gid").alias("group_id"),
+        F.col("__c.cid").alias("cluster"),
+        F.col("__c.d2").alias("d2"),
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

@@ -1740,3 +1740,59 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hard_negatives(
         emb, emb.filter(F.col("vec_id") < 50), "vec_id", "embedding", "label", k=5
     )
+
+
+# --- two-level (IVF-style) k-means assignment -------------------------------
+
+KMH_K = 16
+KMH_GROUPS = 4
+_KMH_CTES, _KMH_FINAL = _kmeans_ctes(KMH_K, KMEANS_ITERS)
+_D2 = lambda a, b: (  # noqa: E731 — SQL fragment factory
+    f"round(list_sum(list_transform(list_zip({a}, {b}), x -> (x[1]-x[2])*(x[1]-x[2]))), 6)"
+)
+
+
+@register(
+    "kmeans_assign_hier",
+    oracle=f"""
+WITH {_KMH_CTES},
+sup AS (SELECT cid AS gid, c AS scent FROM {_KMH_FINAL.replace('a', 'c')} WHERE cid < {KMH_GROUPS}),
+m AS (
+  SELECT cid, c, gid FROM (
+    SELECT cc.cid, cc.c, s.gid,
+           row_number() OVER (PARTITION BY cc.cid ORDER BY {_D2('cc.c', 's.scent')} ASC, s.gid ASC) AS rn
+    FROM {_KMH_FINAL.replace('a', 'c')} cc, sup s) WHERE rn = 1
+),
+p_long AS (
+  SELECT gid, pos, round(CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS pc
+  FROM (SELECT gid, unnest(c) AS x, generate_subscripts(c, 1) AS pos FROM m) GROUP BY 1, 2
+),
+p AS (SELECT gid, list(pc ORDER BY pos) AS probe FROM p_long GROUP BY 1),
+r AS (
+  SELECT vec_id, gid FROM (
+    SELECT e.vec_id, p.gid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {_D2('e.v', 'p.probe')} ASC, p.gid ASC) AS rn
+    FROM e, p) WHERE rn = 1
+),
+f AS (
+  SELECT vec_id, gid, cid, dd AS d2 FROM (
+    SELECT r.vec_id, r.gid, m.cid, {_D2('e.v', 'm.c')} AS dd,
+           row_number() OVER (PARTITION BY r.vec_id ORDER BY {_D2('e.v', 'm.c')} ASC, m.cid ASC) AS rn
+    FROM r JOIN e USING (vec_id) JOIN m ON m.gid = r.gid) WHERE rn = 1
+)
+SELECT vec_id, gid AS group_id, cid AS cluster, d2 FROM f
+""",
+    tags=("clustering", "similarity", "llm"),
+)
+def q_kmeans_assign_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF-style k-means assignment (k=16 centroids routed
+    through 4 centroid groups): per-point cost O(g + k/g) distance folds
+    instead of O(k) — the k >> 1000 scale path
+    (operators/clustering.py::kmeans_assign_two_level). The group prune
+    is deterministic, so the oracle replays the identical routing."""
+    from is3107datapipelineproject_spark.operators.clustering import kmeans_assign_two_level
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign_two_level(
+        emb, "vec_id", "embedding", k=KMH_K, groups=KMH_GROUPS, iters=KMEANS_ITERS
+    )

@@ -123,6 +123,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "hard_negatives",
     "temperature_sample",
     "quality_classifier",
+    "kmeans_assign_hier",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",

@@ -85,3 +85,29 @@ def test_kmeans_assignment_plan_is_narrow(spark):
     )
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(vid" not in plan
+
+
+def test_two_level_matches_flat_on_separated_groups(spark):
+    """With well-separated planted groups the group prune is lossless:
+    the two-level assignment must equal the flat argmin."""
+    from is3107datapipelineproject_spark.operators.clustering import kmeans_assign_two_level
+
+    df = _planted(spark)
+    flat = {r.vid: r.cluster for r in kmeans_assign(df, "vid", "vec", k=2, iters=2).collect()}
+    two = kmeans_assign_two_level(df, "vid", "vec", k=2, groups=2, iters=2).collect()
+    assert len(two) == 20
+    assert {r.vid: r.cluster for r in two} == flat
+    # groups are the centroids' own ids here (k == groups)
+    assert all(r.group_id in (0, 1) for r in two)
+
+
+def test_two_level_plan_is_narrow(spark):
+    from is3107datapipelineproject_spark.operators.clustering import kmeans_assign_two_level
+
+    df = _planted(spark)
+    plan = (
+        kmeans_assign_two_level(df, "vid", "vec", k=4, groups=2, iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(vid" not in plan
