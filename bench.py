@@ -99,6 +99,7 @@ HEADLINE = [
     "temperature_sample",
     "quality_classifier",
     "kmeans_assign_hier",
+    "containment_pairs",
 ]
 
 

@@ -768,3 +768,65 @@ def incremental_neardup_from_bands(
         .filter(F.col("jaccard") >= threshold)
         .distinct()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    max_gram_df: int = 64,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate detection by n-gram containment,
+    C(A,B) = |S_A ∩ S_B| / min(|S_A|, |S_B|) — catches the
+    quote-and-expand / subset-document relationship that symmetric
+    Jaccard misses (a tweet quoted inside an article has tiny Jaccard
+    but containment ≈ 1 for the tweet side). Returns
+    ``(doc1, doc2, n_shared, containment)`` with doc1 < doc2 and
+    containment ≥ ``threshold``, rounded to 4.
+
+    Scale shape: the inverted-index pattern. Distinct k-gram hashes per
+    doc explode once; grams with corpus document-frequency >
+    ``max_gram_df`` are DROPPED from the universe before pairing (the
+    stop-gram cut every positional-index dedup makes — a boilerplate
+    gram shared by a million docs contributes pair-candidates
+    quadratically and similarity signal not at all). Candidate pairs
+    come from the per-gram self-join of the surviving postings — worst
+    case O(#grams × max_gram_df²) pair rows, shuffled once on the gram
+    and once on the (doc1, doc2) aggregate. Containment denominators
+    use the SAME capped universe, so the semantics are exactly
+    "containment over grams with df ≤ cap" — replayable by the oracle,
+    not a silent approximation.
+    """
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.transform(word_shingles(text_col, k), h28))).alias("g"),
+    )
+    keepable = (
+        per_doc.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_gram_df)
+        .select("g")
+    )
+    kept = per_doc.join(keepable, "g", "left_semi")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("__n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("__n2"))
+    cont = F.round(
+        F.col("n_shared").cast("double")
+        / F.least(F.col("__n1"), F.col("__n2")).cast("double"),
+        4,
+    )
+    return (
+        inter.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select("doc1", "doc2", "n_shared", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

@@ -1796,3 +1796,34 @@ def q_kmeans_assign_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign_two_level(
         emb, "vec_id", "embedding", k=KMH_K, groups=KMH_GROUPS, iters=KMEANS_ITERS
     )
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+WITH sh AS ({SQL_DOCS_SHINGLES}),
+pd AS (SELECT doc_id, unnest(hs) AS g FROM sh),
+fr AS (SELECT g FROM (SELECT g, count(*) AS c FROM pd GROUP BY 1) WHERE c <= 64),
+kept AS (SELECT pd.doc_id, pd.g FROM pd JOIN fr USING (g)),
+sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+iv AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2, n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(s1.n, s2.n), 4) AS containment
+FROM iv JOIN sz s1 ON s1.doc_id = doc1 JOIN sz s2 ON s2.doc_id = doc2
+WHERE round(CAST(n_shared AS DOUBLE) / least(s1.n, s2.n), 4) >= 0.6
+""",
+    tags=("dedup", "llm"),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs (subset/quote-expansion
+    near-dups symmetric Jaccard misses):
+    operators/dedup.py::containment_pairs — inverted-index candidates
+    over the df<=64 stop-gram-capped universe, containment over the same
+    capped universe so the cap is a replayable semantic, not a silent
+    approximation."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, "text", "doc_id", k=3, threshold=0.6)

@@ -124,6 +124,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "temperature_sample",
     "quality_classifier",
     "kmeans_assign_hier",
+    "containment_pairs",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",

@@ -409,3 +409,34 @@ def test_temperature_sample_flattens_mixture(spark):
     assert by_src["small"] / 100 > by_src["big"] / 900
     again = temperature_sample(df.repartition(13), "source", "doc_id", n_target=100).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in kept)
+
+
+def test_containment_catches_subset_doc(spark):
+    """A short doc fully quoted inside a long doc has containment 1.0
+    even though its Jaccard to the long doc is small."""
+    from is3107datapipelineproject_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler.upper().lower())],
+        ["doc_id", "text"],
+    )
+    out = containment_pairs(df, "text", "doc_id", k=3, threshold=0.9).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc1, r.doc2) == (1, 2)
+    assert r.containment >= 0.9
+
+
+def test_containment_stop_gram_cap_bounds_candidates(spark):
+    """A gram shared by MORE than max_gram_df docs must not generate
+    pair candidates: with every doc sharing one hot phrase and nothing
+    else, a capped run returns no pairs."""
+    from is3107datapipelineproject_spark.operators.dedup import containment_pairs
+
+    hot = "the exact same cookie banner text"
+    rows = [(i, f"{hot} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = containment_pairs(df, "text", "doc_id", k=3, threshold=0.1, max_gram_df=10).collect()
+    assert out == []
