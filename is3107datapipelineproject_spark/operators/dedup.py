@@ -799,9 +799,18 @@ def containment_pairs(
     "containment over grams with df ≤ cap" — replayable by the oracle,
     not a silent approximation.
     """
-    per_doc = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(F.transform(word_shingles(text_col, k), h28))).alias("g"),
+    # The posting list feeds the df aggregate AND the capped survivor
+    # set, and the survivors feed sizes plus BOTH sides of the pair
+    # join — exchange reuse does not dedupe those branches, so without
+    # materialization the CPU-bound shingle/md5 stage recomputes up to
+    # 4×. Same localCheckpoint discipline as simhash's bucket frame.
+    per_doc = (
+        spread_small_input(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(F.transform(word_shingles(text_col, k), h28))).alias("g"),
+        )
+        .localCheckpoint(eager=True)
     )
     keepable = (
         per_doc.groupBy("g")
@@ -809,7 +818,7 @@ def containment_pairs(
         .filter(F.col("__df") <= max_gram_df)
         .select("g")
     )
-    kept = per_doc.join(keepable, "g", "left_semi")
+    kept = per_doc.join(keepable, "g", "left_semi").localCheckpoint(eager=True)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
