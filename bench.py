@@ -100,6 +100,7 @@ HEADLINE = [
     "quality_classifier",
     "kmeans_assign_hier",
     "containment_pairs",
+    "pretrain_pipeline",
 ]
 
 

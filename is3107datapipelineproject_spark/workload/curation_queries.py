@@ -959,3 +959,74 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the is_quality flag pushes down like any predicate."""
     docs = _t(spark, sf_dir, "documents")
     return C.quality_classifier(docs, "text", "doc_id", threshold=_QC_THRESHOLD)
+
+
+_PRETRAIN_TARGET = 60
+_PRETRAIN_MAX_HITS = 20  # >= this many shared eval 3-grams => leaked row, not a common phrase
+
+
+def _pretrain_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_DOCS_SHINGLES
+
+    frac = _sql_frac("temp", "b.doc_id")
+    return f"""
+WITH qc AS ({_qc_oracle(_QC_THRESHOLD)}),
+sh AS ({SQL_DOCS_SHINGLES}),
+ev AS (SELECT DISTINCT unnest(hs) AS g FROM sh WHERE doc_id < 100),
+tr AS (SELECT doc_id, unnest(hs) AS g FROM sh WHERE doc_id >= 100),
+hits AS (SELECT tr.doc_id FROM tr JOIN ev USING (g) GROUP BY 1 HAVING count(*) >= 20),
+base AS (
+  SELECT d.doc_id, d.source, qc.quality_prob
+  FROM documents d JOIN qc USING (doc_id)
+  WHERE d.doc_id >= 100 AND qc.is_quality
+    AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+),
+c AS (SELECT source, count(*) AS n FROM base GROUP BY 1),
+s AS (SELECT sum(sqrt(n)) AS wsum FROM c),
+r AS (
+  SELECT c.source,
+         round(least(1.0, ({float(_PRETRAIN_TARGET)} * sqrt(c.n) / s.wsum) / c.n), 6) AS rate
+  FROM c, s
+)
+SELECT b.doc_id, b.source, b.quality_prob
+FROM base b JOIN r ON r.source = b.source
+WHERE {frac} < r.rate
+"""
+
+
+@register(
+    "pretrain_pipeline",
+    oracle=_pretrain_oracle(),
+    tags=("llm", "curation", "hygiene", "sampling", "composite"),
+)
+def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """This round's additions composed into ONE declarative plan — the
+    pretraining-data assembly line: model-based quality gate
+    (quality_classifier ≥ 0.78, pure codegen) → decontamination against
+    the frozen benchmark (docs < 100; eval 3-gram set broadcast; only
+    docs with >= 20 shared 3-grams drop — a leaked row, not a common
+    phrase, per decontaminate's triage contract) → temperature-flattened source mixture (√n weights from
+    the SURVIVING corpus — the rates adapt to what the gates kept).
+    Catalyst fuses the gate into the scan, prunes columns through the
+    anti-join, and the only corpus shuffle is the n-gram semi-join;
+    membership stays content-hashed end to end, so the kept set is
+    reproducible under retries and repartitioning at any scale."""
+    from is3107datapipelineproject_spark.operators.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = C.quality_classifier(docs, "text", "doc_id", threshold=_QC_THRESHOLD)
+    bench = docs.filter(F.col("doc_id") < 100)
+    train = docs.filter(F.col("doc_id") >= 100)
+    hits = (
+        decontaminate(train, bench, "text", "doc_id", k=3)
+        .filter(F.col("n_hits") >= _PRETRAIN_MAX_HITS)
+        .select("doc_id")
+    )
+    base = (
+        train.join(scored, "doc_id")
+        .filter(F.col("is_quality"))
+        .join(hits, "doc_id", "left_anti")
+        .select("doc_id", "source", "quality_prob")
+    )
+    mixed = S.temperature_sample(base, "source", "doc_id", n_target=_PRETRAIN_TARGET)
+    return mixed.select("doc_id", "source", "quality_prob")

@@ -125,6 +125,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "quality_classifier",
     "kmeans_assign_hier",
     "containment_pairs",
+    "pretrain_pipeline",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",
