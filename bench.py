@@ -101,6 +101,8 @@ HEADLINE = [
     "kmeans_assign_hier",
     "containment_pairs",
     "pretrain_pipeline",
+    "bigram_surprisal",
+    "corpus_drift",
 ]
 
 

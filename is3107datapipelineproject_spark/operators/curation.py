@@ -331,3 +331,59 @@ def quality_classifier(
         prob.alias("quality_prob"),
         (prob >= F.lit(threshold)).alias("is_quality"),
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean per-bigram surprisal (bits) of each document under the
+    corpus's OWN bigram conditional distribution — the next-order
+    upgrade of ``unigram_surprisal`` (a doc of plausible words in an
+    implausible ORDER scores high here and normal there):
+    ``(id_col, n_bigrams, surprisal)`` with
+
+        surprisal = −(Σ log2 C(w1,w2)/C(w1·)) / n_bigrams, rounded 4
+
+    where C(w1·) counts w1 as a bigram PREFIX (so p(·|w1) sums to 1 and
+    every observed bigram has p > 0 — MLE needs no smoothing when
+    scoring the corpus against itself). Docs with < 2 tokens have no
+    bigrams and drop out.
+
+    Plan: bigrams come from a narrow zip of the token array with its
+    own tail (no positional self-join); one hash-aggregate builds the
+    bigram counts, a vocabulary-row aggregate over it builds the prefix
+    counts, and the score join is keyed by the bigram — vocabulary² is
+    Zipf-bounded far below corpus size, but unlike the unigram table it
+    is NOT assumed broadcastable: the join shuffles on the bigram key
+    and AQE may still broadcast when it fits. The exploded bigram frame
+    feeds counts and the score join (multi-consumer) and is
+    localCheckpoint'ed once, same discipline as unigram_surprisal.
+    """
+    arr = ws_tokens(text_col)
+    pairs = F.filter(
+        F.zip_with(
+            arr,
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    bg = (
+        df.select(F.col(id_col), F.explode(pairs).alias("__p"))
+        .select(id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
+        .localCheckpoint(eager=True)
+    )
+    cb = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c")).localCheckpoint(eager=True)
+    cp = cb.groupBy("__w1").agg(F.sum("__c").cast("long").alias("__cp"))
+    p = F.col("__c").cast("double") / F.col("__cp").cast("double")
+    return (
+        bg.join(cb, ["__w1", "__w2"])
+        .join(cp, "__w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum(F.log2(p)) / F.count(F.lit(1)), 4).alias("surprisal"),
+        )
+    )

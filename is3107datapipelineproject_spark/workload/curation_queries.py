@@ -1030,3 +1030,37 @@ def q_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mixed = S.temperature_sample(base, "source", "doc_id", n_target=_PRETRAIN_TARGET)
     return mixed.select("doc_id", "source", "quality_prob")
+
+
+def _bigram_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_TOKS
+
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
+),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+cp AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cpn FROM cb GROUP BY 1)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-sum(log2(CAST(c AS DOUBLE) / cpn)) / count(*), 4) AS surprisal
+FROM bg JOIN cb USING (w1, w2) JOIN cp USING (w1)
+GROUP BY 1
+"""
+
+
+@register(
+    "bigram_surprisal",
+    oracle=_bigram_oracle(),
+    tags=("curation", "text", "llm"),
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram surprisal under the corpus's own conditional bigram
+    LM (operators/curation.py::bigram_surprisal) — the word-ORDER
+    quality signal unigram perplexity is blind to; bigrams from a
+    narrow tail-zip, counts from two hash-aggregates, score join keyed
+    by the bigram (shuffled, not assumed broadcastable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.bigram_surprisal(docs, "text", "doc_id")

@@ -1827,3 +1827,92 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximation."""
     docs = _t(spark, sf_dir, "documents")
     return D.containment_pairs(docs, "text", "doc_id", k=3, threshold=0.6)
+
+
+# --- corpus release drift ---------------------------------------------------
+
+def _dim_shares(v: DataFrame, dim: str):
+    total = v.agg(F.count(F.lit(1)).alias("__t"))
+    return (
+        v.groupBy(dim)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(F.col(dim).alias("val"), "n", (F.col("n") / F.col("__t")).alias("share"))
+    )
+
+
+@register(
+    "corpus_drift",
+    oracle="""
+WITH o AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+n AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+dims AS (
+  SELECT 'source' AS dim, source AS val, 1 AS v FROM o
+  UNION ALL SELECT 'lang', lang, 1 FROM o
+  UNION ALL SELECT 'source', source, 2 FROM n
+  UNION ALL SELECT 'lang', lang, 2 FROM n
+),
+c AS (SELECT dim, val, v, CAST(count(*) AS BIGINT) AS cnt FROM dims GROUP BY 1, 2, 3),
+t AS (SELECT dim, v, sum(cnt) AS tot FROM c GROUP BY 1, 2),
+s AS (SELECT c.dim, c.val, c.v, c.cnt, CAST(c.cnt AS DOUBLE) / t.tot AS share
+      FROM c JOIN t ON t.dim = c.dim AND t.v = c.v),
+j AS (
+  SELECT coalesce(a.dim, b.dim) AS dim, coalesce(a.val, b.val) AS val,
+         coalesce(a.cnt, 0) AS n_v1, coalesce(b.cnt, 0) AS n_v2,
+         coalesce(a.share, 0.0) AS s1, coalesce(b.share, 0.0) AS s2
+  FROM (SELECT * FROM s WHERE v = 1) a
+  FULL OUTER JOIN (SELECT * FROM s WHERE v = 2) b
+    ON a.dim = b.dim AND a.val = b.val
+)
+SELECT dim, val, n_v1, n_v2,
+       round(s1, 6) AS share_v1, round(s2, 6) AS share_v2,
+       round(s2 - s1, 6) AS delta,
+       CASE WHEN n_v1 > 0 AND n_v2 > 0 THEN round((s2 - s1) * log2(s2 / s1), 4) END AS psi
+FROM j
+""",
+    tags=("governance", "incremental", "llm"),
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus releases (same v1 = id%7,
+    v2 = id%11 convention as corpus_diff): per (dimension, value) the
+    share in each version, the delta, and a PSI-style term
+    (Δshare · log2 ratio) — the governance check that catches a release
+    quietly rebalancing sources/languages even when corpus_diff's
+    row-level statuses look routine. Plan: two tiny per-dim aggregates
+    per version + 1-row totals broadcast; one #values-sized full-outer
+    join; nothing corpus-sized ever shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0)
+    v2 = docs.filter(F.col("doc_id") % 11 != 0)
+    outs = []
+    for dim in ("source", "lang"):
+        a = _dim_shares(v1, dim).select(
+            F.lit(dim).alias("dim"), "val", F.col("n").alias("n_v1"), F.col("share").alias("s1")
+        )
+        b = _dim_shares(v2, dim).select(
+            F.lit(dim).alias("dim"), "val", F.col("n").alias("n_v2"), F.col("share").alias("s2")
+        )
+        j = a.join(b, ["dim", "val"], "full_outer").select(
+            "dim",
+            "val",
+            F.coalesce("n_v1", F.lit(0)).cast("long").alias("n_v1"),
+            F.coalesce("n_v2", F.lit(0)).cast("long").alias("n_v2"),
+            F.coalesce("s1", F.lit(0.0)).alias("s1"),
+            F.coalesce("s2", F.lit(0.0)).alias("s2"),
+        )
+        outs.append(j)
+    u = outs[0].unionByName(outs[1])
+    psi = F.when(
+        (F.col("n_v1") > 0) & (F.col("n_v2") > 0),
+        F.round((F.col("s2") - F.col("s1")) * F.log2(F.col("s2") / F.col("s1")), 4),
+    )
+    return u.select(
+        "dim",
+        "val",
+        "n_v1",
+        "n_v2",
+        F.round("s1", 6).alias("share_v1"),
+        F.round("s2", 6).alias("share_v2"),
+        F.round(F.col("s2") - F.col("s1"), 6).alias("delta"),
+        psi.alias("psi"),
+    )

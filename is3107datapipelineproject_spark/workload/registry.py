@@ -126,6 +126,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "kmeans_assign_hier",
     "containment_pairs",
     "pretrain_pipeline",
+    "bigram_surprisal",
+    "corpus_drift",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",
