@@ -103,6 +103,9 @@ HEADLINE = [
     "pretrain_pipeline",
     "bigram_surprisal",
     "corpus_drift",
+    "blocklist_filter",
+    "vocab_growth",
+    "zipf_slope",
 ]
 
 

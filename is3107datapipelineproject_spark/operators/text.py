@@ -238,3 +238,111 @@ def doc_term_matrix(df, text_col: str, id_col: str, vocab=None):
     return tf.join(
         F.broadcast(v.select("token", "term_id")), "token"
     ).select(F.col(id_col), "term_id", "tf")
+
+
+# C4-style badword gate list. Deliberately tiny and fixed (the operator
+# contract is the GATE MECHANICS, not a curated lexicon — production swaps
+# in the real list as a literal array or a broadcast side table).
+BLOCKLIST_DEFAULT: tuple[str, ...] = ("slow", "error", "crash")
+
+
+def blocklist_stats(
+    df, text_col: str, id_col: str, blocklist: tuple[str, ...] = BLOCKLIST_DEFAULT
+):
+    """C4-style wordlist gate: per-document count of blocklisted token
+    occurrences and a boolean flag.
+
+    Scale: the list is a LITERAL array folded into the row expression —
+    zero joins, zero shuffles, pure codegen scan; at 100 TB this is
+    scan-bound like every other text gate. A list too large to inline
+    (10k+ terms) becomes a broadcast left-semi join on exploded tokens
+    instead; this operator pins the inline tier.
+    """
+    toks = ws_tokens(text_col)
+    n_blocked = F.size(F.filter(toks, _isin_lambda(tuple(blocklist)))).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_blocked.alias("n_blocked"),
+        (n_blocked > F.lit(0)).alias("has_blocked"),
+    )
+
+
+def vocab_growth(df, text_col: str, id_col: str, buckets: int = 10):
+    """Heaps'-law curve: split the corpus into ``buckets`` id-ordered
+    slices and report, per slice, the token volume and the number of
+    NEW vocabulary types first seen there (plus both cumulatively).
+    A healthy natural corpus keeps minting types (cum_types ~ N^beta);
+    a flat tail is the signature of template/boilerplate floods.
+
+    Plan: one 1-row max(id) aggregate broadcast-attached to assign
+    buckets by integer arithmetic (reproducible on any engine), one
+    explode + min(bucket)-per-token aggregate (map-side partial, linear),
+    then two bucket-sized aggregates joined and cumulated with a window
+    over ``buckets`` rows — the only single-partition sort is over the
+    bucket count itself, never the corpus or the vocabulary."""
+    from pyspark.sql import Window
+
+    mx = df.agg(F.max(F.col(id_col)).alias("_mx"))
+    b = (
+        df.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"least({buckets - 1}, ({id_col} * {buckets}) div (_mx + 1))")
+            .cast("int")
+            .alias("bucket"),
+            ws_tokens(text_col).alias("toks"),
+        )
+    )
+    per_bucket = b.groupBy("bucket").agg(
+        F.sum(F.size("toks").cast("bigint")).alias("n_tokens")
+    )
+    first_seen = (
+        b.select("bucket", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(first_seen, "bucket", "left")
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0)).cast("bigint"))
+        .select(
+            "bucket",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            "new_types",
+            F.sum("new_types").over(w).alias("cum_types"),
+        )
+    )
+
+
+def zipf_slope(df, text_col: str, top_k: int = 500):
+    """Zipf rank-frequency fit over the ``top_k`` most frequent tokens:
+    least-squares slope of ln(freq) on ln(rank) plus r² — natural text
+    sits near slope -1; slope near 0 with high r² over the head means a
+    machine-generated / templated corpus.
+
+    Plan: token counts are one explode + hash-aggregate (linear,
+    map-side partials); the head is a TakeOrdered top-k (per-partition
+    heaps, no global sort); rank/regression run over ``top_k`` rows.
+    The corpus-sized stages are exactly the vocab-build ones — nothing
+    here grows past top_k after the aggregate."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(ws_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    pts = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4).alias("slope"),
+        F.round(F.pow(F.corr("x", "y"), F.lit(2.0)), 4).alias("r2"),
+    )

@@ -1064,3 +1064,98 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the bigram (shuffled, not assumed broadcastable)."""
     docs = _t(spark, sf_dir, "documents")
     return C.bigram_surprisal(docs, "text", "doc_id")
+
+
+def _blocklist_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_TOKS
+
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(toks, x -> x IN ('slow', 'error', 'crash'))) AS BIGINT) AS n_blocked,
+       len(list_filter(toks, x -> x IN ('slow', 'error', 'crash'))) > 0 AS has_blocked
+FROM t
+"""
+
+
+@register(
+    "blocklist_filter",
+    oracle=_blocklist_oracle(),
+    tags=("curation", "text", "llm"),
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style wordlist gate (operators/text.py::blocklist_stats): the
+    blocklist is a literal array folded into the row expression — zero
+    joins, pure codegen scan (the inline tier; 10k+ lists become a
+    broadcast semi-join on exploded tokens)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.blocklist_stats(docs, "text", "doc_id")
+
+
+def _vocab_growth_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_TOKS
+
+    return f"""
+WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+b AS (SELECT CAST(least(9, (doc_id * 10) // (mx + 1)) AS INT) AS bucket, toks FROM t, m),
+pb AS (SELECT bucket, CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM b GROUP BY 1),
+fs AS (SELECT token, min(bucket) AS bucket
+       FROM (SELECT bucket, unnest(toks) AS token FROM b) GROUP BY token),
+nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types FROM fs GROUP BY 1)
+SELECT pb.bucket,
+       n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+       CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+       CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_types
+FROM pb LEFT JOIN nt USING (bucket)
+"""
+
+
+@register(
+    "vocab_growth",
+    oracle=_vocab_growth_oracle(),
+    tags=("curation", "text", "llm"),
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve over 10 id-ordered corpus
+    slices (operators/text.py::vocab_growth): new-type minting per slice
+    — a flat tail flags template/boilerplate floods. Only bucket-sized
+    frames ever sort; the corpus-side work is one explode aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.vocab_growth(docs, "text", "doc_id")
+
+
+def _zipf_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_TOKS
+
+    return f"""
+WITH counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({SQL_TOKS}) AS token FROM documents)
+  GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 500
+),
+pts AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(covar_pop(x, y) / var_pop(x), 4) AS slope,
+       round(pow(corr(x, y), 2), 4) AS r2
+FROM pts
+"""
+
+
+@register(
+    "zipf_slope",
+    oracle=_zipf_oracle(),
+    tags=("curation", "text", "llm"),
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-500 vocabulary head
+    (operators/text.py::zipf_slope): least-squares slope of ln(freq) on
+    ln(rank) + r². Corpus-side work is the token-count aggregate; the
+    head is a TakeOrdered top-k, and the regression runs on ≤500 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.zipf_slope(docs, "text")
