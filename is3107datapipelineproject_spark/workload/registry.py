@@ -128,6 +128,9 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "pretrain_pipeline",
     "bigram_surprisal",
     "corpus_drift",
+    "blocklist_filter",
+    "vocab_growth",
+    "zipf_slope",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",
