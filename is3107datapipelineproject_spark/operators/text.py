@@ -341,8 +341,16 @@ def zipf_slope(df, text_col: str, top_k: int = 500):
         F.log(F.row_number().over(w).cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
     )
+    # r² spelled out as covar²/(varx·vary) with a nullif guard: a corpus
+    # whose head frequencies are all EQUAL has var(y)=0, where corr() is
+    # undefined (ANSI Spark raises, DuckDB returns NULL) — the explicit
+    # form gives NULL on both engines and keeps the formula bit-identical.
     return pts.agg(
         F.count(F.lit(1)).alias("n_terms"),
         F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4).alias("slope"),
-        F.round(F.pow(F.corr("x", "y"), F.lit(2.0)), 4).alias("r2"),
+        F.round(
+            F.pow(F.covar_pop("x", "y"), F.lit(2.0))
+            / F.nullif(F.var_pop("x") * F.var_pop("y"), F.lit(0.0)),
+            4,
+        ).alias("r2"),
     )

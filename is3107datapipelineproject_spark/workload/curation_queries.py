@@ -1142,7 +1142,7 @@ pts AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_terms,
        round(covar_pop(x, y) / var_pop(x), 4) AS slope,
-       round(pow(corr(x, y), 2), 4) AS r2
+       round(pow(covar_pop(x, y), 2) / nullif(var_pop(x) * var_pop(y), 0), 4) AS r2
 FROM pts
 """
 

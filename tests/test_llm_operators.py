@@ -440,3 +440,61 @@ def test_containment_stop_gram_cap_bounds_candidates(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = containment_pairs(df, "text", "doc_id", k=3, threshold=0.1, max_gram_df=10).collect()
     assert out == []
+
+
+def test_blocklist_counts_occurrences_not_types(spark):
+    from is3107datapipelineproject_spark.operators.text import blocklist_stats
+
+    df = spark.createDataFrame(
+        [(1, "slow slow error fine"), (2, "all clean here"), (3, "CRASH upper untouched")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.n_blocked, r.has_blocked) for r in
+           blocklist_stats(df, "text", "doc_id").collect()}
+    # occurrences, not distinct types: doc 1 has slow x2 + error = 3
+    assert out[1] == (3, True)
+    assert out[2] == (0, False)
+    # normalize_text lowercases first, so CRASH matches
+    assert out[3] == (1, True)
+
+
+def test_vocab_growth_conserves_vocabulary(spark):
+    from is3107datapipelineproject_spark.operators.text import vocab_growth
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    rows = vocab_growth(docs, "text", "doc_id").orderBy("bucket").collect()
+    assert [r.bucket for r in rows] == list(range(len(rows)))
+    # each type is counted as new exactly once: cum_types ends at |vocab|
+    from is3107datapipelineproject_spark.operators.text import ws_tokens
+
+    vocab = docs.select(F.explode(ws_tokens("text")).alias("t")).distinct().count()
+    assert rows[-1].cum_types == sum(r.new_types for r in rows) == vocab
+    # cumulative columns are prefix sums of the per-bucket columns
+    assert rows[-1].cum_tokens == sum(r.n_tokens for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.cum_types == prev.cum_types + cur.new_types
+    # partitioning must not change bucket assignment (integer arithmetic
+    # off a broadcast max-id, not any physical order)
+    again = vocab_growth(docs.repartition(7), "text", "doc_id").orderBy("bucket").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_zipf_slope_flat_on_uniform_steep_on_skewed(spark):
+    from is3107datapipelineproject_spark.operators.text import zipf_slope
+
+    uniform = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(20))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    r = zipf_slope(uniform, "text").collect()[0]
+    # every freq equal -> flat slope; r2 undefined (var(y)=0) -> NULL
+    assert r.n_terms == 20 and r.slope == 0.0 and r.r2 is None
+
+    # zipf-ish: token j appears ~N/j times
+    skewed_tokens = []
+    for j in range(1, 21):
+        skewed_tokens += [f"w{j}"] * (200 // j)
+    skewed = spark.createDataFrame([(1, " ".join(skewed_tokens))], ["doc_id", "text"])
+    r2 = zipf_slope(skewed, "text").collect()[0]
+    assert r2.n_terms == 20
+    assert r2.slope < -0.8 and r2.r2 > 0.95  # near ideal zipf
