@@ -1,0 +1,111 @@
+"""Graph / entity-resolution analytics over the star schema.
+
+Two operator classes the rest of the registry lacks:
+
+- ``copurchase_pagerank``: an ITERATIVE join-based graph algorithm
+  (fixed-point BIGINT PageRank over the part co-purchase graph) — the
+  workload shape GraphX/Pregel lower to, expressed as plain DataFrame
+  joins so it is oracle-checkable (the SQL twin unrolls the iterations
+  as chained CTEs).
+- ``fuzzy_name_match``: a blocked approximate string join
+  (canonicalize → block → length gate → Levenshtein), the
+  entity-resolution primitive the reference's exact-string keying
+  (main_dag.py:151-188) cannot express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.operators import graph as G
+from is3107datapipelineproject_spark.operators.fuzzy import blocked_fuzzy_pairs
+from is3107datapipelineproject_spark.operators.pair_counts import pair_counts
+from is3107datapipelineproject_spark.sources.tables import load_table
+from is3107datapipelineproject_spark.workload.registry import register
+
+_PAGERANK_ITER_SQL = """
+it{n} AS (
+  SELECT e.dst AS node,
+         CAST(150000000 + (85 * CAST(sum((p.pr * e.w) // o.ow) AS BIGINT)) // 100 AS BIGINT) AS pr
+  FROM edges e JOIN it{prev} p ON p.node = e.src JOIN outw o ON o.src = e.src
+  GROUP BY 1
+)"""
+
+_PAGERANK_ORACLE = (
+    """
+WITH bridge AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem),
+pairs AS (
+  SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS w
+  FROM bridge a JOIN bridge b ON a.g = b.g AND a.m < b.m GROUP BY 1, 2
+),
+edges AS (SELECT m1 AS src, m2 AS dst, w FROM pairs
+          UNION ALL SELECT m2, m1, w FROM pairs),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+it0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS pr FROM outw),"""
+    + ",".join(_PAGERANK_ITER_SQL.format(n=i, prev=i - 1) for i in range(1, 4))
+    + """
+SELECT node AS part_key, pr AS pr_scaled FROM it3
+"""
+)
+
+
+@register("copurchase_pagerank", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative"))
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part importance in the co-purchase graph: parts appearing in the
+    same order are linked (weight = #orders), and 3 fixed-point PageRank
+    iterations rank them. Pair generation reuses the 2-shuffle
+    combination plan (operators/pair_counts.py — never a self-join at
+    pair cardinality); each iteration is one rank⋈edge join + one
+    aggregate, all-BIGINT so Spark and the unrolled-CTE oracle agree
+    bit-for-bit (operators/graph.py determinism contract)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = pair_counts(li, "l_orderkey", "l_partkey")
+    edges = G.undirected_to_directed(pairs, "member1", "member2", "cnt")
+    pr = G.pagerank(edges, iterations=3)
+    return pr.select(F.col("node").alias("part_key"), F.col("pr").alias("pr_scaled"))
+
+
+_FUZZY_ORACLE = """
+WITH ent AS (
+  SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS canon_key,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1
+),
+blk AS (
+  SELECT e.*, split_part(p_name, ' ', 1) AS b FROM ent e
+),
+ok AS (SELECT b FROM blk GROUP BY 1 HAVING count(*) <= 10000)
+SELECT a.p_name AS p_name_a, a.canon_key AS canon_key_a, a.n_parts AS n_parts_a,
+       b2.p_name AS p_name_b, b2.canon_key AS canon_key_b, b2.n_parts AS n_parts_b,
+       CAST(levenshtein(a.p_name, b2.p_name) AS INTEGER) AS dist
+FROM blk a
+JOIN blk b2 ON a.b = b2.b AND a.p_name < b2.p_name
+           AND abs(length(a.p_name) - length(b2.p_name)) <= 4
+           AND levenshtein(a.p_name, b2.p_name) <= 4
+WHERE a.b IN (SELECT b FROM ok)
+"""
+
+
+@register("fuzzy_name_match", oracle=_FUZZY_ORACLE, tags=("fuzzy", "entity-resolution"))
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names via blocked Levenshtein join: the part
+    fact collapses to distinct name entities FIRST (hash aggregate), the
+    quadratic comparison happens only inside first-token blocks (capped
+    at 10k — the hot-band guard), and a length pre-gate short-circuits
+    the O(len²) DP (operators/fuzzy.py)."""
+    part = load_table(spark, sf_dir, "part")
+    ents = part.groupBy("p_name").agg(
+        F.min("p_partkey").cast("long").alias("canon_key"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    pairs = blocked_fuzzy_pairs(
+        ents,
+        "p_name",
+        block_expr=F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)),
+        max_dist=4,
+        max_block=10_000,
+    )
+    return pairs.select(
+        "p_name_a", "canon_key_a", "n_parts_a", "p_name_b", "canon_key_b", "n_parts_b", "dist"
+    )

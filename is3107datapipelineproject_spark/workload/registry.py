@@ -131,6 +131,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "blocklist_filter",
     "vocab_growth",
     "zipf_slope",
+    "copurchase_pagerank",
+    "fuzzy_name_match",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",
@@ -165,6 +167,7 @@ def _ensure_loaded() -> None:
     from is3107datapipelineproject_spark.workload import (  # noqa: F401
         curation_queries,
         domain_queries,
+        graph_queries,
         llm_queries,
         star_queries,
         tpch_queries,

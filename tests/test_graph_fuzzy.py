@@ -1,0 +1,89 @@
+"""Invariant tests for the graph / fuzzy-matching operators
+(operators/graph.py, operators/fuzzy.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.operators.fuzzy import blocked_fuzzy_pairs
+from is3107datapipelineproject_spark.operators.graph import SCALE, pagerank, undirected_to_directed
+
+
+def _star_edges(spark):
+    """Hub node 0 linked to leaves 1..4 (weight 1 each): the hub must
+    out-rank every leaf, and leaves are symmetric so their ranks tie."""
+    pairs = spark.createDataFrame(
+        [(0, i, 1) for i in range(1, 5)], ["m1", "m2", "w"]
+    )
+    return undirected_to_directed(pairs, "m1", "m2", "w")
+
+
+def test_pagerank_hub_dominates_and_leaves_tie(spark):
+    pr = {r["node"]: r["pr"] for r in pagerank(_star_edges(spark), iterations=3).collect()}
+    assert set(pr) == {0, 1, 2, 3, 4}
+    leaf_ranks = {pr[i] for i in range(1, 5)}
+    assert len(leaf_ranks) == 1, "symmetric leaves must tie exactly (integer determinism)"
+    assert pr[0] > pr[1]
+
+
+def test_pagerank_mass_bounds(spark):
+    """Integer truncation can only LEAK mass: total stays within
+    (N·SCALE·(1-leak), N·SCALE]; every rank ≥ the teleport base."""
+    pr = pagerank(_star_edges(spark), iterations=3).collect()
+    total = sum(r["pr"] for r in pr)
+    n = len(pr)
+    assert total <= n * SCALE
+    assert total > n * SCALE * 0.99
+    base = 15 * SCALE // 100
+    assert all(r["pr"] >= base for r in pr)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """BIGINT fixed-point ranks are bit-identical under different
+    shuffle parallelism (the determinism contract the oracle relies on)."""
+    edges = _star_edges(spark)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    a = sorted(tuple(r) for r in pagerank(edges, iterations=3).collect())
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted(tuple(r) for r in pagerank(edges, iterations=3).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b
+
+
+def _names(spark, rows):
+    return spark.createDataFrame([(n,) for n in rows], ["name"])
+
+
+def test_fuzzy_pairs_within_threshold_only(spark):
+    df = _names(spark, ["alpha bravo", "alpha bravp", "alpha zulu", "beta bravo"])
+    got = blocked_fuzzy_pairs(
+        df, "name", block_expr=F.split_part(F.col("name"), F.lit(" "), F.lit(1)), max_dist=2
+    ).collect()
+    pairs = {(r["name_a"], r["name_b"]) for r in got}
+    # one-edit pair matches; cross-block "beta bravo" never compares
+    assert pairs == {("alpha bravo", "alpha bravp")}
+    assert all(r["dist"] <= 2 for r in got)
+
+
+def test_fuzzy_hot_block_dropped(spark):
+    """A block over max_block is dropped whole (guard), others survive."""
+    hot = [f"stop word{i:03d}" for i in range(20)]
+    cool = ["rare gem", "rare gen"]
+    got = blocked_fuzzy_pairs(
+        _names(spark, hot + cool),
+        "name",
+        block_expr=F.split_part(F.col("name"), F.lit(" "), F.lit(1)),
+        max_dist=3,
+        max_block=10,
+    ).collect()
+    assert {(r["name_a"], r["name_b"]) for r in got} == {("rare gem", "rare gen")}
+
+
+def test_fuzzy_extra_columns_ride_along(spark):
+    df = spark.createDataFrame([("one two", 7), ("one twp", 9)], ["name", "k"])
+    got = blocked_fuzzy_pairs(
+        df, "name", block_expr=F.split_part(F.col("name"), F.lit(" "), F.lit(1)), max_dist=1
+    ).collect()
+    assert len(got) == 1 and got[0]["k_a"] == 7 and got[0]["k_b"] == 9
