@@ -106,6 +106,9 @@ HEADLINE = [
     "blocklist_filter",
     "vocab_growth",
     "zipf_slope",
+    "copurchase_pagerank",
+    "fuzzy_name_match",
+    "priority_sample",
 ]
 
 

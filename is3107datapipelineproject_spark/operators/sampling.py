@@ -82,6 +82,38 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "prio",
+) -> DataFrame:
+    """Weighted without-replacement sample of ``n`` rows via priority
+    sampling (Duffield–Lund–Thorup, JACM 2007): each row gets priority
+    q_i = w_i / u_i with u_i uniform on (0, 1], and the sample is the n
+    highest-priority rows — inclusion probability approaches
+    min(1, n·w_i/Σw) and subset-sum estimates from the sample are
+    unbiased under the DLT threshold estimator.
+
+    Everything stays in EXACT integer arithmetic so the sample is
+    bit-reproducible and oracle-checkable: u_i = (h_i + 1) / 2^28 with
+    h_i the 28-bit content hash, hence
+
+        q_i = (w_i · 2^28) div (h_i + 1)     (BIGINT, no floats).
+
+    Plan: one narrow scan computing q, then a global top-n — Spark
+    lowers orderBy+limit to TakeOrderedAndProject (per-partition heap of
+    n, merged on one reducer), so there is no full sort and no shuffle
+    of the corpus; ties (same q) break by id on both engines."""
+    tagged = F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(tagged), 1, 7), 16, 10).cast("long")
+    out = df.withColumn("_h1", h + F.lit(1)).withColumn(
+        "priority", F.expr(f"(CAST({weight_col} AS BIGINT) * 268435456) div _h1")
+    )
+    return out.orderBy(F.col("priority").desc(), F.col(id_col)).limit(n).drop("_h1")
+
+
 def group_sample_topn(
     df: DataFrame,
     group_col: str,

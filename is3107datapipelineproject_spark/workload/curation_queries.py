@@ -258,6 +258,32 @@ def q_group_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.group_sample_topn(docs, "lang", 20, id_col="doc_id")
 
 
+@register(
+    "priority_sample",
+    oracle="""
+SELECT doc_id, source, n_chars, priority FROM (
+  SELECT doc_id, source, n_chars,
+         (CAST(n_chars AS BIGINT) * 268435456)
+           // (CAST('0x' || substr(md5('prio|' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) + 1)
+           AS priority
+  FROM documents
+) ORDER BY priority DESC, doc_id LIMIT 100
+""",
+    tags=("sampling", "llm"),
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted without-replacement sample of 100 docs via
+    Duffield–Lund–Thorup priority sampling (operators/sampling.py):
+    integer-exact priorities q = (w·2^28) div (h+1), global top-n as a
+    TakeOrderedAndProject (per-partition heap, no corpus sort) — the
+    principled 'sample big documents more' primitive with unbiased
+    subset-sum estimates."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return S.priority_sample(docs, id_col="doc_id", weight_col="n_chars", n=100).select(
+        "doc_id", "source", "n_chars", "priority"
+    )
+
+
 # --- PII scrubbing ----------------------------------------------------------
 
 # The synthetic corpus contains no PII (letters-only text), so the

@@ -133,6 +133,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "zipf_slope",
     "copurchase_pagerank",
     "fuzzy_name_match",
+    "priority_sample",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",

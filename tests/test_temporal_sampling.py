@@ -215,3 +215,19 @@ def test_deterministic_shuffle_is_total_order_and_partition_independent(spark):
     )
     want = {doc: i + 1 for i, (_, doc) in enumerate(ref)}
     assert pos == want
+
+
+def test_priority_sample_weight_pull_and_determinism(spark):
+    """DLT priorities: a row with overwhelming weight is always in the
+    sample; output is exactly n; repartitioning never changes the set."""
+    from is3107datapipelineproject_spark.operators.sampling import priority_sample
+
+    rows = [(i, 10) for i in range(200)] + [(999, 10_000_000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = priority_sample(df, "id", "w", n=20).collect()
+    assert len(got) == 20
+    ids = {r["id"] for r in got}
+    assert 999 in ids, "q = w/u: the heavy row's priority dominates any u"
+    again = priority_sample(df.repartition(7), "id", "w", n=20).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    assert all(r["priority"] > 0 for r in got)
