@@ -27,7 +27,9 @@ beyond-reference LLM-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from is3107datapipelineproject_spark.operators.dedup import h28
@@ -184,3 +186,61 @@ def bloom_probe(
         .select(item_col, F.lit(True).alias("bloom_hit"))
     )
     return probes.join(hits, item_col, "left").fillna({"bloom_hit": False})
+
+
+# --- Mergeable quantile sketch (fixed-boundary histogram) --------------------
+#
+# The fourth classic mergeable summary next to CMS / Bloom / HLL: a
+# histogram over FIXED bin boundaries is trivially mergeable (union +
+# re-sum — bin identity never depends on the data seen), and a quantile
+# read off the merged histogram is within one bin width of truth. Fixed
+# boundaries trade the adaptivity of t-digest/KLL for determinism: the
+# estimate is a pure function of the data, so shard-built-then-merged
+# equals global-built bit-for-bit and a SQL oracle can replay it.
+
+HIST_WIDTH = 100.0
+
+
+def hist_build(df: DataFrame, value_col: str, width: float = HIST_WIDTH) -> DataFrame:
+    """Build the ``(bin, bin_cnt)`` histogram: bin = floor(value/width).
+    One partial-agg shuffle whose output is bounded by the VALUE RANGE
+    (range/width rows), not the input size."""
+    b = F.floor(F.col(value_col) / F.lit(float(width))).cast("long")
+    return df.filter(F.col(value_col).isNotNull()).groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("bin_cnt")
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histograms built with the same width: union + re-sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("bin_cnt").cast("long").alias("bin_cnt"))
+
+
+def hist_quantiles(sketch: DataFrame, quantiles: Sequence[float], width: float = HIST_WIDTH) -> DataFrame:
+    """Quantile upper bounds from the histogram: for rank r = ceil(q·N),
+    the upper edge of the first bin whose cumulative count reaches r —
+    a conservative estimate with error ≤ width.
+
+    The cumulative window is over the SKETCH (≤ range/width rows), never
+    the data, so the single-partition window is bounded at any input
+    scale; N attaches as a broadcast 1-row scalar and the quantile list
+    as a broadcast literal frame (non-equi ≥ join over ~bins×|q| rows).
+    """
+    cum = sketch.withColumn(
+        "cum",
+        F.sum("bin_cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = sketch.agg(F.sum("bin_cnt").cast("long").alias("n"))
+    qdf = sketch.sparkSession.createDataFrame([(float(q),) for q in quantiles], "q double")
+    hits = cum.crossJoin(F.broadcast(total)).join(
+        F.broadcast(qdf),
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("long"),
+    )
+    return hits.groupBy("q").agg(
+        ((F.min("bin") + F.lit(1)) * F.lit(float(width))).cast("double").alias("est_upper")
+    )

@@ -1287,6 +1287,44 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_sketch",
+    oracle="""
+WITH b AS (
+  SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+),
+c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM b),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) t(q))
+SELECT q, CAST((min(bin) + 1) * 100.0 AS DOUBLE) AS est_upper
+FROM c, tot, qs
+WHERE c.cum >= CAST(ceil(q * tot.n) AS BIGINT)
+GROUP BY q
+""",
+    tags=("sketch", "quantile"),
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-boundary quantile sketch (operators/sketches.py):
+    price p50/p90/p99 read off a width-100 histogram that is built
+    PER-SHARD (l_orderkey % 4 — the per-day/per-shard ingest shape) and
+    merged by union+re-sum. Fixed boundaries make shard-merge equal the
+    global build bit-for-bit (asserted in tests/test_sketches.py), so
+    the estimate is deterministic and the oracle replays it; error is
+    structurally ≤ one bin width. The cumulative window runs over the
+    ≤(range/width)-row sketch, never the data."""
+    from is3107datapipelineproject_spark.operators import sketches as K
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    shards = [
+        K.hist_build(li.filter(F.col("l_orderkey") % 4 == i), "l_extendedprice")
+        for i in range(4)
+    ]
+    merged = K.hist_merge(*shards)
+    return K.hist_quantiles(merged, [0.5, 0.9, 0.99])
+
+
 # --- bloom-filter decontamination --------------------------------------------
 
 def _bloom_oracle() -> str:

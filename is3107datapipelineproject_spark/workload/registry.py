@@ -134,6 +134,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "copurchase_pagerank",
     "fuzzy_name_match",
     "priority_sample",
+    "quantile_sketch",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",

@@ -163,3 +163,26 @@ def test_bloom_no_false_negatives_and_merge(spark):
     # duplicate probe rows must not break the all-bits-set count
     dup = items.unionByName(items)
     assert K.bloom_probe(bloom, dup, "g").filter(~F.col("bloom_hit")).count() == 0
+
+
+def test_hist_merge_equals_global_and_quantile_error_bound(spark):
+    """Fixed-boundary histogram: shard-built+merged == global-built
+    bit-for-bit, and each quantile estimate is within one bin width of
+    the exact quantile."""
+    from is3107datapipelineproject_spark.operators.sketches import (
+        hist_build,
+        hist_merge,
+        hist_quantiles,
+    )
+
+    vals = [(i, float(901 + (i * 37) % 5000)) for i in range(2000)]
+    df = spark.createDataFrame(vals, ["k", "v"])
+    global_sk = hist_build(df, "v")
+    shards = [hist_build(df.filter(F.col("k") % 3 == i), "v") for i in range(3)]
+    merged = hist_merge(*shards)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, global_sk.collect()))
+
+    got = {r["q"]: r["est_upper"] for r in hist_quantiles(merged, [0.5, 0.9]).collect()}
+    exact = df.selectExpr("percentile(v, 0.5) p50", "percentile(v, 0.9) p90").first()
+    assert abs(got[0.5] - exact["p50"]) <= 100.0
+    assert abs(got[0.9] - exact["p90"]) <= 100.0

@@ -243,12 +243,18 @@ def main() -> None:
     ap.add_argument("--tables", type=str, default="docs,emb,events,star",
                     help="comma subset of docs,emb,events,star to replicate")
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="shuffle partitions; default scales with --factor "
+                         "(a fixed 32 at x100 puts ~2M rows in each aggregate "
+                         "task — partition count must grow with the data, "
+                         "exactly as a cluster deployment would size it)")
     args = ap.parse_args()
 
     if args.rebuild and os.path.exists(ROOT):
         shutil.rmtree(ROOT)
 
-    spark = get_spark(app_name="scale_probe")
+    partitions = args.partitions or 32 * max(1, (args.factor + 9) // 10)
+    spark = get_spark(app_name="scale_probe", shuffle_partitions=partitions)
     spark.sparkContext.setLogLevel("ERROR")
     big = build(spark, args.factor, set(args.tables.split(",")))
     qs = registry.queries()
