@@ -109,6 +109,8 @@ HEADLINE = [
     "copurchase_pagerank",
     "fuzzy_name_match",
     "priority_sample",
+    "quantile_sketch",
+    "bm25_search",
 ]
 
 

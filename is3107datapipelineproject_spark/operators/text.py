@@ -13,6 +13,7 @@ corpus — token counting, quality scoring, language-ID, fingerprinting.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import Column
@@ -353,4 +354,88 @@ def zipf_slope(df, text_col: str, top_k: int = 500):
             / F.nullif(F.var_pop("x") * F.var_pop("y"), F.lit(0.0)),
             4,
         ).alias("r2"),
+    )
+
+
+def bm25_search(
+    df,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+):
+    """Rank every document against a literal query by BM25 — the search
+    primitive (Robertson/Spärck Jones probabilistic relevance; the
+    default lexical ranker in Lucene/Elasticsearch).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Determinism contract: the per-term partial scores are materialized
+    as ONE CONDITIONAL-AGGREGATE COLUMN PER QUERY TERM and summed in
+    fixed expression order (s₁ + s₂ + …) — never a float groupBy-sum
+    whose accumulation order would vary with partitioning — and the
+    final score is rounded to 4 dp before ranking, so a SQL engine
+    evaluating the same expression tree agrees hash-for-hash.
+
+    Plan shape at 100 TB: the explode is filtered to the |Q| query
+    terms BEFORE the tf shuffle (the inverted-index probe — everything
+    else in the corpus never leaves the scan); df/N/avgdl are one
+    |Q|-column 1-row aggregate broadcast back; ranking is
+    TakeOrderedAndProject. Zero corpus-sized shuffles beyond the
+    (doc × matched-term) tf aggregate.
+    """
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    terms = list(query_terms)
+    base = df.select(
+        F.col(id_col), ws_tokens(text_col).alias("_toks")
+    ).withColumn("dl", F.size("_toks").cast("long"))
+    tf = (
+        base.select(F.col(id_col), "dl", F.explode("_toks").alias("t"))
+        .filter(F.col("t").isin(terms))
+        .groupBy(id_col, "dl", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    dfs = tf.agg(
+        *[
+            F.sum(F.when(F.col("t") == t, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    piv = tf.groupBy(id_col, "dl").agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("tf"))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    scored = piv.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(dfs))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    parts = []
+    for i in range(len(terms)):
+        tf_i, df_i = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
+        )
+        s = idf * (tf_i * F.lit(k1 + 1.0)) / (
+            tf_i + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+        )
+        parts.append(F.coalesce(s, F.lit(0.0)))
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    out = scored.withColumn("score", F.round(total, 4)).filter(F.col("score") > 0)
+    return (
+        out.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_n)
+        .select(id_col, "score")
     )

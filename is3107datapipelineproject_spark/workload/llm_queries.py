@@ -1325,6 +1325,52 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return K.hist_quantiles(merged, [0.5, 0.9, 0.99])
 
 
+_BM25_TERMS = ("hash", "join", "scan", "vector", "merge")
+
+
+def _bm25_oracle(terms=_BM25_TERMS, k1=1.2, b=0.75, top_n=20) -> str:
+    """SQL twin generated from the SAME constants as the Spark plan —
+    term list, k1/b literals, and expression order are shared, so the
+    two engines evaluate an identical float expression tree."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN t = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    tf_cols = ", ".join(
+        f"max(CASE WHEN t = '{t}' THEN tf END) AS tf{i}" for i, t in enumerate(terms)
+    )
+    score = " + ".join(
+        f"COALESCE(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {k1 + 1.0}) / (tf{i} + {k1} * ({1.0 - b} + {b} * dl / (sum_dl / n_docs))), 0.0)"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM ({SQL_DOCS_TOKS})),
+tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, dl, unnest(toks) AS t FROM base)
+       WHERE t IN ({in_list}) GROUP BY 1, 2, 3),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM base),
+dfs AS (SELECT {df_cols} FROM tf),
+piv AS (SELECT doc_id, dl, {tf_cols} FROM tf GROUP BY 1, 2),
+sc AS (SELECT doc_id, round({score}, 4) AS score FROM piv CROSS JOIN stats CROSS JOIN dfs)
+SELECT doc_id, score FROM sc WHERE score > 0 ORDER BY score DESC, doc_id LIMIT {top_n}
+"""
+
+
+@register("bm25_search", oracle=_bm25_oracle(), tags=("text", "search", "llm"))
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a 5-term query under BM25
+    (operators/text.py::bm25_search) — the lexical search primitive.
+    The corpus-side explode is filtered to the query terms before any
+    shuffle (inverted-index probe), df/N/avgdl attach as broadcast
+    1-row aggregates, and per-term partials sum in fixed expression
+    order (never a float groupBy-sum) so the ranking is
+    engine-reproducible after 4-dp rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.bm25_search(docs, "text", "doc_id", _BM25_TERMS)
+
+
 # --- bloom-filter decontamination --------------------------------------------
 
 def _bloom_oracle() -> str:

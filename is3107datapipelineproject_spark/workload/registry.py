@@ -135,6 +135,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "fuzzy_name_match",
     "priority_sample",
     "quantile_sketch",
+    "bm25_search",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",

@@ -498,3 +498,21 @@ def test_zipf_slope_flat_on_uniform_steep_on_skewed(spark):
     r2 = zipf_slope(skewed, "text").collect()[0]
     assert r2.n_terms == 20
     assert r2.slope < -0.8 and r2.r2 > 0.95  # near ideal zipf
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    """BM25: a document dense in query terms outranks a diluted one;
+    documents with no query term are excluded entirely."""
+    from is3107datapipelineproject_spark.operators.text import bm25_search
+
+    rows = [
+        (1, "hash join hash join hash"),
+        (2, "hash join plus lots of other words " + "filler " * 40),
+        (3, "completely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = bm25_search(df, "text", "doc_id", ["hash", "join"], top_n=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] == 1, "short term-dense doc must rank first (dl normalization)"
+    assert 3 not in ids
+    assert all(got[i]["score"] >= got[i + 1]["score"] for i in range(len(got) - 1))
