@@ -396,3 +396,30 @@ def neardup_ingest_sink(
         nb.write.mode("append").parquet(sig_dir)
 
     return apply
+
+
+def hist_ingest_sink(sketch_dir: str, value_col: str, width: float = 100.0):
+    """Streaming maintenance of the mergeable quantile sketch
+    (operators/sketches.py): per micro-batch, build the batch's
+    fixed-boundary histogram and APPEND it as a partial — the classic
+    store-partials / merge-on-read sketch pattern. No read-modify-write
+    of the sketch table (append-only, so concurrent triggers and
+    retries stay safe), and per-ingest cost is the batch scan plus a
+    ≤(range/width)-row write. Read the current sketch with
+    :func:`hist_read`; offline compaction is a plain overwrite of the
+    re-summed table. Fixed boundaries make the merge associative, so
+    the streamed sketch equals the batch-built global histogram
+    bit-for-bit at every trigger (asserted in tests)."""
+    from is3107datapipelineproject_spark.operators.sketches import hist_build
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        hist_build(batch_df, value_col, width).write.mode("append").parquet(sketch_dir)
+
+    return apply
+
+
+def hist_read(spark, sketch_dir: str) -> DataFrame:
+    """Merge the appended histogram partials back into one sketch
+    (union + re-sum over ≤ #partials × range/width rows)."""
+    parts = spark.read.parquet(sketch_dir)
+    return parts.groupBy("bin").agg(F.sum("bin_cnt").cast("long").alias("bin_cnt"))

@@ -626,3 +626,39 @@ def test_neardup_ingest_sink_matches_batch_incremental(spark, tmp_path):
     sig = spark.read.parquet(sig_dir)
     assert sig.count() == 4 * 6
     assert {r.doc_id for r in sig.select("doc_id").distinct().collect()} == {1, 2, 3, 11, 12, 13}
+
+
+def test_hist_ingest_sink_equals_global_histogram(spark, tmp_path):
+    """Streamed sketch == batch global: drain two value micro-batches
+    through the append-only histogram sink; the merged-on-read sketch
+    must equal hist_build over the union, bit-for-bit, and quantiles
+    read off it must match too."""
+    from is3107datapipelineproject_spark.operators.sketches import hist_build, hist_quantiles
+    from is3107datapipelineproject_spark.streaming.windows import hist_ingest_sink, hist_read
+
+    b1 = [(i, float(900 + 17 * i)) for i in range(300)]
+    b2 = [(1000 + i, float(2500 + 23 * i)) for i in range(300)]
+    vals_dir = tmp_path / "vals"
+    spark.createDataFrame(b1, ["k", "v"]).coalesce(1).write.parquet(str(vals_dir / "f0.parquet"))
+    spark.createDataFrame(b2, ["k", "v"]).coalesce(1).write.parquet(str(vals_dir / "f1.parquet"))
+    sketch_dir = str(tmp_path / "sketch")
+
+    stream = (
+        spark.readStream.schema("k LONG, v DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(vals_dir / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(hist_ingest_sink(sketch_dir, "v"))
+        .option("checkpointLocation", str(tmp_path / "hist_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = hist_read(spark, sketch_dir)
+    global_sk = hist_build(spark.createDataFrame(b1 + b2, ["k", "v"]), "v")
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, global_sk.collect()))
+    qa = {r["q"]: r["est_upper"] for r in hist_quantiles(streamed, [0.5, 0.9]).collect()}
+    qb = {r["q"]: r["est_upper"] for r in hist_quantiles(global_sk, [0.5, 0.9]).collect()}
+    assert qa == qb
