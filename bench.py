@@ -111,6 +111,7 @@ HEADLINE = [
     "priority_sample",
     "quantile_sketch",
     "bm25_search",
+    "entity_resolution",
 ]
 
 

@@ -109,3 +109,57 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "p_name_a", "canon_key_a", "n_parts_a", "p_name_b", "canon_key_b", "n_parts_b", "dist"
     )
+
+
+_ER_ORACLE = """
+WITH ent AS (SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts FROM part GROUP BY 1),
+blk AS (SELECT p_name, split_part(p_name, ' ', 1) AS b FROM ent),
+ok AS (SELECT b FROM blk GROUP BY 1 HAVING count(*) <= 10000),
+p AS (
+  SELECT a.p_name AS n1, b2.p_name AS n2
+  FROM blk a
+  JOIN blk b2 ON a.b = b2.b AND a.p_name < b2.p_name
+             AND abs(length(a.p_name) - length(b2.p_name)) <= 4
+             AND levenshtein(a.p_name, b2.p_name) <= 4
+  WHERE a.b IN (SELECT b FROM ok)
+),
+edges AS (SELECT n1 AS src, n2 AS dst FROM p UNION SELECT n2, n1 FROM p),
+reach AS (
+  WITH RECURSIVE r(id, seen) AS (
+    SELECT p_name, p_name FROM ent
+    UNION
+    SELECT e.dst, r.seen FROM edges e JOIN r ON r.id = e.src
+  )
+  SELECT * FROM r
+),
+clusters AS (SELECT id AS p_name, min(seen) AS entity_name FROM reach GROUP BY 1)
+SELECT c.p_name, c.entity_name, e.n_parts
+FROM clusters c JOIN ent e USING (p_name)
+"""
+
+
+@register("entity_resolution", oracle=_ER_ORACLE, tags=("fuzzy", "entity-resolution", "iterative"))
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: canonicalize part names → blocked
+    Levenshtein match (operators/fuzzy.py) → connected components over
+    the match graph (operators/dedup.py::neardup_clusters hash-min) →
+    every name labeled with its cluster's canonical (min) name. The
+    quadratic never leaves a block, the closure is the same iterative
+    machinery the dedup family ships, and the oracle replays it with a
+    recursive CTE. Singletons (including names in dropped hot blocks)
+    resolve to themselves on both engines."""
+    from is3107datapipelineproject_spark.operators.dedup import neardup_clusters
+
+    part = load_table(spark, sf_dir, "part")
+    ents = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    pairs = blocked_fuzzy_pairs(
+        ents.select("p_name"),
+        "p_name",
+        block_expr=F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)),
+        max_dist=4,
+        max_block=10_000,
+    ).select(F.col("p_name_a").alias("doc1"), F.col("p_name_b").alias("doc2"))
+    clusters = neardup_clusters(ents.select("p_name"), pairs, id_col="p_name")
+    return clusters.select(
+        "p_name", F.col("cluster_id").alias("entity_name")
+    ).join(ents, "p_name")

@@ -136,6 +136,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "priority_sample",
     "quantile_sketch",
     "bm25_search",
+    "entity_resolution",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",

@@ -87,3 +87,21 @@ def test_fuzzy_extra_columns_ride_along(spark):
         df, "name", block_expr=F.split_part(F.col("name"), F.lit(" "), F.lit(1)), max_dist=1
     ).collect()
     assert len(got) == 1 and got[0]["k_a"] == 7 and got[0]["k_b"] == 9
+
+
+def test_entity_resolution_transitive_canonical(spark):
+    """A chain a—b, b—c (but a↛c directly) must still resolve to ONE
+    entity via the transitive closure, labeled with the min name."""
+    from is3107datapipelineproject_spark.operators.dedup import neardup_clusters
+
+    names = ["acme corp", "acme corp.", "acme corpx.", "other thing"]
+    ents = spark.createDataFrame([(n,) for n in names], ["name"])
+    pairs = blocked_fuzzy_pairs(
+        ents, "name", block_expr=F.split_part(F.col("name"), F.lit(" "), F.lit(1)), max_dist=1
+    ).select(F.col("name_a").alias("doc1"), F.col("name_b").alias("doc2"))
+    # sanity: the distance-2 pair is NOT a direct edge
+    direct = {(r["doc1"], r["doc2"]) for r in pairs.collect()}
+    assert ("acme corp", "acme corpx.") not in direct
+    got = {r["name"]: r["cluster_id"] for r in neardup_clusters(ents, pairs, "name").collect()}
+    assert got["acme corp"] == got["acme corp."] == got["acme corpx."] == "acme corp"
+    assert got["other thing"] == "other thing"
