@@ -112,6 +112,7 @@ HEADLINE = [
     "quantile_sketch",
     "bm25_search",
     "entity_resolution",
+    "related_parts_ppr",
 ]
 
 

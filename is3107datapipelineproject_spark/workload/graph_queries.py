@@ -66,6 +66,69 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("part_key"), F.col("pr").alias("pr_scaled"))
 
 
+_PPR_ITER_SQL = """
+it{n} AS (
+  SELECT node, pr FROM (
+    SELECT COALESCE(f.node, b.node) AS node,
+           CAST(COALESCE(f.flow, 0) + COALESCE(b.base, 0) AS BIGINT) AS pr
+    FROM (
+      SELECT e.dst AS node,
+             CAST((85 * CAST(sum((p.pr * e.w) // o.ow) AS BIGINT)) // 100 AS BIGINT) AS flow
+      FROM edges e JOIN it{prev} p ON p.node = e.src JOIN outw o ON o.src = e.src
+      GROUP BY 1
+    ) f FULL OUTER JOIN basev b ON f.node = b.node
+  ) WHERE pr > 0
+)"""
+
+_PPR_ORACLE = (
+    """
+WITH bridge AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem),
+pairs AS (
+  SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS w
+  FROM bridge a JOIN bridge b ON a.g = b.g AND a.m < b.m GROUP BY 1, 2
+),
+edges AS (SELECT m1 AS src, m2 AS dst, w FROM pairs
+          UNION ALL SELECT m2, m1, w FROM pairs),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+seeds AS (SELECT src AS node FROM outw ORDER BY src LIMIT 2),
+basev AS (
+  SELECT node,
+         CAST((CAST(15 AS BIGINT) * 1000000000 * (SELECT count(*) FROM outw))
+              // (100 * (SELECT count(*) FROM seeds)) AS BIGINT) AS base
+  FROM seeds
+),
+it0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM seeds),"""
+    + ",".join(_PPR_ITER_SQL.format(n=i, prev=i - 1) for i in range(1, 4))
+    + """
+SELECT node AS part_key, pr AS ppr_scaled FROM it3
+"""
+)
+
+
+@register("related_parts_ppr", oracle=_PPR_ORACLE, tags=("graph", "iterative"))
+def q_related_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 2-part anchor set over the
+    co-purchase graph (operators/graph.py::personalized_pagerank) — the
+    graph-retrieval shape: teleport returns only to the anchors, so
+    after 3 iterations the rank vector covers exactly the anchors'
+    3-hop neighborhood (sparse by construction at any graph size).
+    Fixed-point BIGINT arithmetic; the oracle unrolls the iterations
+    with the same full-outer teleport merge."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = pair_counts(li, "l_orderkey", "l_partkey")
+    edges = G.undirected_to_directed(pairs, "member1", "member2", "cnt").localCheckpoint(
+        eager=True
+    )
+    seeds = (
+        edges.groupBy("src").agg(F.sum("w").alias("_"))
+        .orderBy("src")
+        .limit(2)
+        .select(F.col("src").alias("node"))
+    )
+    pr = G.personalized_pagerank(edges, seeds, iterations=3)
+    return pr.select(F.col("node").alias("part_key"), F.col("pr").alias("ppr_scaled"))
+
+
 _FUZZY_ORACLE = """
 WITH ent AS (
   SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS canon_key,

@@ -137,6 +137,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "quantile_sketch",
     "bm25_search",
     "entity_resolution",
+    "related_parts_ppr",
     # operators changed this round — worth an external re-check after
     # the zero-evidence queries above are covered
     "simhash_neardup",

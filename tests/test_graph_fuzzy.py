@@ -105,3 +105,23 @@ def test_entity_resolution_transitive_canonical(spark):
     got = {r["name"]: r["cluster_id"] for r in neardup_clusters(ents, pairs, "name").collect()}
     assert got["acme corp"] == got["acme corp."] == got["acme corpx."] == "acme corp"
     assert got["other thing"] == "other thing"
+
+
+def test_personalized_pagerank_stays_near_seeds(spark):
+    """Two components; seeds in one: the other component gets NO rank
+    (sparse frontier), and the seed outranks non-seed neighbors."""
+    from is3107datapipelineproject_spark.operators.graph import personalized_pagerank
+
+    pairs = [(0, 1, 1), (1, 2, 1), (10, 11, 1)]  # component A: 0-1-2; B: 10-11
+    edges_half = spark.createDataFrame(pairs, ["m1", "m2", "w"])
+    edges = undirected_to_directed(edges_half, "m1", "m2", "w")
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    pr = {r["node"]: r["pr"] for r in personalized_pagerank(edges, seeds, iterations=3).collect()}
+    assert set(pr) <= {0, 1, 2}, "rank must never leak into the unreachable component"
+    assert 10 not in pr and 11 not in pr
+    # 2 only receives half of 1's outflow; 1 also drains back toward the
+    # seed, so the far end of the path must rank strictly below the
+    # middle (the middle may legitimately out-rank the seed itself —
+    # it collects flow from BOTH sides).
+    assert pr.get(2, 0) < pr[1]
+    assert pr[0] > pr.get(2, 0)
