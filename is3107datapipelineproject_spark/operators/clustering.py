@@ -263,6 +263,7 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 2,
     threshold: float = 0.95,
+    max_cluster: int = 4000,
 ) -> DataFrame:
     """SemDeDup: k-means-cluster the embeddings, then inside each
     cluster mark a vector as a semantic duplicate iff a SMALLER-id
@@ -275,23 +276,70 @@ def semantic_dedup(
     embedding_neardup_pairs bucket contract). Keep rule is
     exists-smaller-neighbor, the deterministic representative choice an
     oracle can replay (no transitive-closure ambiguity).
+
+    Hot-cluster guard (``max_cluster``): k-means on a boilerplate-heavy
+    corpus routinely collapses most vectors into ONE cluster — the exact
+    input SemDeDup targets — and an uncapped within-cluster self-join is
+    then quadratic in corpus size. Clusters larger than ``max_cluster``
+    switch to a STAR comparison: every member is compared only against
+    the cluster's smallest-id vector (its deterministic representative),
+    O(n) instead of O(n²) per hot cluster. The recall tradeoff (a
+    member near a neighbor but far from the representative stays kept)
+    is the same contract as ``max_bucket`` in the minhash/simhash
+    families and ``max_block`` in fuzzy matching; the oracle replays the
+    identical routing, so correctness checking stays exact.
     """
     asg = kmeans_assign(df, id_col, vec_col, k=k, iters=iters).localCheckpoint(eager=True)
     vecs = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     )
     vecs = vecs.select("vid", "vec", l2_norm(F.col("vec")).alias("norm"))
-    t = asg.select(F.col(id_col).alias("vid"), "cluster").join(vecs, "vid")
-    a, b = t.alias("a"), t.alias("b")
+    sizes = asg.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))  # k rows
+    t = (
+        asg.select(F.col(id_col).alias("vid"), "cluster")
+        .join(vecs, "vid")
+        .join(F.broadcast(sizes), "cluster")
+    )
+
+    # small clusters: exact all-pairs within the cluster (bounded by cap²)
+    small = t.filter(F.col("csz") <= max_cluster)
+    a, b = small.alias("a"), small.alias("b")
     sim = F.round(
         dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.norm") * F.col("b.norm")), 4
     )
-    dup_ids = (
+    dup_small = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster")) & (F.col("a.vid") < F.col("b.vid")))
         .filter(sim >= threshold)
         .select(F.col("b.vid").alias("vid"))
-        .distinct()
     )
+
+    # oversized clusters: star comparison against the min-id member —
+    # the ≤k-row center table broadcasts, so the hot path is one narrow
+    # scan of the hot clusters' members, never a self-join.
+    big = t.filter(F.col("csz") > max_cluster)
+    ctr = (
+        big.groupBy("cluster")
+        .agg(F.min("vid").alias("cvid"))
+        .join(
+            vecs.select(
+                F.col("vid").alias("cvid"),
+                F.col("vec").alias("cvec"),
+                F.col("norm").alias("cnorm"),
+            ),
+            "cvid",
+        )
+    )
+    star_sim = F.round(
+        dot(F.col("vec"), F.col("cvec")) / (F.col("norm") * F.col("cnorm")), 4
+    )
+    dup_big = (
+        big.join(F.broadcast(ctr), "cluster")
+        .filter(F.col("vid") > F.col("cvid"))
+        .filter(star_sim >= threshold)
+        .select("vid")
+    )
+
+    dup_ids = dup_small.unionByName(dup_big).distinct()
     return (
         asg.select(F.col(id_col).alias("vid"), "cluster")
         .join(dup_ids.withColumn("__dup", F.lit(True)), "vid", "left")

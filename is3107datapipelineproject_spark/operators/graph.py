@@ -19,10 +19,12 @@ oracle-checkable.)
 
 Scale notes (100 TB): edges are shuffled on ``src`` once into
 ``edge_norm`` (out-weight pre-joined, so the loop body never touches the
-degree table again); each iteration re-shuffles only the O(|V|) rank
-vector, never the O(|E|) edge list — with AQE the edge side of the
-per-iteration join reuses its exchange. Fixed iteration count keeps the
-lineage bounded; for deep iteration counts checkpoint every ~10 rounds.
+degree table again) and eagerly ``localCheckpoint``-ed, so the upstream
+pair-generation subtree executes exactly once and every iteration scans
+the materialized edge set; each iteration re-shuffles only the O(|V|)
+rank vector, never the O(|E|) edge list. Fixed iteration count keeps the
+lineage bounded; for deep iteration counts checkpoint the RANK vector
+every ~10 rounds too.
 """
 
 from __future__ import annotations
@@ -52,11 +54,20 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping_pct: int = 85) -> Da
     all in BIGINT arithmetic (see module docstring).
     """
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    # Pre-join the normalizer once: the loop body is then a single
-    # join + aggregate per iteration.
-    edge_norm = edges.join(outw, "src").select("src", "dst", "w", "ow")
+    # Pre-join the normalizer once and MATERIALIZE it: every iteration
+    # (and the rank-vector init) then reads the checkpointed edge set
+    # instead of embedding the upstream pair-generation subtree in its
+    # lineage — the pair-gen scan executes exactly once and plan depth
+    # stays bounded for any iteration count.
+    edge_norm = (
+        edges.join(outw, "src").select("src", "dst", "w", "ow").localCheckpoint(eager=True)
+    )
 
-    pr = outw.select(F.col("src").alias("node"), F.lit(SCALE).cast("long").alias("pr"))
+    pr = (
+        edge_norm.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(SCALE).cast("long").alias("pr"))
+    )
     base = (100 - damping_pct) * SCALE // 100
     for _ in range(iterations):
         pr = (
@@ -96,7 +107,9 @@ def personalized_pagerank(
     the seeds, not the whole graph.
     """
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    edge_norm = edges.join(outw, "src").select("src", "dst", "w", "ow")
+    edge_norm = (
+        edges.join(outw, "src").select("src", "dst", "w", "ow").localCheckpoint(eager=True)
+    )
 
     n_nodes = outw.count()
     n_seeds = seeds.count()

@@ -1676,6 +1676,7 @@ def q_decontaminate_fixed_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K = 8
 KMEANS_ITERS = 2
 SEMDEDUP_THR = 0.3  # demo threshold; synthetic embeddings are well-spread
+SEMDEDUP_CAP = 64  # hot-cluster cap: low enough that sf>=0.01 exercises BOTH paths
 
 
 def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
@@ -1745,11 +1746,25 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_KM_CTES},
 t AS (SELECT a.vec_id, a.cid AS cluster, e.v FROM {_KM_FINAL} a JOIN e USING (vec_id)),
-dup AS (
+sz AS (SELECT cluster, count(*) AS csz FROM t GROUP BY 1),
+dup_small AS (
   SELECT DISTINCT b.vec_id
   FROM t a JOIN t b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {SEMDEDUP_THR}
-)
+  JOIN sz ON sz.cluster = a.cluster
+  WHERE sz.csz <= {SEMDEDUP_CAP}
+    AND round(list_cosine_similarity(a.v, b.v), 4) >= {SEMDEDUP_THR}
+),
+ctr AS (
+  SELECT t.cluster, min(t.vec_id) AS cvid
+  FROM t JOIN sz USING (cluster) WHERE sz.csz > {SEMDEDUP_CAP} GROUP BY 1
+),
+dup_big AS (
+  SELECT b.vec_id
+  FROM t b JOIN ctr ON b.cluster = ctr.cluster AND b.vec_id > ctr.cvid
+  JOIN t c ON c.vec_id = ctr.cvid
+  WHERE round(list_cosine_similarity(b.v, c.v), 4) >= {SEMDEDUP_THR}
+),
+dup AS (SELECT vec_id FROM dup_small UNION SELECT vec_id FROM dup_big)
 SELECT t.vec_id, t.cluster, (dup.vec_id IS NULL) AS is_kept
 FROM t LEFT JOIN dup USING (vec_id)
 """,
@@ -1762,12 +1777,22 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     key confining the quadratic pair search
     (operators/clustering.py::semantic_dedup); at 100 TB pick
     k ~ sqrt(N) so per-cluster work stays bounded, the same granularity
-    contract as embedding_neardup_pairs."""
+    contract as embedding_neardup_pairs. Clusters above SEMDEDUP_CAP
+    switch to an O(n) star comparison against their min-id member (the
+    hot-cluster guard every other blocked family carries); the cap is
+    set low so sf>=0.01 exercises the quadratic AND star paths, and the
+    oracle replays the same routing."""
     from is3107datapipelineproject_spark.operators.clustering import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(
-        emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS, threshold=SEMDEDUP_THR
+        emb,
+        "vec_id",
+        "embedding",
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_THR,
+        max_cluster=SEMDEDUP_CAP,
     )
 
 

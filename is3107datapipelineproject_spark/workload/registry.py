@@ -50,99 +50,49 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # prefix sample of the registry exercises them before the repeatedly
 # checked core.  Ordering is presentation-only: every query is registered
 # exactly once and the full dict always contains all of them.
+#
+# Round-5 window: positions 1-30 are the 30 queries that have never been
+# driver-sampled in any round (r1-r4 covered the other 135); positions
+# 31-33 are the three operators whose code changed in round 4 AFTER their
+# last green sample; the remainder of the 50-slot window holds queries
+# added this round (no external evidence yet by definition).
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # never externally sampled: TPC-H-flavor join suite
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "promo_revenue_share",
-    "order_priority_exists",
-    "large_order_customers",
-    "disjunctive_part_revenue",
-    "dormant_rich_customers",
-    "cheapest_part_per_type",
-    "top_supplier_revenue",
-    "volume_shipping",
-    "market_share",
-    "product_profit",
-    "returned_items",
-    "customer_order_distribution",
-    "small_qty_revenue",
-    # never externally sampled: window / shaping family
-    "filter_bool",
-    "agg_cube",
-    "agg_percentiles",
-    "window_lag_lead",
-    "window_rank_dense",
-    "window_moving_sum",
-    "pivot_priority_by_year",
-    "unpivot_lineitem_metrics",
-    "salted_join_agg",
-    "key_skew_stats",
-    # never externally sampled: events family
-    "events_funnel",
-    "events_sliding_window",
-    "events_session_window",
-    "events_sessionize",
-    "events_dedup_keys",
-    "click_purchase_attribution",
-    "cohort_retention",
-    # never externally sampled: domain + scalar stragglers
-    "xml_flatten",
-    "dblp_contains_author",
-    "dblp_nth_author_count",
-    "dblp_collab_totals",
-    "f_parse_int_map",
-    "f_null_fill",
-    "importance_resample",
-    "length_quantiles",
-    "source_quality_filter",
-    "lang_mismatch",
-    "perplexity_buckets",
-    "document_features",
-    # previously rows-only / err:no_oracle — now hash-checkable
-    "hll_mergeable_sketch",
-    "approx_distinct",
-    # new this round, no external evidence yet (first two fit in the
-    # 50-query sample window; the rest lead the next round's rotation)
-    "cms_heavy_hitters",
-    "split_leakage",
-    "contamination_report",
-    "dup_cluster_sizes",
-    "corpus_shuffle",
-    "bloom_contamination",
-    "data_card",
-    "corpus_diff",
-    "incremental_curation",
-    "embedding_neardup_lsh",
-    "minhash_topk_similar",
-    "decontaminate_fixed_bench",
-    "kmeans_assign",
-    "semantic_dedup",
-    "dup_ngram_fraction",
-    "hard_negatives",
-    "temperature_sample",
-    "quality_classifier",
-    "kmeans_assign_hier",
-    "containment_pairs",
-    "pretrain_pipeline",
+    # --- never driver-sampled in r1-r4 (30) ---------------------------
     "bigram_surprisal",
-    "corpus_drift",
     "blocklist_filter",
+    "bloom_contamination",
+    "bm25_search",
+    "containment_pairs",
+    "copurchase_pagerank",
+    "corpus_diff",
+    "corpus_drift",
+    "corpus_shuffle",
+    "data_card",
+    "decontaminate_fixed_bench",
+    "dup_cluster_sizes",
+    "dup_ngram_fraction",
+    "embedding_neardup_lsh",
+    "entity_resolution",
+    "fuzzy_name_match",
+    "hard_negatives",
+    "incremental_curation",
+    "kmeans_assign",
+    "kmeans_assign_hier",
+    "minhash_topk_similar",
+    "pretrain_pipeline",
+    "priority_sample",
+    "quality_classifier",
+    "quantile_sketch",
+    "related_parts_ppr",
+    "semantic_dedup",
+    "temperature_sample",
     "vocab_growth",
     "zipf_slope",
-    "copurchase_pagerank",
-    "fuzzy_name_match",
-    "priority_sample",
-    "quantile_sketch",
-    "bm25_search",
-    "entity_resolution",
-    "related_parts_ppr",
-    # operators changed this round — worth an external re-check after
-    # the zero-evidence queries above are covered
+    # --- changed in round 4 after their last green sample (3) ---------
     "simhash_neardup",
     "cosine_topk",
     "boilerplate_flag",
+    # --- new in round 5: no external evidence yet ----------------------
 )
 
 

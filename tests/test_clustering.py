@@ -73,6 +73,35 @@ def test_semantic_dedup_drops_higher_id_neardup(spark):
         assert any(kv < d and clusters[kv] == clusters[d] for kv in kept)
 
 
+def test_semantic_dedup_hot_cluster_cap_switches_to_star(spark):
+    """Degenerate input: every vector lands in ONE cluster (k=1) of size
+    12 — the boilerplate-collapse case. With max_cluster below the
+    cluster size the pair search must switch to the O(n) star
+    comparison: a member near its NEIGHBOR but far from the min-id
+    representative stays kept (the documented recall tradeoff), instead
+    of being chained away by the quadratic exists-smaller-neighbor rule.
+    """
+    import math
+
+    rows = [
+        (i, [math.cos(math.radians(10.0 * i)), math.sin(math.radians(10.0 * i)), 0.0])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+
+    # capped: size 12 > cap 5 -> star vs vid 0. cos(i*10deg) >= 0.9 only
+    # for i in {1, 2}; adjacent members stay near-parallel but that no
+    # longer matters.
+    star = semantic_dedup(df, "vid", "vec", k=1, iters=1, threshold=0.9, max_cluster=5).collect()
+    assert all(r.cluster == 0 for r in star)
+    assert {r.vid for r in star if not r.is_kept} == {1, 2}
+
+    # uncapped twin on the same data: the exists-smaller-NEIGHBOR chain
+    # (adjacent cos(10deg) ~ 0.985) drops everything but the min id.
+    quad = semantic_dedup(df, "vid", "vec", k=1, iters=1, threshold=0.9, max_cluster=100).collect()
+    assert {r.vid for r in quad if r.is_kept} == {0}
+
+
 def test_kmeans_assignment_plan_is_narrow(spark):
     """The assignment side must not expand the corpus k-fold or shuffle
     it: the codebook arrives by broadcast and the argmin is a per-row

@@ -52,6 +52,19 @@ def test_pagerank_partitioning_invariant(spark):
     assert a == b
 
 
+def test_pagerank_edge_subtree_executes_once(spark):
+    """edge_norm is eagerly localCheckpoint'd: the final rank plan must
+    read the materialized edge RDD, with the upstream edge-construction
+    subtree (the LocalTableScan leaf here; pair-generation in the real
+    query) appearing ZERO times — it already ran, exactly once."""
+    plan = (
+        pagerank(_star_edges(spark), iterations=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LocalTableScan" not in plan, "edge subtree leaked into the iteration lineage"
+    assert "ExistingRDD" in plan, "expected scans of the checkpointed edge_norm"
+
+
 def _names(spark, rows):
     return spark.createDataFrame([(n,) for n in rows], ["name"])
 
