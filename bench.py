@@ -155,15 +155,39 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    print(
-        json.dumps(
+    # The emitted line must fit the driver's bounded tail capture even as
+    # the headline set grows (round 4's 84-query line overflowed it and
+    # recorded "parsed": null): headline fields FIRST, 2-dp rounding,
+    # compact separators, and the inline per-query dict capped at the
+    # slowest N — the complete detail goes to BENCH_DETAIL.json beside
+    # this script (committed per round, so nothing is lost).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_wall_sec",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": _sf_of(sf_dir),
-            }
+                "n_queries": len(timings),
+                "queries": timings,
+            },
+            fh,
+            indent=1,
+        )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:45])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_wall_sec",
+                "value": round(total, 2),
+                "unit": "sec",
+                "sf": _sf_of(sf_dir),
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+                "queries": {k: round(v, 2) for k, v in slowest.items()},
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

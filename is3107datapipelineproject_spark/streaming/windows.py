@@ -423,3 +423,16 @@ def hist_read(spark, sketch_dir: str) -> DataFrame:
     (union + re-sum over ≤ #partials × range/width rows)."""
     parts = spark.read.parquet(sketch_dir)
     return parts.groupBy("bin").agg(F.sum("bin_cnt").cast("long").alias("bin_cnt"))
+
+
+def hist_compact(spark, sketch_dir: str) -> int:
+    """Offline compaction of the append-only sketch log: re-sum the
+    partials into ONE row per bin and overwrite the table, so
+    merge-on-read cost stops growing with trigger count. The merged
+    sketch is identical before and after (fixed boundaries make the
+    re-sum associative — asserted in tests); run it between triggers or
+    against a quiesced table, since the overwrite is not transactional
+    against a concurrent appender. Returns the compacted row count."""
+    compacted = hist_read(spark, sketch_dir).localCheckpoint(eager=True)
+    compacted.write.mode("overwrite").parquet(sketch_dir)
+    return compacted.count()

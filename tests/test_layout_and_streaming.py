@@ -662,3 +662,14 @@ def test_hist_ingest_sink_equals_global_histogram(spark, tmp_path):
     qa = {r["q"]: r["est_upper"] for r in hist_quantiles(streamed, [0.5, 0.9]).collect()}
     qb = {r["q"]: r["est_upper"] for r in hist_quantiles(global_sk, [0.5, 0.9]).collect()}
     assert qa == qb
+
+    # compaction: the partial log (2 triggers of partials) collapses to
+    # one row per bin; the merged sketch is bit-identical post-compaction
+    from is3107datapipelineproject_spark.streaming.windows import hist_compact
+
+    before = sorted(map(tuple, streamed.collect()))
+    n_partials = spark.read.parquet(sketch_dir).count()
+    n_bins = hist_compact(spark, sketch_dir)
+    assert n_bins < n_partials, "compaction must shrink the partial log"
+    assert spark.read.parquet(sketch_dir).count() == n_bins
+    assert sorted(map(tuple, hist_read(spark, sketch_dir).collect())) == before
