@@ -113,6 +113,17 @@ HEADLINE = [
     "bm25_search",
     "entity_resolution",
     "related_parts_ppr",
+    "running_distinct_users",
+    "daily_anomaly_zscore",
+    "gap_fill_interpolate",
+    "session_transition_matrix",
+    "window_ntile_cume",
+    "bpe_merge_candidates",
+    "readability_score",
+    "char_entropy",
+    "copurchase_triangles",
+    "graph_degree_stats",
+    "similar_parts_jaccard",
 ]
 
 

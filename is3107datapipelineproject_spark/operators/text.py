@@ -439,3 +439,85 @@ def bm25_search(
         .limit(top_n)
         .select(id_col, "score")
     )
+
+
+def bpe_merge_pairs(df, text_col: str, id_col: str, top_n: int = 50):
+    """Top adjacent-character-pair merge candidates — the first
+    iteration of BPE tokenizer training (Sennrich et al., 2016). The
+    scale insight the operator encodes: pair counts are computed over
+    the DISTINCT word vocabulary weighted by word frequency, never over
+    the corpus — after the one corpus-side token count, the quadratic-in
+    -word-length pair explode touches only |vocab| rows. Returns
+    ``(pair, merge_count)``, the ``top_n`` pairs under a total
+    (count desc, pair asc) order so the cutoff is deterministic.
+    """
+    toks = df.select(F.explode(ws_tokens(text_col)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    prs = (
+        vocab.filter(F.length("token") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("token") - 1),
+                    lambda i: F.col("token").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+    )
+    return (
+        prs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("merge_count"))
+        .orderBy(F.col("merge_count").desc(), F.col("pair"))
+        .limit(top_n)
+    )
+
+
+def readability_scores(df, text_col: str, id_col: str):
+    """Flesch-Kincaid-style grade-level estimate per document from
+    three regexp match counts over the normalized text (words, sentence
+    breaks, vowel-group syllable proxy) — one narrow codegen scan, no
+    shuffle, no UDF. The formula is evaluated in one fixed double
+    expression and rounded, so an oracle reproduces it bit-for-bit.
+    Documents with zero words are excluded (undefined score)."""
+    norm = normalize_text(text_col)
+    t = df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(norm, F.lit("[a-z0-9]+"), F.lit(0))).cast("long").alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(norm, F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+        ).cast("long").alias("sentences"),
+        F.size(F.regexp_extract_all(norm, F.lit("[aeiou]+"), F.lit(0))).cast("long").alias("syllables"),
+    ).filter(F.col("words") > 0)
+    grade = F.round(
+        F.lit(0.39) * (F.col("words").cast("double") / F.col("sentences"))
+        + F.lit(11.8) * (F.col("syllables").cast("double") / F.col("words"))
+        - F.lit(15.59),
+        4,
+    )
+    return t.select(id_col, "words", "sentences", "syllables", grade.alias("fk_grade"))
+
+
+def char_entropy(df, text_col: str, id_col: str):
+    """Shannon entropy of each document's character distribution — the
+    classic gibberish/low-diversity quality signal (near-0 for repeated
+    filler, ~4+ bits for natural language). Per-(doc, char) counts
+    partial-aggregate map-side, so the shuffle carries at most
+    |alphabet| rows per document; the -Σ p·log2 p sum folds over the
+    char-sorted count list in a FIXED order (floats are not associative
+    — an unordered SUM would drift across engines/partitionings), then
+    rounds. Returns ``(id_col, n_chars, uniq_chars, entropy)``."""
+    cs = df.select(F.col(id_col), F.explode(F.split(normalize_text(text_col), "")).alias("c"))
+    cc = cs.groupBy(id_col, "c").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    agg = cc.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("uniq_chars"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("c", "cnt"))), lambda s: s["cnt"]
+        ).alias("arr"),
+    )
+    p = lambda x: x.cast("double") / F.col("n_chars")  # noqa: E731
+    ent = F.round(
+        -F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + p(x) * F.log2(p(x))), 4
+    )
+    return agg.select(id_col, "n_chars", "uniq_chars", ent.alias("entropy"))

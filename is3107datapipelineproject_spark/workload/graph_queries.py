@@ -226,3 +226,162 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.select(
         "p_name", F.col("cluster_id").alias("entity_name")
     ).join(ents, "p_name")
+
+
+# --- round 5: static graph analytics over the co-purchase graph -------------
+
+# Shared edge set: co-purchase pairs appearing in >= 2 orders (the weight
+# floor that keeps the graph sparse — one-off co-occurrences are noise for
+# structure queries and the floor bounds wedge counts at scale).
+_EDGE_CTES = """
+bridge AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem),
+pairs AS (
+  SELECT a.m AS x, b.m AS y, CAST(count(*) AS BIGINT) AS w
+  FROM bridge a JOIN bridge b ON a.g = b.g AND a.m < b.m GROUP BY 1, 2
+),
+e AS (SELECT x, y FROM pairs WHERE w >= 2)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = pair_counts(li, "l_orderkey", "l_partkey")
+    return pairs.filter(F.col("cnt") >= 2).select(
+        F.col("member1").alias("x"), F.col("member2").alias("y")
+    )
+
+
+@register(
+    "copurchase_triangles",
+    oracle=f"""
+WITH {_EDGE_CTES},
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1 JOIN e e2 ON e1.y = e2.x
+            JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+nodes AS (SELECT unnest([a, b, c]) AS part_key FROM tri)
+SELECT part_key, CAST(count(*) AS BIGINT) AS n_triangles FROM nodes GROUP BY 1
+""",
+    tags=("graph",),
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph — the
+    local-clustering primitive (tight product bundles show up as
+    triangle-dense neighborhoods). Spark enumerates with DEGREE-ORDERED
+    orientation: every undirected edge points from its lower-(degree,id)
+    endpoint, so each triangle is generated exactly once at its unique
+    two-out-edge source and wedge count is bounded by Σ out-deg² with
+    out-degrees O(√|E|) — the hub-safe bound id-ordered enumeration
+    lacks. The triangle SET is orientation-independent, so the oracle
+    may enumerate in plain id order and the per-node counts agree."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("x").alias("n"))
+        .unionAll(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
+    )
+    rx = F.struct(F.col("dx").alias("d"), F.col("x").alias("i"))
+    ry = F.struct(F.col("dy").alias("d"), F.col("y").alias("i"))
+    x_first = rx < ry
+    o = ed.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(x_first, ry).otherwise(rx).alias("rdst"),
+    )
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    wedge = o1.join(o2, "src").filter(F.col("o1.rdst") < F.col("o2.rdst")).select(
+        F.col("src").alias("a"), F.col("o1.dst").alias("b"), F.col("o2.dst").alias("c")
+    )
+    tri = wedge.join(
+        o.select(F.col("src").alias("b"), F.col("dst").alias("c")), ["b", "c"], "leftsemi"
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part_key"))
+        .groupBy("part_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+WITH {_EDGE_CTES},
+adj AS (SELECT x AS n FROM e UNION ALL SELECT y FROM e),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY 1)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+""",
+    tags=("graph", "diagnostics"),
+)
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the structural
+    sanity probe run before any iterative graph job (a heavy tail says
+    salt/cap hubs first; see key_skew_stats for the join-side twin).
+    Two hash aggregates; output is #distinct-degrees rows."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("x").alias("n"))
+        .unionAll(e.select(F.col("y").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+@register(
+    "similar_parts_jaccard",
+    oracle=f"""
+WITH {_EDGE_CTES},
+adj AS (SELECT x AS n, y AS nb FROM e UNION ALL SELECT y AS n, x AS nb FROM e),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+ok AS (SELECT nb FROM adj GROUP BY 1 HAVING count(*) <= 200),
+com AS (
+  SELECT a.n AS part1, b.n AS part2, CAST(count(*) AS BIGINT) AS common
+  FROM adj a JOIN adj b ON a.nb = b.nb AND a.n < b.n
+  WHERE a.nb IN (SELECT nb FROM ok)
+  GROUP BY 1, 2
+)
+SELECT part1, part2, common,
+       round(CAST(common AS DOUBLE) / (d1.d + d2.d - common), 4) AS jaccard
+FROM com JOIN deg d1 ON d1.n = com.part1 JOIN deg d2 ON d2.n = com.part2
+WHERE common >= 2
+  AND round(CAST(common AS DOUBLE) / (d1.d + d2.d - common), 4) >= 0.25
+""",
+    tags=("graph", "similarity"),
+)
+def q_similar_parts_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Customers-also-bought" 2-hop node similarity: neighbor-set
+    Jaccard between parts sharing a co-purchase neighbor. Common-
+    neighbor counting IS the flagship pair_counts plan (group = the
+    shared neighbor, member = the part) with its max_group_size hub
+    guard — a 10k-degree hub would otherwise mint 50M candidate pairs;
+    the 200-cap is part of the SEMANTICS and the oracle replays it
+    (same df-capped posting-list contract as containment_pairs).
+    Degrees come from the UNCAPPED adjacency, so scores stay honest
+    for surviving pairs; common/(d1+d2-common) is one integer-fed
+    division rounded before the ≥0.25 gate."""
+    e = _copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("x").alias("n"), F.col("y").alias("nb")).unionAll(
+        e.select(F.col("y").alias("n"), F.col("x").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    com = pair_counts(adj, "nb", "n", max_group_size=200).select(
+        F.col("member1").alias("part1"),
+        F.col("member2").alias("part2"),
+        F.col("cnt").cast("long").alias("common"),
+    )
+    jac = F.round(
+        F.col("common").cast("double") / (F.col("d1") + F.col("d2") - F.col("common")), 4
+    )
+    return (
+        com.join(deg.select(F.col("n").alias("part1"), F.col("d").alias("d1")), "part1")
+        .join(deg.select(F.col("n").alias("part2"), F.col("d").alias("d2")), "part2")
+        .filter(F.col("common") >= 2)
+        .select("part1", "part2", "common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.25)
+    )

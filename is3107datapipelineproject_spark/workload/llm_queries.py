@@ -2025,3 +2025,90 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s2") - F.col("s1"), 6).alias("delta"),
         psi.alias("psi"),
     )
+
+
+# --- round 5: tokenizer-training / text-statistics additions ----------------
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+WITH toks AS ({SQL_DOCS_TOKS}),
+vocab AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1),
+prs AS (
+  SELECT unnest(list_transform(generate_series(1, length(token) - 1),
+                               i -> substr(token, i, 2))) AS pair, freq
+  FROM vocab WHERE length(token) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS merge_count
+FROM prs GROUP BY 1 ORDER BY merge_count DESC, pair LIMIT 50
+""",
+    tags=("text", "tokenizer", "llm"),
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE training iteration: top-50 adjacent character pairs by
+    frequency-weighted count (operators/text.py::bpe_merge_pairs). The
+    pair explode runs over the DISTINCT word vocabulary (weighted by
+    word frequency), never the corpus — after one corpus token count,
+    cost is vocabulary-sized regardless of corpus scale; the cutoff is
+    a total (count desc, pair asc) order, so the top-50 is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.bpe_merge_pairs(docs, "text", "doc_id")
+
+
+@register(
+    "readability_score",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all({SQL_NORM}, '[a-z0-9]+')) AS BIGINT) AS words,
+         CAST(greatest(len(regexp_extract_all({SQL_NORM}, '[.!?]+')), 1) AS BIGINT) AS sentences,
+         CAST(len(regexp_extract_all({SQL_NORM}, '[aeiou]+')) AS BIGINT) AS syllables
+  FROM documents
+)
+SELECT doc_id, words, sentences, syllables,
+       round(0.39 * (CAST(words AS DOUBLE) / sentences)
+             + 11.8 * (CAST(syllables AS DOUBLE) / words) - 15.59, 4) AS fk_grade
+FROM m WHERE words > 0
+""",
+    tags=("text", "quality", "llm"),
+)
+def q_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level proxy per document
+    (operators/text.py::readability_scores): words / sentence-break /
+    vowel-group-syllable counts from three regexp passes folded into one
+    narrow codegen scan — the readability gate curation recipes (C4,
+    Gopher rules) apply next to length/repetition signals."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.readability_scores(docs, "text", "doc_id")
+
+
+@register(
+    "char_entropy",
+    oracle=f"""
+WITH cs AS (SELECT doc_id, unnest(string_split({SQL_NORM}, '')) AS c FROM documents),
+cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS cnt FROM cs GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS uniq_chars,
+         list(cnt ORDER BY c) AS arr
+  FROM cc GROUP BY 1
+)
+SELECT doc_id, n_chars, uniq_chars,
+       round(-list_sum(list_transform(arr,
+             x -> (CAST(x AS DOUBLE) / n_chars) * log2(CAST(x AS DOUBLE) / n_chars))), 4)
+         AS entropy
+FROM agg
+""",
+    tags=("text", "quality", "llm"),
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document
+    (operators/text.py::char_entropy) — the gibberish/filler detector:
+    per-(doc, char) counts partial-aggregate map-side (≤|alphabet| rows
+    per doc cross the shuffle), and the entropy sum folds the
+    char-sorted count list in a fixed order so both engines evaluate the
+    identical float expression."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.char_entropy(docs, "text", "doc_id")

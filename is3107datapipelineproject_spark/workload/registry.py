@@ -93,6 +93,17 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "cosine_topk",
     "boilerplate_flag",
     # --- new in round 5: no external evidence yet ----------------------
+    "running_distinct_users",
+    "daily_anomaly_zscore",
+    "gap_fill_interpolate",
+    "session_transition_matrix",
+    "window_ntile_cume",
+    "bpe_merge_candidates",
+    "readability_score",
+    "char_entropy",
+    "copurchase_triangles",
+    "graph_degree_stats",
+    "similar_parts_jaccard",
 )
 
 

@@ -558,3 +558,218 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_day", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# --- round 5: time-series / sequence analytics ------------------------------
+
+
+@register(
+    "running_distinct_users",
+    oracle="""
+WITH fs AS (SELECT user_id, min(date_trunc('day', ts)) AS d FROM events GROUP BY 1),
+daily AS (SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY 1)
+SELECT d, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily
+""",
+    tags=("events", "window", "timeseries"),
+)
+def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve query. A
+    naive per-day COUNT(DISTINCT ... WHERE ts <= day) rescans the corpus
+    per day; restated exactly as first-seen-day per user (one hash
+    aggregate on user_id) + per-day new-user counts + a running sum.
+    Only the #days-row daily frame crosses the single-partition window —
+    corpus-side work is two key-hashed aggregates at any scale."""
+    e = _t(spark, sf_dir, "events").select("user_id", F.date_trunc("day", "ts").alias("d"))
+    fs = e.groupBy("user_id").agg(F.min("d").alias("d"))
+    daily = fs.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@register(
+    "daily_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+         CAST(sum(cnt * cnt) AS BIGINT) AS ss
+  FROM daily GROUP BY 1
+),
+sc AS (
+  SELECT d.event_type, d.d, d.cnt,
+         CAST(st.s AS DOUBLE) / st.n AS mean,
+         CAST(st.ss AS DOUBLE) / st.n
+           - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n) AS var
+  FROM daily d JOIN st USING (event_type)
+)
+SELECT event_type, d, cnt,
+       round((CAST(cnt AS DOUBLE) - mean) / sqrt(var), 4) AS z,
+       abs(round((CAST(cnt AS DOUBLE) - mean) / sqrt(var), 4)) >= 2.0 AS is_anomaly
+FROM sc WHERE var > 0
+""",
+    tags=("events", "timeseries", "diagnostics"),
+)
+def q_daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (event_type, day) count z-scored
+    against that type's own daily distribution. Moments come from EXACT
+    integer sums (n, Σcnt, Σcnt² — associative, partial-aggregated
+    map-side), converted to double in one fixed expression both engines
+    evaluate identically; z is rounded before the |z| ≥ 2 flag so the
+    anomaly decision is bit-stable. The per-type stats frame is
+    #event_types rows — broadcast back, the daily frame never reshuffles."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    )
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    z = F.round((F.col("cnt").cast("double") - mean) / F.sqrt(var), 4)
+    return (
+        daily.join(F.broadcast(st), "event_type")
+        .withColumn("__var", var)
+        .filter(F.col("__var") > 0)
+        .select(
+            "event_type",
+            "d",
+            "cnt",
+            z.alias("z"),
+            (F.abs(z) >= 2.0).alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "gap_fill_interpolate",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS d, max(value) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1),
+spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM span),
+j AS (
+  SELECT s.user_id, s.d, dl.v
+  FROM spine s LEFT JOIN daily dl ON dl.user_id = s.user_id AND dl.d = s.d
+)
+SELECT user_id, d,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+       v IS NOT NULL AS observed
+FROM j
+""",
+    tags=("events", "timeseries", "window"),
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap filling with forward fill — the hypertable
+    `time_bucket_gapfill`/`locf` shape: per user, a dense daily spine
+    from their first to last active day, daily peak value where
+    observed, last-observation-carried-forward where not. The spine is
+    a narrow per-row sequence explode (no join against a calendar
+    table); the fill is last(ignorenulls) over a user-partitioned
+    window, so every shuffle keys on user_id and partitions stay
+    user-sized. Daily value = max (order-independent, bit-exact across
+    engines — a float SUM here would not be)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("d"), "value"
+    )
+    daily = e.groupBy("user_id", "d").agg(F.max("value").alias("v"))
+    span = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("d")
+    )
+    j = spine.join(daily, ["user_id", "d"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "d",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNotNull().alias("observed"),
+    )
+
+
+@register(
+    "session_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+""",
+    tags=("events", "window", "sequence"),
+)
+def q_session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over each user's event
+    stream (the journey-analysis primitive funnels are a special case
+    of): lead() within a user-partitioned window totally ordered by
+    (ts, event_id) — the tiebreak makes the sequence, and therefore
+    every count, engine- and partitioning-reproducible. One shuffle on
+    user_id, then the #types² aggregate."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@register(
+    "window_ntile_cume",
+    oracle="""
+SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS o_year, o_orderkey, o_totalprice,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority, year(o_orderdate)
+             ORDER BY o_totalprice, o_orderkey)
+""",
+    tags=("window",),
+)
+def q_window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + cume_dist coverage: price quartile and cumulative
+    distribution of every order within its (priority, year) cell. The
+    window order pins a TOTAL order (price, then key) so both ranks are
+    deterministic; partitioning by (priority, year) keeps window
+    partitions bounded as the corpus grows — for a corpus-scale global
+    rank use the two-level distributed rank `corpus_shuffle`
+    demonstrates instead of one giant window partition."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = Window.partitionBy("o_orderpriority", "o_year").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_year",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
