@@ -124,6 +124,8 @@ HEADLINE = [
     "copurchase_triangles",
     "graph_degree_stats",
     "similar_parts_jaccard",
+    "embedding_top_pc",
+    "embedding_pc_projection",
 ]
 
 

@@ -2112,3 +2112,94 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical float expression."""
     docs = _t(spark, sf_dir, "documents")
     return X.char_entropy(docs, "text", "doc_id")
+
+
+# --- round 5: spectral / power-iteration family ------------------------------
+
+PC_ITERS = 3
+
+
+def _power_ctes(iters: int = PC_ITERS) -> tuple[str, str]:
+    """Unrolled power-iteration CTE chain mirroring
+    operators/spectral.py step-for-step: init = smallest-id vector
+    normalized (elements rounded to 6), per-row projections rounded to 6
+    before the DECIMAL-exact per-dimension weighted sum, renormalized
+    direction rounded to 6. Returns (cte_sql, final_direction_name)."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        """v0 AS (
+  SELECT list_transform(v, x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) AS pc
+  FROM e ORDER BY vec_id LIMIT 1
+)""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""s{i} AS (
+  SELECT e.vec_id, e.v,
+         round(list_sum(list_transform(list_zip(e.v, v{i}.pc), z -> z[1]*z[2])), 6) AS s
+  FROM e, v{i}
+)"""
+        )
+        parts.append(
+            f"""w{i} AS (
+  SELECT pos, CAST(sum(CAST(x * s AS DECIMAL(28,12))) AS DOUBLE) AS w
+  FROM (SELECT s, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM s{i})
+  GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""v{i + 1} AS (
+  SELECT list_transform(ws, x -> round(x / sqrt(list_sum(list_transform(ws, y -> y*y))), 6)) AS pc
+  FROM (SELECT list(w ORDER BY pos) AS ws FROM w{i})
+)"""
+        )
+    return ",\n".join(parts), f"v{iters}"
+
+
+_PC_CTES, _PC_FINAL = _power_ctes()
+
+
+@register(
+    "embedding_top_pc",
+    oracle=f"""
+WITH {_PC_CTES}
+SELECT CAST(pos - 1 AS INT) AS dim, loading FROM (
+  SELECT unnest(pc) AS loading, generate_subscripts(pc, 1) AS pos FROM {_PC_FINAL}
+)
+""",
+    tags=("spectral", "similarity", "llm"),
+)
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by 3 power-
+    iteration steps (operators/spectral.py) — the dominant-direction
+    estimate ABTT-style postprocessing subtracts and drift monitors
+    track. The d×d covariance is never materialized: each iteration is
+    a narrow broadcast-fold projection pass plus one dim×N hash-
+    aggregate with DECIMAL-exact sums, O(N·d) at any corpus size, and
+    the deterministic rounding contract lets the unrolled-CTE oracle
+    replay every step hash-exactly."""
+    from is3107datapipelineproject_spark.operators.spectral import top_principal_component
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return top_principal_component(emb, "vec_id", "embedding", iters=PC_ITERS)
+
+
+@register(
+    "embedding_pc_projection",
+    oracle=f"""
+WITH {_PC_CTES}
+SELECT e.vec_id,
+       round(list_sum(list_transform(list_zip(e.v, f.pc), z -> z[1]*z[2])), 4) AS proj
+FROM e, {_PC_FINAL} f
+""",
+    tags=("spectral", "similarity", "llm"),
+)
+def q_embedding_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the converged top direction — the
+    score ABTT subtracts from every embedding and outlier sweeps rank
+    by. One extra narrow corpus pass with the 1-row direction broadcast
+    (operators/spectral.py::pc_projection)."""
+    from is3107datapipelineproject_spark.operators.spectral import pc_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pc_projection(emb, "vec_id", "embedding", iters=PC_ITERS)

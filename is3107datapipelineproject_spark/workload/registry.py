@@ -104,6 +104,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "copurchase_triangles",
     "graph_degree_stats",
     "similar_parts_jaccard",
+    "embedding_top_pc",
+    "embedding_pc_projection",
 )
 
 
