@@ -126,6 +126,11 @@ HEADLINE = [
     "similar_parts_jaccard",
     "embedding_top_pc",
     "embedding_pc_projection",
+    "word_pmi",
+    "embedding_abtt",
+    "numeric_corr",
+    "ab_test_summary",
+    "scd2_order_priority",
 ]
 
 

@@ -96,6 +96,34 @@ def top_principal_component(
     )
 
 
+def abtt_postprocess(
+    df: DataFrame, id_col: str, vec_col: str, iters: int = 3
+) -> DataFrame:
+    """All-but-the-top (Mu & Viswanath 2018) dominant-direction removal:
+    r = x − ⟨x, v⟩·v against the power-iteration direction. Emits the
+    per-vector summary ``(id_col, resid_norm, resid_d0)`` (norm and
+    first residual coordinate, 4 dp) rather than d new columns — the
+    audit columns a drift monitor tracks; the full residual vector is
+    the same expression un-summarized. One narrow corpus pass with the
+    1-row direction broadcast."""
+    v = _power_direction(df, id_col, vec_col, iters)
+    t = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    s = _fold_dot(F.col("vec"), F.col("pc"))
+    resid = F.zip_with(F.col("vec"), F.col("pc"), lambda x, p: x - s * p)
+    return (
+        t.crossJoin(F.broadcast(v))
+        .select(
+            F.col("vid").alias(id_col),
+            F.round(F.sqrt(F.aggregate(resid, F.lit(0.0), lambda a, x: a + x * x)), 4).alias(
+                "resid_norm"
+            ),
+            F.round(resid.getItem(0), 4).alias("resid_d0"),
+        )
+    )
+
+
 def pc_projection(
     df: DataFrame, id_col: str, vec_col: str, iters: int = 3
 ) -> DataFrame:

@@ -521,3 +521,65 @@ def char_entropy(df, text_col: str, id_col: str):
         -F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + p(x) * F.log2(p(x))), 4
     )
     return agg.select(id_col, "n_chars", "uniq_chars", ent.alias("entropy"))
+
+
+def word_pmi(df, text_col: str, id_col: str, min_count: int = 5, top_n: int = 100):
+    """Top collocations by pointwise mutual information over adjacent
+    word pairs — the classic phrase-mining signal (word2vec phrase
+    harvesting, collocation dictionaries):
+
+        pmi(x,y) = log2( (c_xy / T_bg) / ((c_x / T_un)·(c_y / T_un)) )
+
+    with c from corpus-wide counts, computed as ONE double expression
+    per surviving pair in a pinned association order and rounded to 4 dp
+    BEFORE the (pmi desc, w1, w2) ranking — so the top-``top_n`` cut is
+    bit-stable and SQL-replayable.
+
+    Plan: bigrams from the narrow tail-zip (shared with
+    ``curation.bigram_surprisal``), unigram + bigram counts as two hash
+    aggregates (map-side partials), the score join keyed on the WORD
+    (vocabulary-sized, Zipf-bounded — shuffled, AQE may broadcast), the
+    two scalar totals broadcast as 1-row frames, and the final ranking
+    lowered to TakeOrderedAndProject (per-partition heap over the
+    ≥min_count pair table, never a full sort). ``min_count`` prunes the
+    hapax tail BEFORE the score join, which is what bounds the join
+    input at 100 TB."""
+    arr = ws_tokens(text_col)
+    toks = df.select(F.explode(arr).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    t_un = uni.agg(F.sum("c").cast("long").alias("n_un"))
+    pairs = F.filter(
+        F.zip_with(
+            arr,
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    bg = df.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    cb = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    t_bg = bg.agg(F.count(F.lit(1)).cast("long").alias("n_bg"))
+    scored = (
+        cb.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(t_un))
+        .crossJoin(F.broadcast(t_bg))
+    )
+    pmi = F.round(
+        F.log2(
+            F.col("cnt").cast("double")
+            * F.col("n_un")
+            * F.col("n_un")
+            / (F.col("n_bg").cast("double") * F.col("c1") * F.col("c2"))
+        ),
+        4,
+    )
+    return (
+        scored.select("w1", "w2", "cnt", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_n)
+    )

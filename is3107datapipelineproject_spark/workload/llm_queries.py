@@ -2203,3 +2203,68 @@ def q_embedding_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return pc_projection(emb, "vec_id", "embedding", iters=PC_ITERS)
+
+
+@register(
+    "word_pmi",
+    oracle=f"""
+WITH t AS (SELECT {SQL_TOKS} AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS w FROM t),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+tu AS (SELECT CAST(count(*) AS BIGINT) AS n_un FROM tok),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
+),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+tb AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM bg)
+SELECT w1, w2, cnt,
+       round(log2(CAST(cnt AS DOUBLE) * n_un * n_un
+                  / (CAST(n_bg AS DOUBLE) * u1.c * u2.c)), 4) AS pmi
+FROM cb
+JOIN uni u1 ON u1.w = cb.w1
+JOIN uni u2 ON u2.w = cb.w2
+CROSS JOIN tu CROSS JOIN tb
+ORDER BY pmi DESC, w1, w2 LIMIT 100
+""",
+    tags=("text", "llm"),
+)
+def q_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-word collocations by PMI
+    (operators/text.py::word_pmi) — phrase mining for tokenizer /
+    n-gram-merge decisions. Counts are corpus-wide integers; the score
+    is one pinned-order double expression rounded before the ranked
+    cut, so the top-100 is deterministic; the hapax tail is pruned by
+    min_count BEFORE the vocabulary-keyed score join."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.word_pmi(docs, "text", "doc_id")
+
+
+@register(
+    "embedding_abtt",
+    oracle=f"""
+WITH {_PC_CTES}
+SELECT e.vec_id,
+       round(sqrt(list_sum(list_transform(
+           list_transform(list_zip(e.v, f.pc), z -> z[1] - s.s * z[2]), y -> y*y))), 4) AS resid_norm,
+       round(e.v[1] - s.s * f.pc[1], 4) AS resid_d0
+FROM e
+CROSS JOIN {_PC_FINAL} f
+CROSS JOIN LATERAL (
+  SELECT round(list_sum(list_transform(list_zip(e.v, f.pc), z -> z[1]*z[2])), 6) AS s
+) s
+""",
+    tags=("spectral", "similarity", "llm"),
+)
+def q_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top postprocess audit (operators/spectral.py::
+    abtt_postprocess): per-vector residual norm + first coordinate
+    after removing the power-iteration dominant direction — the
+    isotropy-restoring cleanup for similarity search. One narrow pass
+    with the 1-row direction broadcast; projections share the
+    6-dp rounding contract so the oracle replays the subtraction
+    hash-exactly."""
+    from is3107datapipelineproject_spark.operators.spectral import abtt_postprocess
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return abtt_postprocess(emb, "vec_id", "embedding", iters=PC_ITERS)

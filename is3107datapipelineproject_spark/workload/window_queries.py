@@ -773,3 +773,181 @@ def q_window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "numeric_corr",
+    oracle="""
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS s_q,
+         sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS ss_q,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS s_p,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS ss_p,
+         sum(CAST(CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS s_d,
+         sum(CAST(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS ss_d,
+         sum(CAST(CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS s_t,
+         sum(CAST(CAST(l_tax AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS ss_t,
+         sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sp_q_p,
+         sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sp_q_d,
+         sum(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sp_q_t,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sp_p_d,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sp_p_t,
+         sum(CAST(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS sp_d_t
+  FROM lineitem
+),
+pairs AS (
+  SELECT 'l_quantity' AS col1, 'l_extendedprice' AS col2, n, sp_q_p AS sp, s_q AS sa, ss_q AS ssa, s_p AS sb, ss_p AS ssb FROM m
+  UNION ALL SELECT 'l_quantity', 'l_discount', n, sp_q_d, s_q, ss_q, s_d, ss_d FROM m
+  UNION ALL SELECT 'l_quantity', 'l_tax', n, sp_q_t, s_q, ss_q, s_t, ss_t FROM m
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', n, sp_p_d, s_p, ss_p, s_d, ss_d FROM m
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', n, sp_p_t, s_p, ss_p, s_t, ss_t FROM m
+  UNION ALL SELECT 'l_discount', 'l_tax', n, sp_d_t, s_d, ss_d, s_t, ss_t FROM m
+)
+SELECT col1, col2, n,
+       round(CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) > 0
+                  THEN (CAST(n AS DOUBLE) * CAST(sp AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                       / sqrt((CAST(n AS DOUBLE) * CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                              * (CAST(n AS DOUBLE) * CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+             END, 4) AS corr
+FROM pairs
+""",
+    tags=("agg", "stats"),
+)
+def q_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the fact table's numeric columns
+    (operators/stats.py::pearson_corr_matrix): ONE corpus pass reduces
+    100 TB to 15 DECIMAL-exact moment sums (map-side partials, nothing
+    row-sized crosses the shuffle); each pair's r is a single fixed
+    double expression over that 1-row frame, rounded — the profiling
+    query a warehouse runs before feature selection."""
+    from is3107datapipelineproject_spark.operators.stats import pearson_corr_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pearson_corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+@register(
+    "ab_test_summary",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) / 268435456.0 < 0.5 AS is_a,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14 AS conv
+  FROM events GROUP BY 1, 2
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN is_a AND conv THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN NOT is_a AND conv THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(CAST(conv_a AS DOUBLE) / n_a, 4) AS rate_a,
+       round(CAST(conv_b AS DOUBLE) / n_b, 4) AS rate_b,
+       round(CASE WHEN n_a > 0 AND n_b > 0
+                   AND sqrt((CAST(conv_a AS DOUBLE) + conv_b) / (CAST(n_a AS DOUBLE) + n_b)
+                            * (1.0 - (CAST(conv_a AS DOUBLE) + conv_b) / (CAST(n_a AS DOUBLE) + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)) > 0
+                  THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                       / sqrt((CAST(conv_a AS DOUBLE) + conv_b) / (CAST(n_a AS DOUBLE) + n_b)
+                              * (1.0 - (CAST(conv_a AS DOUBLE) + conv_b) / (CAST(n_a AS DOUBLE) + n_b))
+                              * (1.0 / n_a + 1.0 / n_b))
+             END, 4) AS z_score
+FROM c
+""",
+    tags=("events", "stats"),
+)
+def q_ab_test_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B readout (operators/stats.py::ab_test_ztest):
+    users hash-assigned to arms with the hash_split md5 primitive
+    (membership stable under corpus growth), conversion = a
+    heavy-purchaser threshold (>= 14 purchase events, ~the per-user
+    median so both arms have real variance); one user-keyed aggregate reduces everything to 4 integers,
+    the pooled z statistic is one pinned double expression rounded to
+    4 dp."""
+    from is3107datapipelineproject_spark.operators.stats import ab_test_ztest
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_test_ztest(
+        ev,
+        "user_id",
+        success=F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 14,
+    )
+
+
+@register(
+    "scd2_order_priority",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d, o_orderpriority
+  FROM orders
+),
+t AS (
+  SELECT *,
+         row_number() OVER w AS rn1,
+         CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS brk
+  FROM o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+),
+isl AS (
+  SELECT *, sum(brk) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM t
+),
+runs AS (
+  SELECT o_custkey, min(o_orderpriority) AS priority, min(d) AS eff_from,
+         CAST(count(*) AS BIGINT) AS n_orders, min(rn1) AS srn
+  FROM isl GROUP BY o_custkey, island
+)
+SELECT o_custkey, priority, eff_from,
+       coalesce(lead(eff_from) OVER w2, DATE '9999-12-31') AS eff_to,
+       n_orders,
+       CAST(row_number() OVER w2 AS BIGINT) AS version
+FROM runs
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY srn)
+""",
+    tags=("window", "warehouse"),
+)
+def q_scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build from an event log: each
+    customer's order-priority history collapsed to validity intervals
+    (gaps-and-islands) with eff_from/eff_to (open rows close at the
+    9999-12-31 sentinel) and version — the warehouse
+    dimension-maintenance pattern key-based CDC can't produce. Islands
+    come from a break-flag running sum so EVERY window partitions by
+    o_custkey alone: one shuffle, all four window functions reuse the
+    exchange; the run aggregate and the version/lead pass stay on the
+    same key."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderpriority",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    brk = (
+        F.when(
+            ~F.lag("o_orderpriority").over(w).eqNullSafe(F.col("o_orderpriority")), 1
+        ).otherwise(0)
+    )
+    t = o.withColumn("rn1", F.row_number().over(w)).withColumn(
+        "island", F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = t.groupBy("o_custkey", "island").agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("d").alias("eff_from"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.min("rn1").alias("srn"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("srn")
+    return runs.select(
+        "o_custkey",
+        "priority",
+        "eff_from",
+        F.coalesce(F.lead("eff_from").over(w2), F.lit("9999-12-31").cast("date")).alias("eff_to"),
+        "n_orders",
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
