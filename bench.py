@@ -131,6 +131,8 @@ HEADLINE = [
     "numeric_corr",
     "ab_test_summary",
     "scd2_order_priority",
+    "copurchase_communities",
+    "ols_price_by_qty",
 ]
 
 

@@ -29,10 +29,21 @@ every ~10 rounds too.
 
 from __future__ import annotations
 
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000  # fixed-point: rank 1.0 == 10^9
+
+
+def checkpoint_edges(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint with a SPILLABLE storage level. The edge
+    set is O(|E|) — at x100 scale the default deserialized on-heap
+    blocks OOM a 48g driver (measured: the serialized+spill level runs
+    the same sweep in bounded memory). Iteration cost is unchanged: the
+    blocks stay in memory when they fit and page to disk when they
+    don't, exactly what a cluster executor would do."""
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
 def undirected_to_directed(pairs: DataFrame, m1: str, m2: str, w: str) -> DataFrame:
@@ -60,7 +71,7 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping_pct: int = 85) -> Da
     # lineage — the pair-gen scan executes exactly once and plan depth
     # stays bounded for any iteration count.
     edge_norm = (
-        edges.join(outw, "src").select("src", "dst", "w", "ow").localCheckpoint(eager=True)
+        checkpoint_edges(edges.join(outw, "src").select("src", "dst", "w", "ow"))
     )
 
     pr = (
@@ -108,7 +119,7 @@ def personalized_pagerank(
     """
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
     edge_norm = (
-        edges.join(outw, "src").select("src", "dst", "w", "ow").localCheckpoint(eager=True)
+        checkpoint_edges(edges.join(outw, "src").select("src", "dst", "w", "ow"))
     )
 
     n_nodes = outw.count()
@@ -140,3 +151,41 @@ def personalized_pagerank(
             .filter(F.col("pr") > 0)
         )
     return pr
+
+
+def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
+    """Synchronous weighted label propagation (Raghavan et al. 2007)
+    over directed symmetric ``(src, dst, w)`` edges: every node starts
+    as its own label; each round a node adopts the label with the
+    highest incident weight sum, ties to the SMALLEST label — the
+    community-detection primitive for product/near-dup grouping where
+    connected components (hash-min closure) are too coarse.
+
+    Determinism: weights are integers, so the per-(node, label) vote is
+    exact, and the argmax is a single ``max(struct(wsum, -label))`` —
+    bit-stable under any partitioning, replayable in SQL as a
+    ``row_number() OVER (ORDER BY wsum DESC, label ASC)`` pick. The
+    synchronous (Jacobi) update is part of the contract: asynchronous
+    LPA is partition-order-dependent and could never be oracle-checked.
+
+    Scale: edges are eagerly checkpointed once (the upstream pair
+    generation never rides in iteration lineage — same discipline as
+    :func:`pagerank`); each round is one |E|-row join + two aggregates
+    shuffling on node keys, and the label vector stays O(|V|).
+    """
+    edges = checkpoint_edges(edges)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(iterations):
+        votes = (
+            edges.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy(F.col("src").alias("node"), F.col("label"))
+            .agg(F.sum("w").cast("long").alias("wsum"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("wsum").alias("wsum"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("label"))
+        )
+    return labels

@@ -130,3 +130,50 @@ def ab_test_ztest(
         F.round(cb / nb, decimals).alias("rate_b"),
         F.round(F.when((na > 0) & (nb > 0) & (se > 0), (ca / na - cb / nb) / se), decimals).alias("z_score"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group simple linear regression y = a + b·x from exact
+    moments: ``(group_col, n, slope, intercept, r2)``.
+
+        b = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        a = (Σy − b·Σx) / n
+        r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    Same contract as :func:`pearson_corr_matrix`: one partial-aggregated
+    pass to DECIMAL-exact sums per group (the shuffle carries #groups
+    rows of constant state), then fixed rounded double expressions —
+    zero-variance x gives NULL slope/intercept/r2."""
+    x, y = F.col(x_col).cast(_VAL), F.col(y_col).cast(_VAL)
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _dsum(x).alias("sx"),
+        _dsum(y).alias("sy"),
+        _dsum(x * x).alias("sxx"),
+        _dsum(y * y).alias("syy"),
+        _dsum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    b = cov / vx
+    return m.select(
+        group_col,
+        "n",
+        F.round(F.when(vx > 0, b), decimals).alias("slope"),
+        F.round(F.when(vx > 0, (sy - b * sx) / n), decimals).alias("intercept"),
+        F.round(F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy)), decimals).alias("r2"),
+    )

@@ -116,9 +116,7 @@ def q_related_parts_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same full-outer teleport merge."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = pair_counts(li, "l_orderkey", "l_partkey")
-    edges = G.undirected_to_directed(pairs, "member1", "member2", "cnt").localCheckpoint(
-        eager=True
-    )
+    edges = G.checkpoint_edges(G.undirected_to_directed(pairs, "member1", "member2", "cnt"))
     seeds = (
         edges.groupBy("src").agg(F.sum("w").alias("_"))
         .orderBy("src")
@@ -385,3 +383,45 @@ def q_similar_parts_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part1", "part2", "common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.25)
     )
+
+
+_LPA_ITER_SQL = """
+lp{n} AS (
+  SELECT node, label FROM (
+    SELECT v.node, v.label,
+           row_number() OVER (PARTITION BY v.node ORDER BY v.wsum DESC, v.label ASC) AS rk
+    FROM (
+      SELECT e.src AS node, p.label, CAST(sum(e.w) AS BIGINT) AS wsum
+      FROM ed e JOIN lp{prev} p ON p.node = e.dst
+      GROUP BY 1, 2
+    ) v
+  ) WHERE rk = 1
+)"""
+
+_LPA_ORACLE = (
+    f"""
+WITH {_EDGE_CTES},
+ed AS (SELECT x AS src, y AS dst, w FROM pairs WHERE w >= 2
+       UNION ALL SELECT y, x, w FROM pairs WHERE w >= 2),
+lp0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),"""
+    + ",".join(_LPA_ITER_SQL.format(n=i, prev=i - 1) for i in range(1, 3))
+    + """
+SELECT node AS part_key, label AS community FROM lp2
+"""
+)
+
+
+@register("copurchase_communities", oracle=_LPA_ORACLE, tags=("graph", "iterative"))
+def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product communities by 2 rounds of synchronous weighted label
+    propagation over the weight-floored co-purchase graph
+    (operators/graph.py::label_propagation) — the grouping between
+    connected components (too coarse: one giant blob) and k-means on
+    embeddings (needs vectors). Integer vote sums + max(struct) argmax
+    make every round bit-deterministic; the oracle unrolls both rounds
+    with a row_number pick."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = pair_counts(li, "l_orderkey", "l_partkey").filter(F.col("cnt") >= 2)
+    edges = G.undirected_to_directed(pairs, "member1", "member2", "cnt")
+    lp = G.label_propagation(edges, iterations=2)
+    return lp.select(F.col("node").alias("part_key"), F.col("label").alias("community"))

@@ -111,6 +111,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "numeric_corr",
     "ab_test_summary",
     "scd2_order_priority",
+    "copurchase_communities",
+    "ols_price_by_qty",
 )
 
 

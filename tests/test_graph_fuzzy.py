@@ -138,3 +138,34 @@ def test_personalized_pagerank_stays_near_seeds(spark):
     # it collects flow from BOTH sides).
     assert pr.get(2, 0) < pr[1]
     assert pr[0] > pr.get(2, 0)
+
+
+def _two_cliques(spark):
+    """Two 4-cliques (nodes 1-4 with heavy weight-5 edges, 11-14 same)
+    joined by one weak weight-1 bridge (4, 11)."""
+    import itertools
+
+    rows = [(a, b, 5) for a, b in itertools.combinations(range(1, 5), 2)]
+    rows += [(a, b, 5) for a, b in itertools.combinations(range(11, 15), 2)]
+    rows.append((4, 11, 1))
+    pairs = spark.createDataFrame(rows, ["m1", "m2", "w"])
+    return undirected_to_directed(pairs, "m1", "m2", "w")
+
+
+def test_label_propagation_separates_cliques(spark):
+    from is3107datapipelineproject_spark.operators.graph import label_propagation
+
+    labels = {r.node: r.label for r in label_propagation(_two_cliques(spark), iterations=2).collect()}
+    assert set(labels) == set(range(1, 5)) | set(range(11, 15))
+    # each clique collapses to ONE community (min-label tie-break -> 1 and 11)
+    assert {labels[n] for n in range(1, 5)} == {1}
+    assert {labels[n] for n in range(11, 15)} == {11}
+
+
+def test_label_propagation_deterministic_across_repartitioning(spark):
+    from is3107datapipelineproject_spark.operators.graph import label_propagation
+
+    e = _two_cliques(spark)
+    a = sorted((r.node, r.label) for r in label_propagation(e, iterations=2).collect())
+    b = sorted((r.node, r.label) for r in label_propagation(e.repartition(7), iterations=2).collect())
+    assert a == b

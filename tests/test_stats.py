@@ -63,3 +63,17 @@ def test_ab_test_stable_under_corpus_growth(spark):
 
     a1, a2 = arms(base), arms(grown)
     assert all(a2[u] == a1[u] for u in a1)
+
+
+def test_grouped_ols_recovers_planted_line(spark):
+    # group 'g1': y = 3x + 2 exactly; 'g2': y = -0.5x + 10; 'g3': constant x
+    rows = [("g1", float(i), 3.0 * i + 2.0) for i in range(1, 21)]
+    rows += [("g2", float(i), -0.5 * i + 10.0) for i in range(1, 21)]
+    rows += [("g3", 7.0, float(i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    from is3107datapipelineproject_spark.operators.stats import grouped_ols
+
+    out = {r.g: r for r in grouped_ols(df, "g", "x", "y").collect()}
+    assert out["g1"].slope == 3.0 and out["g1"].intercept == 2.0 and out["g1"].r2 == 1.0
+    assert out["g2"].slope == -0.5 and out["g2"].intercept == 10.0 and out["g2"].r2 == 1.0
+    assert out["g3"].slope is None and out["g3"].intercept is None and out["g3"].r2 is None
