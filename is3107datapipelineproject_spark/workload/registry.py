@@ -113,6 +113,12 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "scd2_order_priority",
     "copurchase_communities",
     "ols_price_by_qty",
+    "discount_revenue",
+    "significant_parts",
+    "priority_by_linestatus",
+    "part_supplier_variety",
+    "bulk_part_suppliers",
+    "sole_returned_supplier",
 )
 
 

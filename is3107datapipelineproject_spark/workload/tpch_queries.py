@@ -613,3 +613,234 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+@register(
+    "discount_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    tags=("tpch", "agg"),
+)
+def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-flavor what-if revenue: a pure scan-and-sum whose
+    entire WHERE clause must reach the parquet reader as PushedFilters
+    (date band + discount band + quantity) — the canonical predicate-
+    pushdown probe. DECIMAL product sum, exact and order-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "significant_parts",
+    oracle="""
+WITH pv AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(value) AS total, CAST(count(*) AS BIGINT) AS nparts FROM pv)
+SELECT l_partkey AS part_key, CAST(pv.value AS DOUBLE) AS value
+FROM pv CROSS JOIN tot
+WHERE CAST(pv.value AS DOUBLE) > CAST(tot.total AS DOUBLE) / nparts * 1.5
+""",
+    tags=("tpch", "agg"),
+)
+def q_significant_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-flavor significant-stock selection: per-part value vs
+    a GLOBAL scalar threshold (1.5x the mean part value — like Q11's
+    SF-scaled fraction, the cut is scale-INVARIANT: the selected tail
+    is a stable share of parts at any corpus size). The per-part
+    aggregate is the only corpus shuffle; the grand total re-aggregates
+    the #parts-row frame and comes back as a 1-row broadcast — the fact
+    table is never scanned twice. Threshold compare on
+    exact-DECIMAL-derived doubles, identical expression both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_dec("l_extendedprice")).alias("value"))
+    tot = pv.agg(F.sum("value").alias("total"), F.count(F.lit(1)).cast("long").alias("nparts"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value").cast("double")
+            > F.col("total").cast("double") / F.col("nparts") * 1.5
+        )
+        .select(F.col("l_partkey").alias("part_key"), F.col("value").cast("double").alias("value"))
+    )
+
+
+@register(
+    "priority_by_linestatus",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+GROUP BY 1
+""",
+    tags=("tpch", "join"),
+)
+def q_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-flavor conditional two-way counts: the date band
+    prunes lineitem AT THE SCAN, then one fact-fact equi-join on
+    orderkey feeds a CASE-sum pivot — the urgent-vs-other split
+    computed in a single pass, never two joins."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_linestatus")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_count"),
+        )
+    )
+
+
+@register(
+    "part_supplier_variety",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 11, 17, 23, 29, 35, 41)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+    tags=("tpch", "join"),
+)
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-flavor supplier variety: distinct-supplier counts per
+    part attribute cell, minus an excluded-supplier subquery. The
+    exclusion list (delinquent accounts) is a broadcast LEFT ANTI join;
+    part attributes broadcast onto the fact; one count-distinct
+    aggregate on the pruned cells."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 11, 17, 23, 29, 35, 41)
+    )
+    excl = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excl), "l_suppkey", "left_anti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+              li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "bulk_part_suppliers",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY 1, 2
+  HAVING sum(l_quantity) > 100
+)
+SELECT DISTINCT s.s_suppkey AS supp_key, s.s_name, n.n_name AS nation
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM ps)
+""",
+    tags=("tpch", "join"),
+)
+def q_bulk_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-flavor nested semi-join chain: suppliers who moved
+    bulk volume (> 100 units per part) of a name-prefixed part family.
+    The part-name filter broadcasts into the fact scan as a semi-join,
+    the per-(part, supplier) volume aggregate applies the correlated
+    threshold, and the surviving supplier set semi-joins the dimension
+    — three nested memberships, zero row explosion."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    parts = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    ps = (
+        li.join(F.broadcast(parts), "l_partkey", "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(ps, s["s_suppkey"] == ps["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(F.col("s_suppkey").alias("supp_key"), "s_name", F.col("n_name").alias("nation"))
+        .distinct()
+    )
+
+
+@register(
+    "sole_returned_supplier",
+    oracle="""
+WITH osf AS (
+  SELECT l_orderkey, l_suppkey, max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+  FROM lineitem GROUP BY 1, 2
+),
+ord AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp, CAST(sum(ret) AS BIGINT) AS n_ret
+  FROM osf GROUP BY 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM osf JOIN ord USING (l_orderkey)
+JOIN supplier s ON s.s_suppkey = osf.l_suppkey
+WHERE osf.ret = 1 AND ord.n_ret = 1 AND ord.n_supp >= 2
+GROUP BY 1
+ORDER BY numwait DESC, s_name LIMIT 20
+""",
+    tags=("tpch", "join"),
+)
+def q_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-flavor sole-blame analysis: suppliers who were the
+    ONLY supplier with returned lines in a multi-supplier order (the
+    EXISTS other-supplier + NOT-EXISTS other-returned pair expressed as
+    one per-order aggregate instead of two correlated self-joins — the
+    fact table is read once, the per-order flag frame re-aggregates
+    #orders rows, and the blame assignment is a filter + join back on
+    the SAME orderkey partitioning; supplier dim broadcasts). Top-20 by
+    (numwait desc, name) via TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    osf = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret")
+    )
+    ordf = osf.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_supp"),
+        F.sum("ret").cast("long").alias("n_ret"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        osf.join(ordf, "l_orderkey")
+        .filter((F.col("ret") == 1) & (F.col("n_ret") == 1) & (F.col("n_supp") >= 2))
+        .join(F.broadcast(s), osf["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
