@@ -19,12 +19,15 @@ oracle-checkable.)
 
 Scale notes (100 TB): edges are shuffled on ``src`` once into
 ``edge_norm`` (out-weight pre-joined, so the loop body never touches the
-degree table again) and eagerly ``localCheckpoint``-ed, so the upstream
-pair-generation subtree executes exactly once and every iteration scans
-the materialized edge set; each iteration re-shuffles only the O(|V|)
-rank vector, never the O(|E|) edge list. Fixed iteration count keeps the
-lineage bounded; for deep iteration counts checkpoint the RANK vector
-every ~10 rounds too.
+degree table again). In :func:`pagerank` that subtree stays lazy —
+Catalyst's ReuseExchange executes it once and every iteration re-reads
+the shuffle files (an eager checkpoint measured 2.8× SLOWER at ×100,
+see SCALING.md round-5 A/B). :func:`personalized_pagerank` and
+:func:`label_propagation` eagerly spill-checkpoint their edge frames
+(:func:`checkpoint_edges`) where that shape measured fine. Each
+iteration re-shuffles only the O(|V|) rank vector, never the O(|E|)
+edge list; for deep iteration counts checkpoint the RANK vector every
+~10 rounds.
 """
 
 from __future__ import annotations
@@ -65,14 +68,17 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping_pct: int = 85) -> Da
     all in BIGINT arithmetic (see module docstring).
     """
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    # Pre-join the normalizer once and MATERIALIZE it: every iteration
-    # (and the rank-vector init) then reads the checkpointed edge set
-    # instead of embedding the upstream pair-generation subtree in its
-    # lineage — the pair-gen scan executes exactly once and plan depth
-    # stays bounded for any iteration count.
-    edge_norm = (
-        checkpoint_edges(edges.join(outw, "src").select("src", "dst", "w", "ow"))
-    )
+    # edge_norm stays LAZY, deliberately: the identical pair-gen +
+    # normalizer subtree appears in every iteration's lineage, and
+    # Catalyst's ReuseExchange collapses those into ONE physical
+    # execution (asserted in tests). An eager checkpoint was tried and
+    # MEASURED at x100 star scale (SCALING.md round-5 A/B): re-reading
+    # 100M materialized arcs from serialized spill blocks each
+    # iteration cost 651 s vs 233 s for the exchange-reuse plan — the
+    # block-manager round trip loses to columnar shuffle files. Deep
+    # iteration counts (~10+) should still checkpoint the RANK vector
+    # to bound plan depth; the edge side never needs it.
+    edge_norm = edges.join(outw, "src").select("src", "dst", "w", "ow")
 
     pr = (
         edge_norm.select(F.col("src").alias("node"))

@@ -53,16 +53,19 @@ def test_pagerank_partitioning_invariant(spark):
 
 
 def test_pagerank_edge_subtree_executes_once(spark):
-    """edge_norm is eagerly localCheckpoint'd: the final rank plan must
-    read the materialized edge RDD, with the upstream edge-construction
-    subtree (the LocalTableScan leaf here; pair-generation in the real
-    query) appearing ZERO times — it already ran, exactly once."""
-    plan = (
-        pagerank(_star_edges(spark), iterations=3)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "LocalTableScan" not in plan, "edge subtree leaked into the iteration lineage"
-    assert "ExistingRDD" in plan, "expected scans of the checkpointed edge_norm"
+    """edge_norm stays lazy (the ×100-measured choice — SCALING.md
+    round-5 A/B): the identical edge-construction subtree appears in
+    every iteration's lineage, and ReuseExchange must collapse those
+    into ONE physical execution. Executed-plan assertion: after running
+    the query, the finalized plan contains ReusedExchange nodes and the
+    edge leaf is NOT scanned once per iteration."""
+    df = pagerank(_star_edges(spark), iterations=3)
+    df.collect()  # finalize the (adaptive) plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "iteration lineage must reuse the edge exchange"
+    # 3 iterations + rank init all reference the edge frame; without
+    # reuse the leaf would appear 4+ times.
+    assert plan.count("LocalTableScan") <= 2, "edge subtree re-executed per iteration"
 
 
 def _names(spark, rows):
