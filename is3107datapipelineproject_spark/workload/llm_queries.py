@@ -2163,7 +2163,7 @@ _PC_CTES, _PC_FINAL = _power_ctes()
     "embedding_top_pc",
     oracle=f"""
 WITH {_PC_CTES}
-SELECT CAST(pos - 1 AS INT) AS dim, loading FROM (
+SELECT CAST(pos - 1 AS INT) AS dim, loading + 0.0 AS loading FROM (
   SELECT unnest(pc) AS loading, generate_subscripts(pc, 1) AS pos FROM {_PC_FINAL}
 )
 """,
@@ -2189,7 +2189,7 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_PC_CTES}
 SELECT e.vec_id,
-       round(list_sum(list_transform(list_zip(e.v, f.pc), z -> z[1]*z[2])), 4) AS proj
+       round(list_sum(list_transform(list_zip(e.v, f.pc), z -> z[1]*z[2])), 4) + 0.0 AS proj
 FROM e, {_PC_FINAL} f
 """,
     tags=("spectral", "similarity", "llm"),
@@ -2247,7 +2247,7 @@ WITH {_PC_CTES}
 SELECT e.vec_id,
        round(sqrt(list_sum(list_transform(
            list_transform(list_zip(e.v, f.pc), z -> z[1] - s.s * z[2]), y -> y*y))), 4) AS resid_norm,
-       round(e.v[1] - s.s * f.pc[1], 4) AS resid_d0
+       round(e.v[1] - s.s * f.pc[1], 4) + 0.0 AS resid_d0
 FROM e
 CROSS JOIN {_PC_FINAL} f
 CROSS JOIN LATERAL (

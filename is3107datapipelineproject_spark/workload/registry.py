@@ -119,6 +119,9 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "part_supplier_variety",
     "bulk_part_suppliers",
     "sole_returned_supplier",
+    "dq_constraints",
+    "chi2_terms",
+    "naive_bayes_confusion",
 )
 
 
@@ -150,6 +153,7 @@ def _ensure_loaded() -> None:
         domain_queries,
         graph_queries,
         llm_queries,
+        quality_queries,
         star_queries,
         tpch_queries,
         window_queries,
