@@ -1,0 +1,189 @@
+"""Product quantization: the memory-side scale path for ANN search.
+
+Beyond-reference surface (driver mandate): ``quantize_embeddings``
+(similarity.py) compresses scalar-wise; PQ (Jégou et al., 2011) goes
+further — split each d-dim vector into ``m`` subvectors, learn a
+``k``-codeword codebook per subspace, and store each vector as ``m``
+small integer codes (d·4 bytes → m bytes at k ≤ 256). Search never
+decompresses: an asymmetric-distance (ADC) lookup table of
+query·codeword products turns scoring into ``m`` table lookups per
+candidate.
+
+Determinism contract (mirrors operators/clustering.py):
+- codebook init = the subvectors of the ``k`` SMALLEST-id vectors (no
+  RNG; production trains per-subspace k-means on a bounded sample and
+  passes it in via ``codebook`` — the operator is agnostic),
+- per-subspace assignment = argmin over squared L2 rounded to 6 dp,
+  ties to the smaller code,
+- ADC entries rounded to 6 dp and accumulated as DECIMAL (the m-term
+  score sum is exact and order-independent), final score rounded to 4.
+
+Plan shape at 100 TB:
+- the codebook + ADC table collapse to ONE broadcast row (m·k structs);
+  encode and score are per-row folds inside whole-stage codegen — the
+  corpus is never shuffled, never expanded k× or m×, and the only wide
+  node in ``pq_topk`` is the final TakeOrderedAndProject (per-partition
+  heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DP = "decimal(18,6)"
+
+
+def _sq_dist(a: Column, b: Column, decimals: int = 6) -> Column:
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        decimals,
+    )
+
+
+def _dot(a: Column, b: Column, decimals: int = 6) -> Column:
+    return F.round(
+        F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v),
+        decimals,
+    )
+
+
+def pq_codebook(df: DataFrame, id_col: str, vec_col: str, m: int, k: int) -> DataFrame:
+    """Deterministic seed codebook ``(sub, code, cw)``: subvector ``sub``
+    of the ``code``-th smallest-id vector. k·m rows — bounded, built
+    from a k-row limit, never corpus-sized."""
+    w = Window.orderBy("__vid")
+    seeds = (
+        df.select(F.col(id_col).alias("__vid"), F.col(vec_col).cast("array<double>").alias("__v"))
+        .orderBy("__vid")
+        .limit(k)
+        .select((F.row_number().over(w) - 1).cast("int").alias("code"), "__v")
+    )
+    sub_d = _sub_d(df, vec_col, m)
+    subs = F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("sub")
+    return seeds.select(subs, "code", "__v").select(
+        "sub",
+        "code",
+        F.slice("__v", F.col("sub") * sub_d + 1, sub_d).alias("cw"),
+    )
+
+
+def _sub_d(df: DataFrame, vec_col: str, m: int) -> int:
+    """Subvector width from the schema'd element count of the first row
+    — a 1-row bounded probe (documented eager guard, kmeans-style)."""
+    d = df.select(F.size(vec_col).alias("d")).first()["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    return d // m
+
+
+def _packed(codebook: DataFrame, extra: list[str] | None = None) -> DataFrame:
+    cols = ["sub", "code", "cw"] + (extra or [])
+    return codebook.agg(
+        F.array_sort(F.collect_list(F.struct(*cols))).alias("cb")
+    )
+
+
+def _best_code(vec: Column, sub: int, sub_d: int, dp_field: str | None = None) -> Column:
+    """Per-subspace argmin fold over the broadcast codebook entries of
+    this sub: returns struct(code, dp?) for the nearest codeword."""
+    sv = F.slice(vec, sub * sub_d + 1, sub_d)
+    cands = F.filter("cb", lambda s: s["sub"] == F.lit(sub))
+    zero_fields = [
+        F.lit(float("inf")).alias("d2"),
+        F.lit(2**31 - 1).cast("int").alias("code"),
+    ]
+    if dp_field:
+        zero_fields.append(F.lit(0.0).cast(_DP).alias("dp"))
+    zero = F.struct(*zero_fields)
+
+    def merge(acc: Column, c: Column) -> Column:
+        d2 = _sq_dist(sv, c["cw"])
+        better = (d2 < acc["d2"]) | ((d2 == acc["d2"]) & (c["code"] < acc["code"]))
+        fields = [d2.alias("d2"), c["code"].alias("code")]
+        if dp_field:
+            fields.append(c[dp_field].alias("dp"))
+        return F.when(better, F.struct(*fields)).otherwise(acc)
+
+    return F.aggregate(cands, zero, merge)
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Encode every vector as ``m`` codes: ``(id_col, sub, code)`` long
+    form (m rows per vector — the layout a code-indexed IVFADC index
+    ingests). One narrow corpus pass over the broadcast codebook; the
+    per-sub argmin is order-independent (strict min, ties to smaller
+    code), so any fold order gives the same codes."""
+    sub_d = _sub_d(df, vec_col, m)
+    cb = codebook if codebook is not None else pq_codebook(df, id_col, vec_col, m, k)
+    packed = _packed(cb).coalesce(1).localCheckpoint(eager=True)
+    t = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    per_sub = [
+        F.struct(F.lit(j).alias("sub"), _best_code(F.col("__v"), j, sub_d)["code"].alias("code"))
+        for j in range(m)
+    ]
+    return (
+        t.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), F.explode(F.array(*per_sub)).alias("e"))
+        .select(id_col, F.col("e.sub").cast("int").alias("sub"), F.col("e.code").alias("code"))
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    topn: int = 20,
+) -> DataFrame:
+    """ADC top-``topn`` by approximate inner product against the
+    smallest-id vector as query: ``(id_col, score)``.
+
+    The ADC table (query·codeword per (sub, code), rounded to 6 dp,
+    DECIMAL) rides along the broadcast codebook row; each corpus row
+    folds to its per-sub nearest code and ACCUMULATES that code's table
+    entry in the same fold — encode and score are one narrow pass, and
+    the exact decimal sum makes the ranking replayable in SQL. Final
+    cut is TakeOrderedAndProject (score desc, id asc)."""
+    sub_d = _sub_d(df, vec_col, m)
+    q = (
+        df.orderBy(id_col)
+        .limit(1)
+        .select(F.col(vec_col).cast("array<double>").alias("__q"))
+    )
+    cb = (
+        pq_codebook(df, id_col, vec_col, m, k)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "sub",
+            "code",
+            "cw",
+            _dot(F.col("cw"), F.slice("__q", F.col("sub") * sub_d + 1, sub_d))
+            .cast(_DP)
+            .alias("dp"),
+        )
+    )
+    packed = _packed(cb, extra=["dp"]).coalesce(1).localCheckpoint(eager=True)
+    t = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    score = None
+    for j in range(m):
+        dp_j = _best_code(F.col("__v"), j, sub_d, dp_field="dp")["dp"]
+        score = dp_j if score is None else score + dp_j
+    return (
+        t.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), F.round(score.cast("double"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(topn)
+    )

@@ -2268,3 +2268,90 @@ def q_embedding_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return abtt_postprocess(emb, "vec_id", "embedding", iters=PC_ITERS)
+
+
+# --- product quantization (operators/pq.py) ---------------------------------
+
+PQ_M = 8  # subspaces (dim 64 -> 8-dim subvectors)
+PQ_K = 16  # codewords per subspace
+PQ_TOPN = 20
+
+_PQ_SUBD = 64 // PQ_M
+
+_PQ_CTES = f"""
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+  FROM e ORDER BY vec_id LIMIT {PQ_K}
+),
+cb AS (
+  SELECT s.sub, seeds.code,
+         seeds.v[(s.sub * {_PQ_SUBD} + 1):(s.sub * {_PQ_SUBD} + {_PQ_SUBD})] AS cw
+  FROM (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub) s, seeds
+),
+enc AS (
+  SELECT vec_id, CAST(sub AS INT) AS sub, code FROM (
+    SELECT e.vec_id, cb.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.sub
+             ORDER BY round(list_sum(list_transform(
+                 list_zip(e.v[(cb.sub * {_PQ_SUBD} + 1):(cb.sub * {_PQ_SUBD} + {_PQ_SUBD})], cb.cw),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) ASC, cb.code ASC) AS rn
+    FROM e, cb
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "pq_codes",
+    oracle=f"""
+WITH {_PQ_CTES}
+SELECT vec_id, sub, code FROM enc
+""",
+    tags=("similarity", "pq", "llm"),
+)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/pq.py::pq_encode): every
+    embedding compressed to m=8 codes over k=16 codewords/subspace —
+    the d*4-bytes -> m-bytes index layout before a 100-TB ANN build.
+    One narrow corpus pass over the ONE-row broadcast codebook; the
+    per-sub argmin folds inside codegen, so the corpus is never
+    shuffled or expanded k x."""
+    from is3107datapipelineproject_spark.operators.pq import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_encode(emb, "vec_id", "embedding", m=PQ_M, k=PQ_K)
+
+
+@register(
+    "pq_topk",
+    oracle=f"""
+WITH {_PQ_CTES},
+q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+lut AS (
+  SELECT cb.sub, cb.code,
+         CAST(round(list_sum(list_transform(
+             list_zip(cb.cw, q.qv[(cb.sub * {_PQ_SUBD} + 1):(cb.sub * {_PQ_SUBD} + {_PQ_SUBD})]),
+             z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS dp
+  FROM cb, q
+),
+sc AS (
+  SELECT enc.vec_id, round(CAST(sum(lut.dp) AS DOUBLE), 4) AS score
+  FROM enc JOIN lut USING (sub, code) GROUP BY 1
+)
+SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT {PQ_TOPN}
+""",
+    tags=("similarity", "pq", "llm"),
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-20 (operators/pq.py::pq_topk): the ADC
+    lookup table (query . codeword, 6-dp DECIMAL) rides the broadcast
+    codebook row; each corpus row folds to its nearest code per
+    subspace and accumulates the table entry in the SAME fold — encode
+    + score in one narrow pass, exact decimal sum (SQL-replayable
+    ranking), TakeOrderedAndProject cut. The compressed-domain search
+    that makes billion-vector ANN memory-feasible."""
+    from is3107datapipelineproject_spark.operators.pq import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, "vec_id", "embedding", m=PQ_M, k=PQ_K, topn=PQ_TOPN)

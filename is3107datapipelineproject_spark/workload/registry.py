@@ -122,6 +122,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "dq_constraints",
     "chi2_terms",
     "naive_bayes_confusion",
+    "pq_codes",
+    "pq_topk",
 )
 
 
