@@ -124,6 +124,9 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "naive_bayes_confusion",
     "pq_codes",
     "pq_topk",
+    "window_time_range_avg",
+    "grouping_sets_revenue",
+    "mode_median_stats",
 )
 
 

@@ -994,3 +994,119 @@ def q_ols_price_by_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     return grouped_ols(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+@register(
+    "window_time_range_avg",
+    oracle="""
+SELECT event_id,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 4) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "events"),
+)
+def q_window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE moving average: per user, mean event value over the
+    trailing hour — the true event-time window (ROWS frames lie when
+    event density varies). Spark evaluates RANGE on the epoch-seconds
+    ordering key, one shuffle on user_id shared by the frame scan; the
+    DECIMAL window sum makes the mean frame-order-independent so the
+    interval-frame oracle replays it exactly. Skew note: a 100-TB
+    hot-user partition is bounded by the 1-hour frame, not the user's
+    history."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("avg_1h"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    tags=("agg", "tpch"),
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube are sugar
+    for): detail, per-flag, and grand-total revenue in ONE pass —
+    Catalyst expands the sets with a single Expand node over one scan,
+    so three aggregation grains cost one shuffle. grouping_id
+    disambiguates real NULLs from subtotal rows, exactly as the
+    warehouse consumer expects."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "mode_median_stats",
+    oracle="""
+WITH md AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         round(median(l_quantity), 4) AS median_qty
+  FROM lineitem GROUP BY 1
+),
+mc AS (
+  SELECT l_returnflag, l_quantity, count(*) AS c FROM lineitem GROUP BY 1, 2
+),
+mo AS (
+  SELECT l_returnflag, l_quantity AS mode_qty
+  FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY c DESC, l_quantity ASC) AS rn FROM mc)
+  WHERE rn = 1
+)
+SELECT md.l_returnflag, md.n, md.median_qty, mo.mode_qty
+FROM md JOIN mo USING (l_returnflag)
+""",
+    tags=("agg", "stats", "tpch"),
+)
+def q_mode_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group median + DETERMINISTIC mode. Spark's mode() breaks
+    frequency ties arbitrarily (engine-dependent), so the mode is
+    computed as count-then-rank with ties to the smallest value — the
+    formulation that replays identically in any engine. Median uses the
+    built-in exact percentile (one sort-based aggregate per group);
+    mode adds one (group, value) pre-aggregate (map-side combined)
+    before the #distinct-values-sized ranking window."""
+    li = _t(spark, sf_dir, "lineitem")
+    md = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.median("l_quantity"), 4).alias("median_qty"),
+    )
+    mc = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("l_quantity"))
+    mo = (
+        mc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return md.join(mo, "l_returnflag")
