@@ -139,6 +139,15 @@ HEADLINE = [
     "part_supplier_variety",
     "bulk_part_suppliers",
     "sole_returned_supplier",
+    "dq_constraints",
+    "chi2_terms",
+    "naive_bayes_confusion",
+    "pq_codes",
+    "pq_topk",
+    "window_time_range_avg",
+    "grouping_sets_revenue",
+    "mode_median_stats",
+    "session_overlap_join",
 ]
 
 

@@ -178,3 +178,64 @@ def time_rollup(
             F.sum(v.cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    bucket_sec: int,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+) -> DataFrame:
+    """Interval-overlap join: all (left, right) pairs sharing ``key``
+    whose [start, end] intervals intersect (inclusive bounds). Returns
+    left columns, right columns suffixed ``_r`` on clash, plus
+    ``overlap_us``.
+
+    Spark has no overlap-join operator; the naive range-predicate join
+    is a per-key nested loop. This decomposes time into ``bucket_sec``
+    cells: every interval explodes to the cells it covers, candidates
+    equi-join on (key, cell), and each TRUE pair is emitted exactly
+    once — at the first cell both intervals inhabit (cell ==
+    greatest(floor(start/w)) of the two) — so no distinct pass over the
+    pair stream is needed. Candidates are bounded by per-cell
+    co-residency; pick ``bucket_sec`` near the median interval length
+    (too small explodes long intervals across many cells, too large
+    degenerates toward per-key nested loops). At 100 TB the shuffle key
+    (key, cell) also defuses hot keys: a heavy user's intervals spread
+    over its time cells instead of one reducer."""
+    w_us = int(bucket_sec) * 1_000_000
+
+    def prep(df: DataFrame, start: str, end: str, side: str, cols: list[str]) -> DataFrame:
+        s_us = F.unix_micros(F.col(start))
+        e_us = F.unix_micros(F.col(end))
+        return df.select(
+            F.col(key).alias("__k"),
+            s_us.alias(f"__{side}s"),
+            e_us.alias(f"__{side}e"),
+            F.explode(
+                F.sequence((s_us / w_us).cast("long"), (e_us / w_us).cast("long"))
+            ).alias("__cell"),
+            F.struct(*cols).alias(f"__{side}"),
+        )
+
+    lcols, rcols = left.columns, right.columns
+    rename = {c: (f"{c}_r" if c in lcols else c) for c in rcols}
+    l = prep(left, left_start, left_end, "l", lcols)
+    r = prep(right, right_start, right_end, "r", rcols)
+    first_shared = F.greatest(
+        (F.col("__ls") / w_us).cast("long"), (F.col("__rs") / w_us).cast("long")
+    )
+    joined = l.join(r, ["__k", "__cell"]).filter(
+        (F.col("__ls") <= F.col("__re"))
+        & (F.col("__rs") <= F.col("__le"))
+        & (F.col("__cell") == first_shared)
+    )
+    return joined.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__r.{c}").alias(rename[c]) for c in rcols],
+        (F.least("__le", "__re") - F.greatest("__ls", "__rs")).alias("overlap_us"),
+    )

@@ -1185,3 +1185,84 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     head is a TakeOrdered top-k, and the regression runs on ≤500 rows."""
     docs = _t(spark, sf_dir, "documents")
     return X.zipf_slope(docs, "text")
+
+
+_EPISODE_GAP_US = 86_400_000_000  # a day of silence ends an activity episode
+
+
+def _typed_sessions(ev: DataFrame, etype: str) -> DataFrame:
+    """Day-gap activity episodes of one event type per user:
+    (user_id, session_id, start, end). Same lag+cumsum formulation as
+    events_sessionize — one user_id shuffle serves both window passes.
+    The day-scale gap gives multi-day INTERVALS (the 30-min sessions of
+    this sparse corpus are near-points and barely intersect)."""
+    e = ev.filter(F.col("event_type") == etype)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > _EPISODE_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        marked.withColumn("session_id", F.sum("is_start").over(cum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+    )
+
+
+_SESS_CTE = """
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM (
+    SELECT user_id, ts, event_id,
+           CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > {gap_us}
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events WHERE event_type = '{etype}'
+    )
+  ) GROUP BY 1, 2
+"""
+
+
+@register(
+    "session_overlap_join",
+    oracle=f"""
+WITH cs AS ({_SESS_CTE.format(etype="click", gap_us=_EPISODE_GAP_US)}),
+ps AS ({_SESS_CTE.format(etype="purchase", gap_us=_EPISODE_GAP_US)})
+SELECT cs.user_id, cs.session_id AS click_session, ps.session_id AS purchase_session,
+       CAST(epoch_us(least(cs.e, ps.e)) - epoch_us(greatest(cs.s, ps.s)) AS BIGINT) AS overlap_us
+FROM cs JOIN ps ON cs.user_id = ps.user_id AND cs.s <= ps.e AND ps.s <= cs.e
+""",
+    tags=("temporal", "events", "join"),
+)
+def q_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (operators/temporal.py::overlap_join):
+    which click sessions intersect which purchase sessions per user —
+    the browsing-while-buying audit. Spark lacks an overlap operator
+    and the naive range join is a per-key nested loop; intervals
+    explode into 1-hour cells, candidates equi-join on (user, cell),
+    and each true pair emits exactly once at the first shared cell (no
+    distinct pass). The oracle is a PLAIN inequality join, so parity
+    validates the decomposition's semantics against an independent
+    strategy."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = _typed_sessions(ev, "click")
+    purchases = _typed_sessions(ev, "purchase")
+    out = T.overlap_join(clicks, purchases, key="user_id", bucket_sec=86_400)
+    return out.select(
+        "user_id",
+        F.col("session_id").alias("click_session"),
+        F.col("session_id_r").alias("purchase_session"),
+        "overlap_us",
+    )

@@ -127,6 +127,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "window_time_range_avg",
     "grouping_sets_revenue",
     "mode_median_stats",
+    "session_overlap_join",
 )
 
 

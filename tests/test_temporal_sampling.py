@@ -231,3 +231,45 @@ def test_priority_sample_weight_pull_and_determinism(spark):
     again = priority_sample(df.repartition(7), "id", "w", n=20).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
     assert all(r["priority"] > 0 for r in got)
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_overlap_join_planted_cases(spark):
+    """Boundary-inclusive overlap, long-interval single emission, and
+    key isolation for overlap_join's cell decomposition."""
+    from is3107datapipelineproject_spark.operators.temporal import overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00")),
+            # spans 26 hourly cells: must still pair exactly once
+            (1, 11, _ts("2024-01-01 02:00:00"), _ts("2024-01-02 04:00:00")),
+            (2, 20, _ts("2024-01-01 00:00:00"), _ts("2024-01-01 09:00:00")),
+        ],
+        ["user_id", "lid", "start", "end"],
+    )
+    right = spark.createDataFrame(
+        [
+            # touches lid=10 exactly at its end instant -> inclusive pair
+            (1, 100, _ts("2024-01-01 01:00:00"), _ts("2024-01-01 01:30:00")),
+            # inside the long interval, far from its start
+            (1, 101, _ts("2024-01-02 03:00:00"), _ts("2024-01-02 03:10:00")),
+            # same window as lid=20 but DIFFERENT key -> never pairs
+            (3, 102, _ts("2024-01-01 00:30:00"), _ts("2024-01-01 01:00:00")),
+            # no overlap with anything on key 1
+            (1, 103, _ts("2024-01-03 00:00:00"), _ts("2024-01-03 01:00:00")),
+        ],
+        ["user_id", "rid", "start", "end"],
+    )
+    got = overlap_join(left, right, key="user_id", bucket_sec=3600)
+    pairs = sorted((r["lid"], r["rid"], r["overlap_us"]) for r in got.collect())
+    assert pairs == [
+        (10, 100, 0),  # boundary touch: zero-length overlap, still a pair
+        (11, 101, 600_000_000),
+    ]
+    # decomposition invariance: cell width must not change the pair set
+    wide = overlap_join(left, right, key="user_id", bucket_sec=86_400)
+    assert sorted((r["lid"], r["rid"]) for r in wide.collect()) == [p[:2] for p in pairs]
