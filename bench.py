@@ -148,6 +148,8 @@ HEADLINE = [
     "grouping_sets_revenue",
     "mode_median_stats",
     "session_overlap_join",
+    "approx_percentile_tdigest",
+    "ivfpq_topk",
 ]
 
 

@@ -187,3 +187,71 @@ def pq_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(topn)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_coarse: int = 8,
+    km_iters: int = 2,
+    m: int = 8,
+    k: int = 16,
+    topn: int = 20,
+) -> DataFrame:
+    """IVF-PQ: the production billion-vector ANN shape — a coarse
+    k-means router prunes the corpus to the query's cluster, then ADC
+    scores ONLY those candidates in the compressed domain:
+    ``(id_col, score)`` top-``topn`` for the smallest-id query vector.
+
+    Composition contract: the coarse assignment is
+    ``clustering.kmeans_assign`` (deterministic Lloyd), the codebook /
+    ADC table come from the FULL corpus exactly as in :func:`pq_topk`
+    (a production system trains both on a bounded sample; the routing
+    and scoring stay unchanged), so the oracle composes the two
+    existing unrolled-CTE chains verbatim.
+
+    Scale shape: search cost = |cluster| ≈ N/k_coarse candidates
+    instead of N — the probe fraction is the recall/latency knob, and
+    the candidate filter is a broadcast 1-row cluster-id semi-join on
+    the ASSIGNMENT (id-keyed, co-partitioned with the corpus join), so
+    nothing fact-sized shuffles beyond the one id join."""
+    from is3107datapipelineproject_spark.operators.clustering import kmeans_assign
+
+    asg = kmeans_assign(df, id_col, vec_col, k=k_coarse, iters=km_iters)
+    q_cluster = (
+        asg.orderBy(id_col).limit(1).select(F.col("cluster").alias("__qc"))
+    )
+    cand_ids = (
+        asg.crossJoin(F.broadcast(q_cluster))
+        .filter(F.col("cluster") == F.col("__qc"))
+        .select(id_col)
+    )
+    cands = df.join(cand_ids, id_col)
+
+    sub_d = _sub_d(df, vec_col, m)
+    q = df.orderBy(id_col).limit(1).select(F.col(vec_col).cast("array<double>").alias("__q"))
+    cb = (
+        pq_codebook(df, id_col, vec_col, m, k)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "sub",
+            "code",
+            "cw",
+            _dot(F.col("cw"), F.slice("__q", F.col("sub") * sub_d + 1, sub_d))
+            .cast(_DP)
+            .alias("dp"),
+        )
+    )
+    packed = _packed(cb, extra=["dp"]).coalesce(1).localCheckpoint(eager=True)
+    t = cands.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
+    score = None
+    for j in range(m):
+        dp_j = _best_code(F.col("__v"), j, sub_d, dp_field="dp")["dp"]
+        score = dp_j if score is None else score + dp_j
+    return (
+        t.crossJoin(F.broadcast(packed))
+        .select(F.col(id_col), F.round(score.cast("double"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(topn)
+    )

@@ -222,3 +222,37 @@ def write_jsonl_shards(
         .option("compression", "gzip")
         .json(path)
     )
+
+
+def merge_apply(
+    table: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Full CDC MERGE as a batch rewrite: ``changes`` carries an
+    ``op_col`` in {'U','I','D'} (upsert-update, insert, delete) plus
+    the table's columns; returns the post-merge table. Completes the
+    write surface delete_by_key ('D' only) and insert_only_upsert
+    ('I' only) each cover half of:
+
+    - 'D' keys are anti-joined away,
+    - 'U'/'I' rows REPLACE any existing row with their key (last-writer
+      -wins within a batch is the caller's contract: changes must be
+      key-unique, asserted cheaply via a count guard),
+    - everything else survives untouched.
+
+    Plan: one anti-join of the table against the distinct change keys —
+    broadcast EXPLICITLY (a CDC batch is dimension-sized by contract;
+    the table side must never shuffle at 100 TB, and waiting for AQE to
+    discover that wastes the first exchange) — + one union. With a
+    transactional table format this becomes MERGE INTO; the relational
+    algebra is identical."""
+    data_cols = table.columns
+    keyed = changes.select(op_col, *data_cols)
+    dup = keyed.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError("merge_apply: change batch has duplicate keys")
+    survivors = table.join(F.broadcast(keyed.select(key).distinct()), key, "left_anti")
+    upserts = keyed.filter(F.col(op_col).isin("U", "I")).select(*data_cols)
+    return survivors.unionByName(upserts)

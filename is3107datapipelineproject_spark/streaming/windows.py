@@ -436,3 +436,44 @@ def hist_compact(spark, sketch_dir: str) -> int:
     compacted = hist_read(spark, sketch_dir).localCheckpoint(eager=True)
     compacted.write.mode("overwrite").parquet(sketch_dir)
     return compacted.count()
+
+
+def dq_monitor_sink(report_dir: str, checks_factory):
+    """Streaming data-quality monitor: a foreachBatch sink that runs the
+    quality.row_checks battery on EVERY micro-batch and appends
+    ``(batch_id, check, total, violations)`` to an append-only report
+    log — the ingest-gate telemetry a 100-TB stream publishes instead
+    of re-scanning the corpus. ``checks_factory()`` returns the
+    name→violation-predicate dict (a factory, not a dict, so the sink
+    closure ships no Column objects to the workers).
+
+    Merge-on-read contract (same as hist_ingest_sink): per-check totals
+    over the full stream = SUM of the appended partials, asserted equal
+    to the batch battery over the same data in tests. Append-only means
+    no read-modify-write races between triggers."""
+    from is3107datapipelineproject_spark.operators.quality import row_checks
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        out = row_checks(batch_df, checks_factory()).select(
+            F.lit(int(batch_id)).alias("batch_id"),
+            "check",
+            "total",
+            "violations",
+        )
+        out.coalesce(1).write.mode("append").parquet(report_dir)
+
+    return apply
+
+
+def dq_monitor_totals(spark, report_dir: str) -> DataFrame:
+    """Merge-on-read rollup of the monitor log: per-check totals across
+    all batches so far, plus the pass verdict over the whole stream."""
+    log = spark.read.parquet(report_dir)
+    return (
+        log.groupBy("check")
+        .agg(
+            F.sum("total").cast("long").alias("total"),
+            F.sum("violations").cast("long").alias("violations"),
+        )
+        .withColumn("passed", F.col("violations") == 0)
+    )

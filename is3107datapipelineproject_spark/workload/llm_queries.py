@@ -2278,9 +2278,9 @@ PQ_TOPN = 20
 
 _PQ_SUBD = 64 // PQ_M
 
-_PQ_CTES = f"""
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-seeds AS (
+# split so compositions (ivfpq) can reuse another chain's identical `e`
+_PQ_E = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+_PQ_TAIL = f"""seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
   FROM e ORDER BY vec_id LIMIT {PQ_K}
 ),
@@ -2300,6 +2300,10 @@ enc AS (
     FROM e, cb
   ) WHERE rn = 1
 )"""
+
+_PQ_CTES = f"""
+{_PQ_E},
+{_PQ_TAIL}"""
 
 
 @register(
@@ -2355,3 +2359,42 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return pq_topk(emb, "vec_id", "embedding", m=PQ_M, k=PQ_K, topn=PQ_TOPN)
+
+
+@register(
+    "ivfpq_topk",
+    oracle=f"""
+WITH {_KM_CTES},
+{_PQ_TAIL},
+qc AS (SELECT cid FROM {_KM_FINAL} ORDER BY vec_id LIMIT 1),
+cand AS (SELECT a.vec_id FROM {_KM_FINAL} a, qc WHERE a.cid = qc.cid),
+q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+lut AS (
+  SELECT cb.sub, cb.code,
+         CAST(round(list_sum(list_transform(
+             list_zip(cb.cw, q.qv[(cb.sub * {_PQ_SUBD} + 1):(cb.sub * {_PQ_SUBD} + {_PQ_SUBD})]),
+             z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS dp
+  FROM cb, q
+),
+sc AS (
+  SELECT enc.vec_id, round(CAST(sum(lut.dp) AS DOUBLE), 4) AS score
+  FROM enc JOIN cand USING (vec_id) JOIN lut USING (sub, code) GROUP BY 1
+)
+SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT {PQ_TOPN}
+""",
+    tags=("similarity", "pq", "clustering", "llm"),
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/pq.py::ivfpq_topk): coarse k-means routing
+    prunes the corpus to the query's cluster (~1/k of the vectors — the
+    recall/latency knob), then ADC scores only those candidates in the
+    compressed domain. The production billion-vector ANN composition:
+    both stages are the engine's existing deterministic operators, so
+    the oracle composes the two unrolled-CTE chains verbatim."""
+    from is3107datapipelineproject_spark.operators.pq import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, "vec_id", "embedding",
+        k_coarse=KMEANS_K, km_iters=KMEANS_ITERS, m=PQ_M, k=PQ_K, topn=PQ_TOPN,
+    )

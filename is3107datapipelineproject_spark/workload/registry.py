@@ -128,6 +128,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "grouping_sets_revenue",
     "mode_median_stats",
     "session_overlap_join",
+    "approx_percentile_tdigest",
+    "ivfpq_topk",
 )
 
 

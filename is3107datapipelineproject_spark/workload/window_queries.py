@@ -1110,3 +1110,45 @@ def q_mode_median_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
     )
     return md.join(mo, "l_returnflag")
+
+
+@register(
+    "approx_percentile_tdigest",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+       TRUE AS p50_within_tol,
+       TRUE AS p99_within_tol
+FROM lineitem GROUP BY 1
+""",
+    tags=("agg", "sketch", "stats"),
+)
+def q_approx_percentile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable quantile summary — the percentile
+    you can actually afford per group at 100 TB, where the exact
+    sort-based aggregate pays a per-group sort) with the
+    approx_distinct-style hash-checkable contract: the raw sketch value
+    is engine-specific, so the emitted row is (group, exact p50/p99,
+    approx-within-0.5%-relative booleans). accuracy=10000 bounds rank
+    error at 1/10000, so 0.5% value tolerance on this smooth
+    distribution is conservative; the oracle emits TRUE and the row
+    only hashes if the sketch actually lands inside."""
+    li = _t(spark, sf_dir, "lineitem")
+    ex = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("exact_p99"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("_a99"),
+    )
+    return ex.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p99",
+        (F.abs(F.col("_a50") - F.col("exact_p50")) <= F.col("exact_p50") * 0.005).alias(
+            "p50_within_tol"
+        ),
+        (F.abs(F.col("_a99") - F.col("exact_p99")) <= F.col("exact_p99") * 0.005).alias(
+            "p99_within_tol"
+        ),
+    )
