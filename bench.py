@@ -150,6 +150,8 @@ HEADLINE = [
     "session_overlap_join",
     "approx_percentile_tdigest",
     "ivfpq_topk",
+    "scd2_asof_lookup",
+    "pq_recall",
 ]
 
 

@@ -2398,3 +2398,74 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding",
         k_coarse=KMEANS_K, km_iters=KMEANS_ITERS, m=PQ_M, k=PQ_K, topn=PQ_TOPN,
     )
+
+
+@register(
+    "pq_recall",
+    oracle=f"""
+WITH {_PQ_CTES},
+q AS (SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1),
+lut AS (
+  SELECT cb.sub, cb.code,
+         CAST(round(list_sum(list_transform(
+             list_zip(cb.cw, q.qv[(cb.sub * {_PQ_SUBD} + 1):(cb.sub * {_PQ_SUBD} + {_PQ_SUBD})]),
+             z -> z[1] * z[2])), 6) AS DECIMAL(18,6)) AS dp
+  FROM cb, q
+),
+adc AS (
+  SELECT enc.vec_id FROM (
+    SELECT enc.vec_id, round(CAST(sum(lut.dp) AS DOUBLE), 4) AS score
+    FROM enc JOIN lut USING (sub, code) GROUP BY 1
+  ) enc ORDER BY score DESC, vec_id LIMIT {PQ_TOPN}
+),
+exact AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           round(list_sum(list_transform(list_zip(e.v, q.qv), z -> z[1] * z[2])), 6) AS score
+    FROM e, q
+  ) ORDER BY score DESC, vec_id LIMIT {PQ_TOPN}
+)
+SELECT CAST((SELECT count(*) FROM adc JOIN exact USING (vec_id)) AS BIGINT) AS n_hits,
+       round(CAST((SELECT count(*) FROM adc JOIN exact USING (vec_id)) AS DOUBLE) / {PQ_TOPN}, 4) AS recall
+""",
+    tags=("similarity", "pq", "llm"),
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@20 of the compressed-domain ADC ranking vs the exact
+    inner-product top-20 — the calibration metric that tells you
+    whether m=8/k=16 is enough codebook for this corpus (the PQ twin of
+    ann_recall for the IVF tier). Both rankings are engine-reproducible
+    (fixed fold order + rounding), so even the recall VALUE is
+    hash-checked, not just row counts. Exact side is one narrow scan +
+    TakeOrderedAndProject; the overlap count joins two 20-row frames."""
+    from is3107datapipelineproject_spark.operators.pq import pq_topk
+    from is3107datapipelineproject_spark.operators.similarity import dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    adc = pq_topk(emb, "vec_id", "embedding", m=PQ_M, k=PQ_K, topn=PQ_TOPN).select("vec_id")
+    q = (
+        emb.orderBy("vec_id").limit(1)
+        .select(F.col("embedding").cast("array<double>").alias("__q"))
+    )
+    exact = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("embedding").cast("array<double>"), F.col("__q"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(PQ_TOPN)
+        .select("vec_id")
+    )
+    hits = adc.join(exact, "vec_id").agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return hits.select(
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.lit(PQ_TOPN), 4).alias("recall"),
+    )

@@ -130,6 +130,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "session_overlap_join",
     "approx_percentile_tdigest",
     "ivfpq_topk",
+    "scd2_asof_lookup",
+    "pq_recall",
 )
 
 

@@ -921,6 +921,10 @@ def q_scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_custkey alone: one shuffle, all four window functions reuse the
     exchange; the run aggregate and the version/lead pass stay on the
     same key."""
+    return _scd2_frame(spark, sf_dir)
+
+
+def _scd2_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
@@ -1151,4 +1155,80 @@ def q_approx_percentile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("_a99") - F.col("exact_p99")) <= F.col("exact_p99") * 0.005).alias(
             "p99_within_tol"
         ),
+    )
+
+
+_SCD2_CTE = """
+o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d, o_orderpriority
+  FROM orders
+),
+t AS (
+  SELECT *,
+         row_number() OVER w AS rn1,
+         CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority THEN 1 ELSE 0 END AS brk
+  FROM o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY d, o_orderkey)
+),
+isl AS (
+  SELECT *, sum(brk) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM t
+),
+runs AS (
+  SELECT o_custkey, min(o_orderpriority) AS priority, min(d) AS eff_from,
+         CAST(count(*) AS BIGINT) AS n_orders, min(rn1) AS srn
+  FROM isl GROUP BY o_custkey, island
+),
+scd AS (
+  SELECT o_custkey, priority, eff_from,
+         coalesce(lead(eff_from) OVER w2, DATE '9999-12-31') AS eff_to,
+         n_orders,
+         CAST(row_number() OVER w2 AS BIGINT) AS version
+  FROM runs
+  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY srn)
+)"""
+
+
+@register(
+    "scd2_asof_lookup",
+    oracle=f"""
+WITH {_SCD2_CTE}
+SELECT o.o_orderkey, o.o_custkey,
+       o.d + INTERVAL 30 DAY AS lookup_date,
+       scd.priority AS priority_then,
+       scd.version AS version_then
+FROM o JOIN scd ON scd.o_custkey = o.o_custkey
+   AND scd.eff_from <= o.d + INTERVAL 30 DAY
+   AND o.d + INTERVAL 30 DAY < scd.eff_to
+""",
+    tags=("window", "warehouse", "temporal"),
+)
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the type-2 SCD: which
+    priority regime was each customer in 30 days AFTER each order — the
+    versioned-dimension join every event-time-correct warehouse query
+    needs (joining the CURRENT dimension row silently rewrites
+    history). Equi-join on o_custkey with the half-open interval
+    residual [eff_from, eff_to); per-customer fan-out is bounded by the
+    version count, and the SCD build is already partitioned on the same
+    key, so the lookup reuses that exchange instead of adding one. The
+    +30-day shift makes the answer non-trivial (an order's OWN version
+    would echo its priority back)."""
+    scd = _scd2_frame(spark, sf_dir).withColumnRenamed("o_custkey", "ck")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("lookup_date"),
+    )
+    return (
+        o.join(scd, o.o_custkey == scd.ck)
+        .filter((F.col("eff_from") <= F.col("lookup_date")) & (F.col("lookup_date") < F.col("eff_to")))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("lookup_date").cast("timestamp").alias("lookup_date"),
+            F.col("priority").alias("priority_then"),
+            F.col("version").alias("version_then"),
+        )
     )
