@@ -152,6 +152,7 @@ HEADLINE = [
     "ivfpq_topk",
     "scd2_asof_lookup",
     "pq_recall",
+    "vocab_coverage",
 ]
 
 

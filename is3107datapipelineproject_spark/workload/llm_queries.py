@@ -2469,3 +2469,53 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.round(F.col("n_hits").cast("double") / F.lit(PQ_TOPN), 4).alias("recall"),
     )
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+WITH tok AS (SELECT source, unnest({SQL_TOKS}) AS term FROM documents),
+dfreq AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest({SQL_TOKS}) AS term FROM documents) GROUP BY 1
+  ) WHERE df >= 5
+)
+SELECT tok.source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN dfreq.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(CAST(sum(CASE WHEN dfreq.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS oov_rate
+FROM tok LEFT JOIN dfreq ON dfreq.term = tok.term
+GROUP BY 1
+""",
+    tags=("text", "governance", "llm"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per-source share of token OCCURRENCES
+    falling outside the df>=5 vocabulary — the health metric that flags
+    a source whose text a fixed vocabulary (or BPE merge table) would
+    shatter into rare pieces. One tokenize scan feeds both the
+    vocabulary df-aggregate and the per-source rollup; the coverage
+    join is keyed on the VOCABULARY (Heaps-bounded), never the corpus,
+    and only (source, counts) rows leave the final shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    from is3107datapipelineproject_spark.operators.text import ws_tokens
+
+    tok = docs.select("source", F.explode(ws_tokens("text")).alias("term"))
+    dfreq = (
+        docs.select("doc_id", F.explode(F.array_distinct(ws_tokens("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 5)
+        .select("term", F.lit(True).alias("__in_vocab"))
+    )
+    j = tok.join(dfreq, "term", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("oov_rate"),
+    )

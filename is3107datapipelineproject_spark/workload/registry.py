@@ -132,6 +132,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "ivfpq_topk",
     "scd2_asof_lookup",
     "pq_recall",
+    "vocab_coverage",
 )
 
 
