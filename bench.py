@@ -153,6 +153,11 @@ HEADLINE = [
     "scd2_asof_lookup",
     "pq_recall",
     "vocab_coverage",
+    "skyline_parts",
+    "copurchase_bfs_hops",
+    "repeated_spans",
+    "copurchase_kcore",
+    "mixture_allocation",
 ]
 
 
@@ -179,19 +184,28 @@ def main() -> None:
         if fn is None:
             continue
         # Per-query warm-up run (codegen compile, Python-worker fork,
-        # parquet footer/file-index caches), then MEDIAN of three timed
-        # fresh-plan runs: steady-state throughput of the distributed
-        # plan, robust to background load on a shared box. The timed
-        # span includes plan CONSTRUCTION — iterative operators
-        # (connected components) execute driver-side loops there, and
-        # excluding that would under-report them.
+        # parquet footer/file-index caches), then a timed fresh-plan
+        # run. Sub-second queries get two MORE timed runs and report
+        # the median — there the ~0.1 s box-load jitter dominates the
+        # signal (the r3→r4 "drift" diagnosis) — while slow queries
+        # report the single run (jitter is relatively negligible and
+        # re-running them would triple bench wall-clock for nothing).
+        # The timed span includes plan CONSTRUCTION — iterative
+        # operators execute driver-side loops there, and excluding
+        # that would under-report them.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        dt = sorted(runs)[1]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        first = time.perf_counter() - t0
+        if first < 1.0:
+            runs = [first]
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            dt = sorted(runs)[1]
+        else:
+            dt = first
         timings[name] = round(dt, 3)
         total += dt
 

@@ -195,3 +195,73 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
             .select("node", (-F.col("m.neg")).alias("label"))
         )
     return labels
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Minimum-hop distance from a seed set over directed ``(src, dst,
+    w)`` edges: returns ``(node, hop)`` for every node reachable in at
+    most ``max_hops`` hops (seeds at hop 0). The canonical frontier
+    expansion — each round is ONE equi-join of the current frontier
+    (O(|frontier|)) with the edge list on ``src`` plus one left-anti
+    probe against the visited set; the O(|E|) edge frame is
+    spill-checkpointed once and never re-shuffled.
+
+    Determinism: min-hop distance is partition-order-free by
+    construction (a node joins the visited set at the first round it is
+    reachable, and rounds are synchronous barriers), so any engine
+    running level-synchronous BFS agrees exactly.
+
+    Scale (100 TB): the frontier is checkpointed eagerly each round —
+    without it, round *i*'s anti-join would re-derive every earlier
+    frontier from raw edges (lineage doubles per round). Visited stays
+    O(reached nodes); for high-diameter sweeps re-checkpoint ``visited``
+    every ~10 rounds as with the PageRank rank vector.
+    """
+    edges = checkpoint_edges(edges.select("src", "dst"))
+    visited = seeds.select("node", F.lit(0).alias("hop"))
+    frontier = seeds.select("node")
+    for i in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        visited = visited.unionByName(nxt.select("node", F.lit(i).alias("hop")))
+        frontier = nxt
+    return visited
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 3) -> DataFrame:
+    """Fixed-round k-core peeling over directed ``(src, dst)`` edges
+    (undirected graphs arrive pre-expanded, so out-degree == degree):
+    each round drops every node whose CURRENT induced degree is below
+    ``k``, then restricts the edge set to surviving endpoints. Returns
+    ``(node, degree)`` for nodes still alive after ``rounds`` synchronous
+    peels — the density-cohesion filter (community cores, spam-farm
+    detection, curriculum "well-connected concept" selection).
+
+    A convergence loop would need a driver-side count per round (and an
+    engine-dependent round count); the FIXED round count keeps the
+    result a pure function of the input that an unrolled-CTE oracle
+    replays exactly — same contract as :func:`pagerank`. Callers
+    needing the true k-core raise ``rounds`` until a probe shows no
+    change (each extra round is one more join+agg stage).
+
+    Scale: each round is two semi-joins (edge set restricted by the
+    alive set, both hash-partitioned on node keys) + one count
+    aggregate; the edge frame is spill-checkpointed per round so round
+    r's lineage does not re-derive rounds 0..r-1. Alive sets are O(|V|)
+    and shrink monotonically."""
+    edges = checkpoint_edges(edges.select("src", "dst"))
+    for _ in range(rounds):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        alive = deg.filter(F.col("c") >= k).select("src")
+        edges = (
+            edges.join(alive, "src", "left_semi")
+            .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
+        )
+        edges = checkpoint_edges(edges)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.filter(F.col("degree") >= k).select(F.col("src").alias("node"), "degree")

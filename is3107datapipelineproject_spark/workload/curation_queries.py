@@ -1266,3 +1266,156 @@ def q_session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("session_id_r").alias("purchase_session"),
         "overlap_us",
     )
+
+
+_SPAN_W = 30  # window length (chars)
+_SPAN_MOD = 3  # anchor sampling: token starts with ascii(first char) % 3 == 0
+
+
+@register(
+    "repeated_spans",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {_SPAN_W}),
+st AS (SELECT doc_id, text,
+              unnest([p FOR p IN generate_series(1, length(text) - {_SPAN_W} + 1)
+                      IF substr(text, p, 1) != ' '
+                         AND (p = 1 OR substr(text, p - 1, 1) = ' ')
+                         AND ascii(substr(text, p, 1)) % {_SPAN_MOD} = 0]) AS pos
+       FROM d)
+SELECT substr(text, CAST(pos AS INT), {_SPAN_W}) AS span,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM st GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+""",
+    tags=("dedup", "text", "llm"),
+)
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection (the memorization-risk audit
+    behind exact substring deduplication, Lee et al. 2022): fixed-width
+    W=30-char windows that occur verbatim in >=2 distinct documents.
+
+    Anchoring is CONTENT-DEFINED (winnowing-style), not position-grid:
+    a window starts at every token start whose first character hashes
+    into the sample (``ascii % 3 == 0``). A fixed position stride would
+    silently miss every repeat whose two copies sit at different
+    offsets modulo the stride (the planted test in
+    test_skyline_spans.py caught exactly that); content anchors depend
+    only on the repeated text itself, so identical regions anchor
+    identically wherever they appear. Guarantee: any cross-document
+    verbatim region containing an anchored token start with >= W chars
+    left is caught (anchor density ~1/3 of tokens).
+
+    Plan: token start offsets come from one ``aggregate`` fold over
+    ``split`` (O(#tokens) per doc, JVM-side, no per-character explode);
+    anchors explode to ~tokens/3 rows and the count-distinct groups on
+    the span itself. At production scale the group key would be a
+    64-bit rolling hash (8-byte shuffle rows, collisions resolved by a
+    second exact pass); the string key is kept so an independent SQL
+    engine reproduces the result verbatim — the oracle derives the
+    same anchor set from a per-character scan, an independent
+    strategy."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    starts = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(1).alias("pos"), F.expr("CAST(array() AS array<int>)").alias("st")
+        ),
+        lambda acc, t: F.struct(
+            (acc["pos"] + F.length(t) + 1).alias("pos"),
+            F.concat(acc["st"], F.array(acc["pos"])).alias("st"),
+        ),
+        lambda acc: acc["st"],
+    )
+    win = (
+        docs.filter(F.length("text") >= _SPAN_W)
+        .select("doc_id", "text", F.explode(starts).alias("pos"))
+        .filter(
+            (F.col("pos") + _SPAN_W - 1 <= F.length("text"))
+            & (F.substring(F.col("text"), F.col("pos"), 1) != " ")
+            & (F.ascii(F.substring(F.col("text"), F.col("pos"), 1)) % _SPAN_MOD == 0)
+        )
+        .select("doc_id", F.substring(F.col("text"), F.col("pos"), _SPAN_W).alias("span"))
+    )
+    return (
+        win.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "mixture_allocation",
+    oracle="""
+WITH caps AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap,
+         CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS w
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(cap) AS BIGINT) AS t, CAST(sum(w) AS BIGINT) AS sw FROM caps),
+r1 AS (
+  SELECT c.source, c.cap, c.w,
+         ((6 * t.t) // 10) AS b,
+         least(c.cap, (((6 * t.t) // 10) * c.w) // t.sw) AS alloc1
+  FROM caps c, tot t
+),
+agg2 AS (
+  SELECT max(b) - CAST(sum(alloc1) AS BIGINT) AS l,
+         CAST(sum(cap - alloc1) AS BIGINT) AS r
+  FROM r1
+)
+SELECT r1.source, r1.cap,
+       CAST(r1.alloc1 + CASE WHEN agg2.r > 0
+             THEN least(r1.cap - r1.alloc1, (agg2.l * (r1.cap - r1.alloc1)) // agg2.r)
+             ELSE 0 END AS BIGINT) AS alloc
+FROM r1, agg2
+""",
+    tags=("sampling", "llm", "governance"),
+)
+def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-constrained mixture planning: given per-source token
+    availability (cap) and NON-uniform target weights, allocate a 60%
+    token budget in two deterministic water-filling rounds — round 1
+    gives each source min(cap, weighted share), round 2 redistributes
+    the leftover from capped sources to the others proportionally to
+    remaining capacity. The planner every mixture-weighted pretraining
+    run needs when a desired source is smaller than its target share
+    (the reason naive "sample p_i from source i" silently under-fills
+    the budget). All arithmetic is BIGINT floor division — exact,
+    order-free, oracle-replayable. Plan: corpus collapses to one
+    20-row per-source aggregate; both water-filling rounds are 1-row
+    broadcast joins over that frame — nothing at corpus cardinality
+    is touched after the first partial agg."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    caps = (
+        docs.groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("cap"))
+        .withColumn(
+            "w", F.row_number().over(Window.orderBy("source")).cast("long")
+        )
+    )
+    tot = caps.agg(
+        F.sum("cap").cast("long").alias("t"), F.sum("w").cast("long").alias("sw")
+    )
+    r1 = caps.join(F.broadcast(tot)).select(
+        "source",
+        "cap",
+        F.expr("(6 * t) DIV 10").alias("b"),
+        F.expr("least(cap, (((6 * t) DIV 10) * w) DIV sw)").alias("alloc1"),
+    )
+    agg2 = r1.agg(
+        (F.max("b") - F.sum("alloc1")).cast("long").alias("l"),
+        F.sum(F.col("cap") - F.col("alloc1")).cast("long").alias("r"),
+    )
+    return r1.join(F.broadcast(agg2)).select(
+        "source",
+        "cap",
+        F.expr(
+            "CAST(alloc1 + IF(r > 0, least(cap - alloc1, (l * (cap - alloc1)) DIV r), 0) AS BIGINT)"
+        ).alias("alloc"),
+    )

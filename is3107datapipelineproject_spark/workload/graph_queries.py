@@ -425,3 +425,89 @@ def q_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = G.undirected_to_directed(pairs, "member1", "member2", "cnt")
     lp = G.label_propagation(edges, iterations=2)
     return lp.select(F.col("node").alias("part_key"), F.col("label").alias("community"))
+
+
+_BFS_ORACLE = """
+WITH bridge AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem),
+pairs AS (
+  SELECT a.m AS m1, b.m AS m2
+  FROM bridge a JOIN bridge b ON a.g = b.g AND a.m < b.m GROUP BY 1, 2
+),
+edges AS (SELECT m1 AS src, m2 AS dst FROM pairs
+          UNION ALL SELECT m2, m1 FROM pairs),
+seed AS (SELECT min(src) AS node FROM edges),
+d0 AS (SELECT node, 0 AS hop FROM seed),
+f1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN d0 ON d0.node = e.src),
+d1 AS (SELECT node, 1 AS hop FROM f1 WHERE node NOT IN (SELECT node FROM d0)),
+f2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN d1 ON d1.node = e.src),
+d2 AS (SELECT node, 2 AS hop FROM f2
+       WHERE node NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1)),
+f3 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN d2 ON d2.node = e.src),
+d3 AS (SELECT node, 3 AS hop FROM f3
+       WHERE node NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1
+                          UNION ALL SELECT node FROM d2))
+SELECT node AS part_key, CAST(hop AS INT) AS hop
+FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1
+      UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+"""
+
+
+@register("copurchase_bfs_hops", oracle=_BFS_ORACLE, tags=("graph", "iterative"))
+def q_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop distance from the lowest-keyed part over the
+    co-purchase graph (operators/graph.py::bfs_hops) — the
+    level-synchronous BFS every graph engine lowers traversal queries
+    to, kept in plain DataFrame ops: per round one frontier⋈edges
+    equi-join + one anti-join against visited, frontier checkpointed so
+    lineage stays flat. Completes the iterative-graph family
+    (pagerank = fixed-point value iteration, PPR = sparse seeded
+    variant, LPA = argmax vote, BFS = reachability/shortest-hop). The
+    oracle unrolls the three frontier expansions with NOT-IN visited
+    guards."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = pair_counts(li, "l_orderkey", "l_partkey")
+    edges = G.undirected_to_directed(pairs, "member1", "member2", "cnt")
+    seeds = edges.agg(F.min("src").alias("node"))
+    out = G.bfs_hops(edges, seeds, max_hops=3)
+    return out.select(F.col("node").alias("part_key"), F.col("hop"))
+
+
+_KCORE_K = 90
+
+_KCORE_ORACLE = f"""
+WITH bridge AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem),
+pairs AS (
+  SELECT a.m AS m1, b.m AS m2
+  FROM bridge a JOIN bridge b ON a.g = b.g AND a.m < b.m GROUP BY 1, 2
+),
+e0 AS (SELECT m1 AS src, m2 AS dst FROM pairs UNION ALL SELECT m2, m1 FROM pairs),
+d0 AS (SELECT src, count(*) AS c FROM e0 GROUP BY 1),
+a0 AS (SELECT src FROM d0 WHERE c >= {_KCORE_K}),
+e1 AS (SELECT e.src, e.dst FROM e0 e JOIN a0 x ON e.src = x.src JOIN a0 y ON e.dst = y.src),
+d1 AS (SELECT src, count(*) AS c FROM e1 GROUP BY 1),
+a1 AS (SELECT src FROM d1 WHERE c >= {_KCORE_K}),
+e2 AS (SELECT e.src, e.dst FROM e1 e JOIN a1 x ON e.src = x.src JOIN a1 y ON e.dst = y.src),
+d2 AS (SELECT src, count(*) AS c FROM e2 GROUP BY 1),
+a2 AS (SELECT src FROM d2 WHERE c >= {_KCORE_K}),
+e3 AS (SELECT e.src, e.dst FROM e2 e JOIN a2 x ON e.src = x.src JOIN a2 y ON e.dst = y.src),
+d3 AS (SELECT src, count(*) AS c FROM e3 GROUP BY 1)
+SELECT src AS part_key, CAST(c AS BIGINT) AS degree FROM d3 WHERE c >= {_KCORE_K}
+"""
+
+
+@register("copurchase_kcore", oracle=_KCORE_ORACLE, tags=("graph", "iterative"))
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense core of the co-purchase graph (operators/graph.py::kcore):
+    parts still holding >= 90 induced co-purchase neighbors after three
+    synchronous peel rounds — the cohesion filter behind community-core
+    extraction and "well-connected item" curricula. Each round is two
+    semi-joins + one degree aggregate on node-key partitioning; the
+    fixed round count (not convergence) keeps the result a pure
+    function of the input so the unrolled-CTE oracle replays it
+    exactly. At sf0.01 the peel is genuinely progressive
+    (1745 -> 1534 -> 1221 -> 527 survivors)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = pair_counts(li, "l_orderkey", "l_partkey")
+    edges = G.undirected_to_directed(pairs, "member1", "member2", "cnt")
+    out = G.kcore(edges, k=_KCORE_K, rounds=3)
+    return out.select(F.col("node").alias("part_key"), "degree")

@@ -133,6 +133,11 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "scd2_asof_lookup",
     "pq_recall",
     "vocab_coverage",
+    "skyline_parts",
+    "copurchase_bfs_hops",
+    "repeated_spans",
+    "copurchase_kcore",
+    "mixture_allocation",
 )
 
 

@@ -844,3 +844,44 @@ def q_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "skyline_parts",
+    oracle="""
+SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))
+""",
+    tags=("tpch", "skyline"),
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts no other part dominates on
+    (retailprice min, size min) — the cheapest-and-smallest frontier a
+    procurement optimizer would shortlist. The naive formulation is a
+    quadratic dominance self-join (the oracle keeps exactly that shape
+    as an independent strategy); the engine plan is the classic sweep
+    made distributed: one partial-aggregated shuffle collapses the
+    corpus to its (price -> min size) candidate frontier (bounded by
+    DISTINCT price cardinality, corpus-size-independent), a running-min
+    window over that small frame keeps each price iff it improves on
+    every strictly-cheaper price, and the surviving (price, size) pairs
+    broadcast back against the corpus to recover the frontier rows
+    (ties included). The full table is scanned once and never
+    self-joined."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    cand = p.groupBy("p_retailprice").agg(F.min("p_size").alias("min_size"))
+    sweep = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        cand.withColumn("prev_min", F.min("min_size").over(sweep))
+        .filter(F.col("prev_min").isNull() | (F.col("prev_min") > F.col("min_size")))
+        .select("p_retailprice", F.col("min_size").alias("p_size"))
+    )
+    return p.join(F.broadcast(sky), ["p_retailprice", "p_size"]).select(
+        "p_partkey", "p_retailprice", "p_size"
+    )

@@ -172,3 +172,61 @@ def test_label_propagation_deterministic_across_repartitioning(spark):
     a = sorted((r.node, r.label) for r in label_propagation(e, iterations=2).collect())
     b = sorted((r.node, r.label) for r in label_propagation(e.repartition(7), iterations=2).collect())
     assert a == b
+
+
+def test_bfs_hops_levels_and_unreachable(spark):
+    """Path graph 0-1-2-3-4-5 seeded at 0: hop = node index, capped at
+    max_hops; node 5 (4 hops away) must NOT appear. Node 9 is in a
+    disjoint component and must not appear either."""
+    from is3107datapipelineproject_spark.operators.graph import bfs_hops
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(5)] + [(8, 9, 1)], ["m1", "m2", "w"]
+    )
+    edges = undirected_to_directed(pairs, "m1", "m2", "w")
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    out = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hops_min_distance_on_cycle(spark):
+    """Cycle 0-1-2-3-0: nodes 1 and 3 are both 1 hop from 0, node 2 is
+    2 hops (shortest path wins even though a 3-hop route exists)."""
+    from is3107datapipelineproject_spark.operators.graph import bfs_hops
+
+    pairs = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 1)], ["m1", "m2", "w"]
+    )
+    edges = undirected_to_directed(pairs, "m1", "m2", "w")
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    out = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out == {0: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_kcore_clique_survives_pendants_peel(spark):
+    """5-clique (every node degree 4) + a pendant path hanging off node
+    0: with k=4 the pendants peel in round 1, which does NOT drag the
+    clique below threshold (clique-internal degrees stay 4). Planted
+    check of the peel-then-restrict semantics."""
+    from is3107datapipelineproject_spark.operators.graph import kcore
+
+    clique = [(a, b, 1) for a in range(5) for b in range(a + 1, 5)]
+    pendant = [(0, 10, 1), (10, 11, 1)]
+    pairs = spark.createDataFrame(clique + pendant, ["m1", "m2", "w"])
+    edges = undirected_to_directed(pairs, "m1", "m2", "w")
+    out = {r["node"]: r["degree"] for r in kcore(edges, k=4, rounds=3).collect()}
+    assert out == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+
+def test_kcore_cascading_peel_needs_rounds(spark):
+    """Path 0-1-2-3 with k=2: endpoints peel in round 1, which drops
+    the middle nodes' degrees, peeling them in round 2 — after 3 rounds
+    nothing survives. Verifies the peel actually cascades (a single
+    degree filter would wrongly keep nodes 1 and 2)."""
+    from is3107datapipelineproject_spark.operators.graph import kcore
+
+    pairs = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)], ["m1", "m2", "w"]
+    )
+    edges = undirected_to_directed(pairs, "m1", "m2", "w")
+    assert kcore(edges, k=2, rounds=3).count() == 0

@@ -1,0 +1,85 @@
+"""Planted-case tests for the round-5 additions: the distributed 2-D
+skyline sweep (workload/tpch_queries.py::q_skyline_parts) and exact
+repeated-span detection (workload/curation_queries.py::q_repeated_spans).
+
+Oracle parity at sf0.01 validates both against an independent SQL
+strategy; these tests pin the EDGE semantics oracle data may not
+exercise — frontier ties/duplicates for the skyline, stride alignment
+for the spans."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _skyline(spark, rows):
+    """Run the registered skyline query against an in-memory part table
+    by writing it as a tiny parquet dir shaped like testdata."""
+    import tempfile
+
+    from is3107datapipelineproject_spark.workload.registry import queries
+
+    d = tempfile.mkdtemp(prefix="skyline_")
+    df = spark.createDataFrame(
+        [(k, "n", "b", "t", s, p) for (k, p, s) in rows],
+        ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+    out = queries()["skyline_parts"](spark, d)
+    return sorted((r["p_partkey"]) for r in out.collect())
+
+
+def test_skyline_basic_dominance(spark):
+    # (key, price, size): 1 dominates 3 (cheaper, smaller); 1 and 2 are
+    # mutually non-dominated (trade-off); 4 dominated by 2 on price tie
+    # is NOT the case here — 4 loses to 1 outright.
+    rows = [(1, 10.0, 5), (2, 5.0, 9), (3, 12.0, 6), (4, 11.0, 5)]
+    assert _skyline(spark, rows) == [1, 2]
+
+
+def test_skyline_price_tie_strict_size(spark):
+    # Same price, smaller size dominates: 2 beats 1. 3 survives as the
+    # cheap-but-big corner.
+    rows = [(1, 10.0, 7), (2, 10.0, 4), (3, 6.0, 9)]
+    assert _skyline(spark, rows) == [2, 3]
+
+
+def test_skyline_exact_duplicates_both_survive(spark):
+    # Equal (price, size) points do not dominate each other (dominance
+    # needs one strict inequality) — both frontier copies must appear.
+    rows = [(1, 10.0, 5), (2, 10.0, 5), (3, 20.0, 4)]
+    assert _skyline(spark, rows) == [1, 2, 3]
+
+
+def test_repeated_spans_alignment_guarantee(spark):
+    """The two copies of the shared region sit at DIFFERENT character
+    offsets (doc 1 has an 'AAA ' prefix) — a fixed position-stride
+    window grid would never align across them and miss the repeat
+    entirely (the bug this test originally caught). Content-defined
+    anchors ('fox' starts an anchored token inside the region with
+    >= W chars left) must catch it at any offset. A same-doc repeat
+    must NOT count (n_docs >= 2 is cross-document)."""
+    import tempfile
+
+    from is3107datapipelineproject_spark.workload.registry import queries
+
+    d = tempfile.mkdtemp(prefix="spans_")
+    shared = "the quick brown fox jumps over the lazy dog once"  # 48 chars
+    df = spark.createDataFrame(
+        [
+            (1, "AAA " + shared + " tail one", "en", "s1", 0),
+            (2, shared + " completely different ending", "en", "s2", 0),
+            (3, "zz " + ("selfrepeat" * 8) + " " + ("selfrepeat" * 8), "en", "s3", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = queries()["repeated_spans"](spark, d).collect()
+    # every surviving span must come from >= 2 docs
+    assert all(r["n_docs"] >= 2 for r in out)
+    # the planted cross-doc repeat is found
+    assert any(shared.find(r["span"].strip()) >= 0 or r["span"] in ("AAA " + shared) for r in out)
+    # doc 3's self-repeat alone never produces a row (its spans exist in one doc)
+    assert all("selfrepeat" not in r["span"] for r in out)
