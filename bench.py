@@ -158,6 +158,11 @@ HEADLINE = [
     "repeated_spans",
     "copurchase_kcore",
     "mixture_allocation",
+    "association_rules",
+    "source_overlap",
+    "seasonal_decompose_dow",
+    "rfm_segmentation",
+    "top_conversion_paths",
 ]
 
 

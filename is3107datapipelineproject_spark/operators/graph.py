@@ -197,27 +197,33 @@ def label_propagation(edges: DataFrame, iterations: int = 2) -> DataFrame:
     return labels
 
 
-def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame:
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3, checkpoint_every: int = 0
+) -> DataFrame:
     """Minimum-hop distance from a seed set over directed ``(src, dst,
     w)`` edges: returns ``(node, hop)`` for every node reachable in at
     most ``max_hops`` hops (seeds at hop 0). The canonical frontier
     expansion — each round is ONE equi-join of the current frontier
     (O(|frontier|)) with the edge list on ``src`` plus one left-anti
-    probe against the visited set; the O(|E|) edge frame is
-    spill-checkpointed once and never re-shuffled.
+    probe against the visited set.
 
     Determinism: min-hop distance is partition-order-free by
     construction (a node joins the visited set at the first round it is
     reachable, and rounds are synchronous barriers), so any engine
     running level-synchronous BFS agrees exactly.
 
-    Scale (100 TB): the frontier is checkpointed eagerly each round —
-    without it, round *i*'s anti-join would re-derive every earlier
-    frontier from raw edges (lineage doubles per round). Visited stays
-    O(reached nodes); for high-diameter sweeps re-checkpoint ``visited``
-    every ~10 rounds as with the PageRank rank vector.
+    Scale (100 TB): by default the whole traversal stays LAZY — one
+    Catalyst plan in which the IDENTICAL edge subtree recurs every
+    round and ReuseExchange executes it once (the pagerank shape; the
+    measured A/B at sf0.1 has lazy at 6.1 s vs 7.8 s for per-round
+    eager checkpoints, and at ×100 at 114 s vs 269 s — see SCALING.md).
+    Frontier *i*'s subtree nests inside frontier *i+1* and visited, so
+    plan DEPTH grows linearly with hops: for high-diameter sweeps set
+    ``checkpoint_every`` (e.g. 5) to spill-checkpoint the frontier
+    periodically, bounding lineage exactly as the PageRank rank-vector
+    discipline does. Visited stays O(reached nodes).
     """
-    edges = checkpoint_edges(edges.select("src", "dst"))
+    edges = edges.select("src", "dst")
     visited = seeds.select("node", F.lit(0).alias("hop"))
     frontier = seeds.select("node")
     for i in range(1, max_hops + 1):
@@ -227,7 +233,10 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
         )
-        nxt = nxt.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        if checkpoint_every and i % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         visited = visited.unionByName(nxt.select("node", F.lit(i).alias("hop")))
         frontier = nxt
     return visited

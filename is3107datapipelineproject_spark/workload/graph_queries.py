@@ -511,3 +511,61 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = G.undirected_to_directed(pairs, "member1", "member2", "cnt")
     out = G.kcore(edges, k=_KCORE_K, rounds=3)
     return out.select(F.col("node").alias("part_key"), "degree")
+
+
+_RULES_MIN_SUP = 3
+
+_RULES_ORACLE = f"""
+WITH bridge AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_orders FROM bridge),
+supp AS (SELECT m, CAST(count(*) AS BIGINT) AS s FROM bridge GROUP BY 1),
+pairs AS (
+  SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS cnt
+  FROM bridge a JOIN bridge b ON a.g = b.g AND a.m < b.m GROUP BY 1, 2
+  HAVING count(*) >= {_RULES_MIN_SUP}
+)
+SELECT p.m1 AS antecedent, p.m2 AS consequent, p.cnt AS pair_support,
+       round(CAST(p.cnt AS DOUBLE) / s1.s, 4) AS confidence,
+       round(CAST(p.cnt AS DOUBLE) * n.n_orders / (s1.s * s2.s), 4) AS lift
+FROM pairs p JOIN supp s1 ON s1.m = p.m1 JOIN supp s2 ON s2.m = p.m2, n
+ORDER BY lift DESC, antecedent, consequent LIMIT 50
+"""
+
+
+@register("association_rules", oracle=_RULES_ORACLE, tags=("graph", "agg"))
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchase pairs: support
+    from the 2-shuffle pair_counts plan (never a self-join at pair
+    cardinality), per-item supports joined back at PAIR-table
+    cardinality (item supports are item-count-sized — broadcast), and
+    the 1-row order total rides a broadcast. confidence = pair/s1 and
+    lift = pair*N/(s1*s2) are single IEEE divisions of exact integers
+    (correctly rounded, engine-independent) rounded to 4 dp BEFORE the
+    lift ranking, so the top-50 cut is oracle-stable. min-support 3
+    prunes the rule space before any division. Top-50 via
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bridge = li.distinct()
+    n = bridge.agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    supp = bridge.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    pairs = pair_counts(li, "l_orderkey", "l_partkey").filter(
+        F.col("cnt") >= _RULES_MIN_SUP
+    )
+    s1 = supp.select(F.col("l_partkey").alias("member1"), F.col("s").alias("s1"))
+    s2 = supp.select(F.col("l_partkey").alias("member2"), F.col("s").alias("s2"))
+    return (
+        pairs.join(F.broadcast(s1), "member1")
+        .join(F.broadcast(s2), "member2")
+        .join(F.broadcast(n))
+        .select(
+            F.col("member1").alias("antecedent"),
+            F.col("member2").alias("consequent"),
+            F.col("cnt").alias("pair_support"),
+            F.round(F.col("cnt").cast("double") / F.col("s1"), 4).alias("confidence"),
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_orders") / (F.col("s1") * F.col("s2")), 4
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(50)
+    )

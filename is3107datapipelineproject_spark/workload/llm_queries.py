@@ -2519,3 +2519,64 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "source_overlap",
+    oracle=f"""
+WITH v AS (
+  SELECT DISTINCT source, unnest({SQL_TOKS}) AS term FROM documents
+),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+inter AS (
+  SELECT a.source AS source1, b.source AS source2, CAST(count(*) AS BIGINT) AS n_common
+  FROM v a JOIN v b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source1, i.source2, i.n_common,
+       round(CAST(i.n_common AS DOUBLE) / (s1.n + s2.n - i.n_common), 4) AS jaccard
+FROM inter i JOIN sz s1 ON s1.source = i.source1 JOIN sz s2 ON s2.source = i.source2
+""",
+    tags=("governance", "text", "llm"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources (Jaccard over each
+    source's distinct token set) — the mixture-redundancy audit: two
+    sources with near-identical vocabularies add diversity on paper
+    but not in distribution. Plan: one tokenize scan collapses the
+    corpus to the DISTINCT (source, term) frame (Heaps-bounded); the
+    intersection self-join keys on TERM, where fan-out per term is
+    bounded by the SOURCE COUNT (<= 20 here), never corpus rows — so
+    the pair explode is O(|vocab| * sources²) worst case and in
+    practice far sparser; per-source vocab sizes broadcast back onto
+    the source-pair aggregate. Jaccard is one IEEE division of exact
+    integers, rounded to 4 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    from is3107datapipelineproject_spark.operators.text import ws_tokens
+
+    v = docs.select("source", F.explode(ws_tokens("text")).alias("term")).distinct()
+    sz = v.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = v.select(F.col("source").alias("source1"), "term")
+    b = v.select(F.col("source").alias("source2"), "term")
+    inter = (
+        a.join(b, "term")
+        .filter(F.col("source1") < F.col("source2"))
+        .groupBy("source1", "source2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    s1 = sz.select(F.col("source").alias("source1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("source").alias("source2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "source1")
+        .join(F.broadcast(s2), "source2")
+        .select(
+            "source1",
+            "source2",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -885,3 +885,66 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(F.broadcast(sky), ["p_retailprice", "p_size"]).select(
         "p_partkey", "p_retailprice", "p_size"
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(max(o_orderdate) AS DATE) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT o_custkey,
+         CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS INT) AS r,
+         CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INT) AS f,
+         CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS INT) AS m
+  FROM rfm
+)
+SELECT concat(CAST(r AS VARCHAR), CAST(f AS VARCHAR), CAST(m AS VARCHAR)) AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1
+""",
+    tags=("tpch", "warehouse", "window"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency / frequency /
+    monetary aggregates quartiled independently (ntile(4)), customers
+    bucketed by the 3-digit segment code — the classic CRM cohorting
+    every warehouse ships. Determinism: each ntile ORDER BY carries
+    o_custkey as a total-order tie-break (ntile over a partial order is
+    engine-dependent at quartile boundaries); monetary sums in
+    DECIMAL(18,2) (exact, order-free). Plan: the fact collapses to one
+    per-customer aggregate (partial-agg map-side); the three ntile
+    passes run over the CUSTOMER-sized frame — at production scale
+    swap the unpartitioned ntile for a 2-pass histogram quantile
+    (percentile boundaries + broadcast bucket join) to avoid the
+    single-task sort; the final segment rollup is 64 rows."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).cast("int").alias("r"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).cast("int").alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).cast("int").alias("m"),
+    )
+    return (
+        scored.select(
+            F.concat(
+                F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")
+            ).alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )

@@ -1232,3 +1232,130 @@ def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("version").alias("version_then"),
         )
     )
+
+
+@register(
+    "seasonal_decompose_dow",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT d, n, CAST(dayofweek(d) AS INT) AS dow,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(d AS DATE)) AS BIGINT) AS di
+  FROM daily
+),
+w AS (
+  SELECT d, n, dow,
+         CAST(sum(n) OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS w7,
+         CAST(count(*) OVER (ORDER BY di RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS c7
+  FROM idx
+),
+full7 AS (SELECT d, n, dow, w7, 7 * n - w7 AS dev7 FROM w WHERE c7 = 7),
+seas AS (
+  SELECT dow, CAST(sum(dev7) AS BIGINT) AS s_num, CAST(count(*) AS BIGINT) AS s_cnt
+  FROM full7 GROUP BY 1
+)
+SELECT f.d, f.n,
+       round(CAST(f.w7 AS DOUBLE) / 7, 4) AS trend,
+       round(CAST(s.s_num AS DOUBLE) / (7 * s.s_cnt), 4) AS seasonal,
+       round(CAST(f.n AS DOUBLE) - CAST(f.w7 AS DOUBLE) / 7
+             - CAST(s.s_num AS DOUBLE) / (7 * s.s_cnt), 4) AS residual
+FROM full7 f JOIN seas s USING (dow)
+""",
+    tags=("events", "timeseries"),
+)
+def q_seasonal_decompose_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the daily event series
+    (STL-lite): trend = centered 7-day moving average, seasonal =
+    day-of-week mean deviation, residual = remainder — the load-shape
+    model behind capacity planning and the detrended twin of
+    daily_anomaly_zscore. Determinism contract: every aggregate is a
+    BIGINT sum (the deviation is kept as the INTEGER 7·n − Σ₇n, never a
+    pre-divided double), and each output is a single fixed float
+    expression over exact integers, rounded at 4 dp — no
+    accumulation-order-dependent float sums anywhere. Plan: corpus
+    collapses to one daily aggregate; the trend window is a RANGE frame
+    over the day index on that tiny frame; the seasonal join is a
+    7-row broadcast."""
+    e = _t(spark, sf_dir, "events").select(F.date_trunc("day", "ts").alias("d"))
+    daily = e.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    idx = daily.select(
+        "d",
+        "n",
+        F.dayofweek(F.col("d")).cast("int").alias("dow"),
+        F.datediff(F.col("d").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("di"),
+    )
+    from pyspark.sql import Window
+
+    frame = Window.orderBy("di").rangeBetween(-3, 3)
+    w = idx.select(
+        "d",
+        "n",
+        "dow",
+        F.sum("n").over(frame).cast("long").alias("w7"),
+        F.count(F.lit(1)).over(frame).cast("long").alias("c7"),
+    )
+    full7 = w.filter(F.col("c7") == 7).withColumn(
+        "dev7", F.lit(7) * F.col("n") - F.col("w7")
+    )
+    seas = full7.groupBy("dow").agg(
+        F.sum("dev7").cast("long").alias("s_num"),
+        F.count(F.lit(1)).cast("long").alias("s_cnt"),
+    )
+    trend = F.col("w7").cast("double") / 7
+    seasonal = F.col("s_num").cast("double") / (7 * F.col("s_cnt"))
+    return full7.join(F.broadcast(seas), "dow").select(
+        "d",
+        "n",
+        F.round(trend, 4).alias("trend"),
+        F.round(seasonal, 4).alias("seasonal"),
+        F.round(F.col("n").cast("double") - trend - seasonal, 4).alias("residual"),
+    )
+
+
+@register(
+    "top_conversion_paths",
+    oracle="""
+WITH paths AS (
+  SELECT user_id, date_trunc('day', ts) AS d,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path LIMIT 20
+""",
+    tags=("events", "window", "funnel"),
+)
+def q_top_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral paths: each (user, day) episode's ordered
+    event-type sequence collapsed to a path string, ranked by
+    frequency — the path-mining view behind funnel design (which
+    journeys actually happen, not which were hypothesized). Ordering
+    inside a path is total — sort_array over (ts, event_id, type)
+    structs, the same (ts, event_id) tie-break every sessionization in
+    this repo uses — so Spark's unordered collect_list and the
+    oracle's ORDER BY string_agg agree exactly. Plan: ONE shuffle on
+    (user, day) builds the episodes (partial collect map-side), the
+    path histogram groups on the path string, top-20 via
+    TakeOrderedAndProject. Paths per episode are bounded by per-user
+    daily activity, not corpus size."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("d"), "ts", "event_id", "event_type"
+    )
+    eps = ev.groupBy("user_id", "d").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("seq")
+    )
+    paths = eps.select(
+        F.concat_ws(">", F.transform(F.col("seq"), lambda s: s["event_type"])).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )

@@ -230,3 +230,38 @@ def test_kcore_cascading_peel_needs_rounds(spark):
     )
     edges = undirected_to_directed(pairs, "m1", "m2", "w")
     assert kcore(edges, k=2, rounds=3).count() == 0
+
+
+def test_bfs_hops_random_vs_bruteforce(spark):
+    """Seeded random 40-node graph: distributed level-synchronous BFS
+    must equal a plain Python BFS (min-hop, max 3 hops) exactly."""
+    import random
+    from collections import deque
+
+    from is3107datapipelineproject_spark.operators.graph import bfs_hops
+
+    rng = random.Random(7)
+    nodes = list(range(40))
+    und = set()
+    for _ in range(70):
+        a, b = rng.sample(nodes, 2)
+        und.add((min(a, b), max(a, b)))
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    dist = {0: 0}
+    dq = deque([0])
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= 3:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    pairs = spark.createDataFrame([(a, b, 1) for a, b in sorted(und)], ["m1", "m2", "w"])
+    edges = undirected_to_directed(pairs, "m1", "m2", "w")
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    out = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out == dist

