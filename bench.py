@@ -163,6 +163,7 @@ HEADLINE = [
     "seasonal_decompose_dow",
     "rfm_segmentation",
     "top_conversion_paths",
+    "sql_interface_revenue",
 ]
 
 

@@ -143,6 +143,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "seasonal_decompose_dow",
     "rfm_segmentation",
     "top_conversion_paths",
+    "sql_interface_revenue",
 )
 
 

@@ -948,3 +948,44 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+_SQL_IFACE = """
+SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM {li} l
+JOIN {o} o ON o.o_orderkey = l.l_orderkey
+JOIN {c} c ON c.c_custkey = o.o_custkey
+JOIN {n} n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "sql_interface_revenue",
+    oracle=_SQL_IFACE.format(li="lineitem", o="orders", c="customer", n="nation")
+    .replace("year(o.o_orderdate)", "CAST(year(o.o_orderdate) AS INT)"),
+    tags=("tpch", "sql"),
+)
+def q_sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL API surface: the same engine capabilities through
+    ``spark.sql`` over registered temp views — a user of the reference
+    can bring plain ANSI SQL instead of the DataFrame API and get the
+    identical Catalyst plan (views are lazy aliases; the optimizer
+    sees one tree either way — broadcastable dims, DECIMAL-exact
+    money sums, partial aggregation). The oracle is the SAME text with
+    table names swapped, which is the point: this one IS
+    SQL-expressible by construction. View names are sf-dir-scoped so
+    concurrent registrations cannot collide."""
+    import re as _re
+
+    tag = _re.sub(r"[^a-zA-Z0-9]", "_", sf_dir.strip("/"))
+    names = {}
+    for t, key in (("lineitem", "li"), ("orders", "o"), ("customer", "c"), ("nation", "n")):
+        v = f"__sqliface_{t}_{tag}"
+        _t(spark, sf_dir, t).createOrReplaceTempView(v)
+        names[key] = v
+    out = spark.sql(_SQL_IFACE.format(**names))
+    return out.withColumn("yr", F.col("yr").cast("int"))
