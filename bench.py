@@ -164,6 +164,7 @@ HEADLINE = [
     "rfm_segmentation",
     "top_conversion_paths",
     "sql_interface_revenue",
+    "nested_subsets",
 ]
 
 

@@ -2580,3 +2580,79 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_NESTED_FRAC = (
+    "(CAST('0x' || substr(md5('nest|' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)"
+    " / 268435456.0)"
+)
+
+
+@register(
+    "nested_subsets",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_NESTED_FRAC} AS frac, unnest({SQL_TOKS}) AS term
+  FROM documents
+),
+wide AS (
+  SELECT
+    CAST(count(DISTINCT CASE WHEN frac < 0.01 THEN doc_id END) AS BIGINT) AS d1,
+    CAST(sum(CASE WHEN frac < 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+    CAST(count(DISTINCT CASE WHEN frac < 0.01 THEN term END) AS BIGINT) AS v1,
+    CAST(count(DISTINCT CASE WHEN frac < 0.1 THEN doc_id END) AS BIGINT) AS d10,
+    CAST(sum(CASE WHEN frac < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS t10,
+    CAST(count(DISTINCT CASE WHEN frac < 0.1 THEN term END) AS BIGINT) AS v10,
+    CAST(count(DISTINCT doc_id) AS BIGINT) AS d100,
+    CAST(count(*) AS BIGINT) AS t100,
+    CAST(count(DISTINCT term) AS BIGINT) AS v100
+  FROM tok
+)
+SELECT 'pct1' AS subset, d1 AS n_docs, t1 AS n_tokens, v1 AS vocab FROM wide
+UNION ALL SELECT 'pct10', d10, t10, v10 FROM wide
+UNION ALL SELECT 'pct100', d100, t100, v100 FROM wide
+""",
+    tags=("sampling", "llm", "governance"),
+)
+def q_nested_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaling-law corpus ladder: NESTED 1% / 10% / 100% subsets by id
+    hash (frac < 0.01 ⊂ frac < 0.1 ⊂ all — each rung contains the
+    previous by construction, the property scaling-law experiments
+    require so curves differ by data QUANTITY only), with per-rung
+    document, token-occurrence, and vocabulary counts (the Heaps-law
+    inputs). One tokenize scan computes all three rungs as CONDITIONAL
+    aggregates (sum/count-distinct over CASE) — never three corpus
+    passes; the hash is the repo's portable md5 fraction so membership
+    never changes as the corpus grows and the oracle replays it
+    textually. The 1-row wide aggregate unpivots to 3 rows driver-free."""
+    from is3107datapipelineproject_spark.operators.sampling import hash_unit
+    from is3107datapipelineproject_spark.operators.text import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        hash_unit("doc_id", "nest").alias("frac"),
+        F.explode(ws_tokens("text")).alias("term"),
+    )
+
+    def _cond(th):
+        c = F.col("frac") < th
+        return [
+            F.countDistinct(F.when(c, F.col("doc_id"))).cast("long"),
+            F.sum(F.when(c, 1).otherwise(0)).cast("long"),
+            F.countDistinct(F.when(c, F.col("term"))).cast("long"),
+        ]
+
+    d1, t1, v1 = _cond(0.01)
+    d10, t10, v10 = _cond(0.1)
+    wide = tok.agg(
+        d1.alias("d1"), t1.alias("t1"), v1.alias("v1"),
+        d10.alias("d10"), t10.alias("t10"), v10.alias("v10"),
+        F.countDistinct("doc_id").cast("long").alias("d100"),
+        F.count(F.lit(1)).cast("long").alias("t100"),
+        F.countDistinct("term").cast("long").alias("v100"),
+    )
+    return wide.selectExpr(
+        "stack(3, 'pct1', d1, t1, v1, 'pct10', d10, t10, v10, 'pct100', d100, t100, v100)"
+        " AS (subset, n_docs, n_tokens, vocab)"
+    )

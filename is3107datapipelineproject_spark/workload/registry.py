@@ -144,6 +144,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "rfm_segmentation",
     "top_conversion_paths",
     "sql_interface_revenue",
+    "nested_subsets",
 )
 
 
