@@ -165,6 +165,7 @@ HEADLINE = [
     "top_conversion_paths",
     "sql_interface_revenue",
     "nested_subsets",
+    "embedding_skyline",
 ]
 
 

@@ -2656,3 +2656,45 @@ def q_nested_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'pct1', d1, t1, v1, 'pct10', d10, t10, v10, 'pct100', d100, t100, v100)"
         " AS (subset, n_docs, n_tokens, vocab)"
     )
+
+
+@register(
+    "embedding_skyline",
+    oracle="""
+WITH pts AS (
+  SELECT vec_id,
+         CAST(embedding[1] AS DOUBLE) AS d0,
+         CAST(embedding[2] AS DOUBLE) AS d1,
+         CAST(embedding[3] AS DOUBLE) AS d2
+  FROM embeddings
+)
+SELECT a.vec_id, a.d0, a.d1, a.d2
+FROM pts a
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts b
+  WHERE b.d0 <= a.d0 AND b.d1 <= a.d1 AND b.d2 <= a.d2
+    AND (b.d0 < a.d0 OR b.d1 < a.d1 OR b.d2 < a.d2))
+""",
+    tags=("similarity", "skyline", "llm"),
+)
+def q_embedding_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D Pareto frontier over the first three embedding features
+    (operators/skyline.py::skyline_nd) — multi-criteria selection the
+    2-D window sweep cannot express (no total order exists at 3+
+    dims). Runs the classic distributed skyline: a mapInPandas kernel
+    folds each partition's Arrow batches into a running local frontier
+    (dominance is transitive, so per-partition pruning is lossless),
+    then the frontier-sized candidate union resolves on one task. The
+    result is a pure set property of the input — partitioning- and
+    batch-boundary-independent — which the quadratic NOT-EXISTS oracle
+    replays. Float compares are exact (float→double widening), so no
+    rounding contract is needed."""
+    from is3107datapipelineproject_spark.operators.skyline import skyline_nd
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("d0"),
+        F.col("embedding")[1].cast("double").alias("d1"),
+        F.col("embedding")[2].cast("double").alias("d2"),
+    )
+    return skyline_nd(emb, "vec_id", ["d0", "d1", "d2"])

@@ -145,6 +145,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "top_conversion_paths",
     "sql_interface_revenue",
     "nested_subsets",
+    "embedding_skyline",
 )
 
 

@@ -121,3 +121,37 @@ def test_mixture_allocation_invariants(spark):
     budget = (6 * total_cap) // 10
     assert all(0 <= r["alloc"] <= r["cap"] for r in out)
     assert sum(r["alloc"] for r in out) <= budget
+
+
+def test_skyline_nd_random_vs_bruteforce(spark):
+    """300 seeded random 3-D points across 8 partitions (forcing
+    multi-batch, multi-partition folding): the two-phase distributed
+    skyline must equal the O(n²) dominance definition."""
+    import random
+
+    from is3107datapipelineproject_spark.operators.skyline import skyline_nd
+
+    rng = random.Random(99)
+    rows = [
+        (i, float(rng.randint(0, 15)), float(rng.randint(0, 15)), float(rng.randint(0, 15)))
+        for i in range(300)
+    ]
+
+    def dominated(a, b):
+        return all(b[j] <= a[j] for j in (1, 2, 3)) and any(b[j] < a[j] for j in (1, 2, 3))
+
+    expect = sorted(r[0] for r in rows if not any(dominated(r, o) for o in rows))
+    df = spark.createDataFrame(rows, ["vec_id", "d0", "d1", "d2"]).repartition(8)
+    got = sorted(r["vec_id"] for r in skyline_nd(df, "vec_id", ["d0", "d1", "d2"]).collect())
+    assert got == expect
+
+
+def test_skyline_nd_duplicates_survive(spark):
+    """Identical frontier points do not dominate each other — all
+    copies must appear (matches the NOT-EXISTS oracle semantics)."""
+    from is3107datapipelineproject_spark.operators.skyline import skyline_nd
+
+    rows = [(1, 1.0, 1.0, 1.0), (2, 1.0, 1.0, 1.0), (3, 2.0, 2.0, 2.0)]
+    df = spark.createDataFrame(rows, ["vec_id", "d0", "d1", "d2"]).repartition(3)
+    got = sorted(r["vec_id"] for r in skyline_nd(df, "vec_id", ["d0", "d1", "d2"]).collect())
+    assert got == [1, 2]
