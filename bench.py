@@ -166,6 +166,7 @@ HEADLINE = [
     "sql_interface_revenue",
     "nested_subsets",
     "embedding_skyline",
+    "time_weighted_avg",
 ]
 
 

@@ -146,6 +146,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "sql_interface_revenue",
     "nested_subsets",
     "embedding_skyline",
+    "time_weighted_avg",
 )
 
 

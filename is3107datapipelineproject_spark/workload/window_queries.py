@@ -1359,3 +1359,60 @@ def q_top_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(20)
     )
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_intervals,
+         CAST(sum(cents * (t_next - t)) AS BIGINT) AS wsum,
+         CAST(sum(t_next - t) AS BIGINT) AS dur
+  FROM seq WHERE t_next IS NOT NULL GROUP BY 1
+)
+SELECT user_id, n_intervals,
+       round(CAST(wsum AS DOUBLE) / (100.0 * dur), 4) AS twa
+FROM agg WHERE dur > 0
+""",
+    tags=("events", "window", "timeseries"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average of the event value — each reading
+    holds until the next one (the step-function integral metering and
+    billing pipelines need; a plain AVG over-weights bursts).
+    Determinism contract: the 2-dp value column converts to exact
+    BIGINT cents via round(value·100) (plain CAST truncates in one
+    engine and rounds in the other — a real cross-engine trap), holding
+    durations are exact BIGINT microseconds from the (ts, event_id)
+    total order, so the weighted sum is pure integer arithmetic; ONE
+    float division at the end, rounded to 4 dp. Plan: one window pass
+    on the user-key partitioning for lead(), then a per-user aggregate
+    on the same exchange — the fact shuffles once."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "value", "ts", "event_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    agg = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("cents") * (F.col("t_next") - F.col("t"))).cast("long").alias("wsum"),
+        F.sum(F.col("t_next") - F.col("t")).cast("long").alias("dur"),
+    )
+    return agg.filter(F.col("dur") > 0).select(
+        "user_id",
+        "n_intervals",
+        F.round(F.col("wsum").cast("double") / (F.lit(100.0) * F.col("dur")), 4).alias("twa"),
+    )
