@@ -167,6 +167,11 @@ HEADLINE = [
     "nested_subsets",
     "embedding_skyline",
     "time_weighted_avg",
+    "activity_streaks",
+    "revenue_gini",
+    "cusum_changepoint",
+    "prefix_filter_jaccard",
+    "clustering_coefficient",
 ]
 
 

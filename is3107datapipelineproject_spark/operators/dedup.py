@@ -839,3 +839,109 @@ def containment_pairs(
         .select("doc1", "doc2", "n_shared", cont.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    max_prefix_posting: int = 10_000,
+    shingles: bool = True,
+) -> DataFrame:
+    """GLOBAL (unblocked) exact set-similarity self-join via prefix
+    filtering — the PPJoin family: the scale path when no metadata
+    blocking key exists. ``blocked_jaccard_pairs`` confines the
+    quadratic to a block; this operator needs no block at all and is
+    still never O(n²).
+
+    Principle: order every doc's distinct tokens by (corpus df ASC,
+    token) — one GLOBAL total order, rarest first. If J(x,y) ≥ τ then
+    |x∩y| ≥ ⌈τ/(1+τ)·(|x|+|y|)⌉, so x and y MUST share a token inside
+    their first ``|t| − ⌈τ·|t|⌉ + 1`` tokens (the prefix) — a pair
+    missed by the prefix equi-join is provably below threshold. The
+    join applies two further LOSSLESS prunes: the size filter
+    (τ·|x| ≤ |y| ≤ |x|/τ) and PPJoin's positional filter
+    (1 + min(|x|−pos_x, |y|−pos_y) ≥ ⌈τ/(1+τ)·(|x|+|y|)⌉ — the suffixes
+    after the matching position must still be able to reach the
+    required overlap). Candidates are verified with exact
+    array_intersect Jaccard, rounded to 4 dp BEFORE the ≥ τ test (repo
+    contract); the filters are built against τ−1e-4 so a pair that
+    ROUNDS UP to τ can never be pruned, and the 1e-9 slack under each
+    ⌈·⌉ keeps float representation error from tightening a bound.
+
+    Scale shape: prefix tokens are the RAREST tokens of each doc, so
+    per-token posting lists in the candidate join are short by
+    construction — boilerplate/stop tokens land in suffixes and never
+    generate candidates. The degenerate case is a corpus of byte-equal
+    copies (every token equally rare): run ``exact_dedup`` FIRST (the
+    standard pipeline order, module docstring). ``max_prefix_posting``
+    is the guard: if any prefix token's posting list exceeds it the
+    operator raises toward exact-dedup-first rather than shuffling a
+    quadratic candidate set (same count-guard contract as
+    similarity.cosine_topk).
+
+    Element universe: by default the 28-bit 3-word-shingle hash set
+    (``shingle_hash_set`` — the SAME sets minhash_neardup sketches), so
+    this operator is the EXACT counterpart of the MinHash-LSH plan:
+    every pair with true shingle-Jaccard ≥ τ, no sketch recall loss.
+    ``shingles=False`` switches to unigram token sets.
+
+    Returns ``(doc1, doc2, jaccard)``, doc1 < doc2, jaccard ≥ τ.
+    """
+    from pyspark.sql import Window
+
+    tau = threshold - 1e-4  # filters honor the round-then-threshold contract
+    elems = shingle_hash_set(text_col) if shingles else F.array_distinct(ws_tokens(text_col))
+    t = spread_small_input(df).select(F.col(id_col).alias("doc_id"), elems.alias("toks"))
+    # Token posting frame feeds the df aggregate AND the ranked prefix —
+    # checkpoint once (same discipline as containment_pairs).
+    tok = t.select("doc_id", F.explode("toks").alias("tok")).localCheckpoint(eager=True)
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    sized = tok.join(dfreq, "tok").select(
+        "doc_id",
+        "tok",
+        F.row_number().over(wdoc).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"),
+    )
+    prefix = sized.filter(
+        F.col("pos") <= F.col("m") - F.ceil(F.lit(tau) * F.col("m") - 1e-9) + 1
+    ).localCheckpoint(eager=True)
+
+    hottest = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("p")).agg(F.max("p")).first()[0]
+    if hottest is not None and hottest > max_prefix_posting:
+        raise ValueError(
+            f"prefix posting list of size {hottest} exceeds max_prefix_posting="
+            f"{max_prefix_posting}: the corpus is duplicate-saturated — run "
+            "exact_dedup first, then prefix_jaccard_pairs on the keepers"
+        )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    need = F.ceil(F.lit(tau / (1.0 + tau)) * (F.col("a.m") + F.col("b.m")) - 1e-9)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.m").cast("double") >= F.lit(tau) * F.col("a.m"))
+            & (F.col("a.m").cast("double") >= F.lit(tau) * F.col("b.m"))
+            & (
+                F.least(F.col("a.m") - F.col("a.pos"), F.col("b.m") - F.col("b.pos")) + 1
+                >= need
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    x = t.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("__tx"))
+    y = t.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("__ty"))
+    inter = F.size(F.array_intersect(F.col("__tx"), F.col("__ty"))).cast("double")
+    union = (F.size("__tx") + F.size("__ty")).cast("double") - inter
+    jac = F.round(inter / union, 4)
+    return (
+        cand.join(x, "doc1")
+        .join(y, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -248,37 +248,24 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "copurchase_triangles",
-    oracle=f"""
-WITH {_EDGE_CTES},
-tri AS (
-  SELECT e1.x AS a, e1.y AS b, e2.y AS c
-  FROM e e1 JOIN e e2 ON e1.y = e2.x
-            JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
-),
-nodes AS (SELECT unnest([a, b, c]) AS part_key FROM tri)
-SELECT part_key, CAST(count(*) AS BIGINT) AS n_triangles FROM nodes GROUP BY 1
-""",
-    tags=("graph",),
-)
-def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-part triangle participation in the co-purchase graph — the
-    local-clustering primitive (tight product bundles show up as
-    triangle-dense neighborhoods). Spark enumerates with DEGREE-ORDERED
-    orientation: every undirected edge points from its lower-(degree,id)
-    endpoint, so each triangle is generated exactly once at its unique
-    two-out-edge source and wedge count is bounded by Σ out-deg² with
-    out-degrees O(√|E|) — the hub-safe bound id-ordered enumeration
-    lacks. The triangle SET is orientation-independent, so the oracle
-    may enumerate in plain id order and the per-node counts agree."""
-    e = _copurchase_edges(spark, sf_dir)
-    deg = (
+def _node_degrees(e: DataFrame) -> DataFrame:
+    """Per-node degree of the undirected edge set ``(x, y)``."""
+    return (
         e.select(F.col("x").alias("n"))
         .unionAll(e.select(F.col("y").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
+
+
+def _triangle_counts(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-node triangle participation via DEGREE-ORDERED orientation:
+    every undirected edge points from its lower-(degree, id) endpoint,
+    so each triangle is generated exactly once at its unique
+    two-out-edge source and wedge count is bounded by Σ out-deg² with
+    out-degrees O(√|E|) — the hub-safe bound id-ordered enumeration
+    lacks. Returns ``(part_key, n_triangles)``; the triangle SET is
+    orientation-independent, so a plain id-ordered SQL oracle agrees."""
     ed = (
         e.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x")
         .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
@@ -302,6 +289,85 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.select(F.explode(F.array("a", "b", "c")).alias("part_key"))
         .groupBy("part_key")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+@register(
+    "copurchase_triangles",
+    oracle=f"""
+WITH {_EDGE_CTES},
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1 JOIN e e2 ON e1.y = e2.x
+            JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+nodes AS (SELECT unnest([a, b, c]) AS part_key FROM tri)
+SELECT part_key, CAST(count(*) AS BIGINT) AS n_triangles FROM nodes GROUP BY 1
+""",
+    tags=("graph",),
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph — the
+    local-clustering primitive (tight product bundles show up as
+    triangle-dense neighborhoods). Enumeration is the degree-ordered
+    orientation in ``_triangle_counts`` (hub-safe Σ out-deg² wedge
+    bound); the oracle enumerates in plain id order — same triangle
+    set, same per-node counts."""
+    e = _copurchase_edges(spark, sf_dir)
+    return _triangle_counts(e, _node_degrees(e))
+
+
+@register(
+    "clustering_coefficient",
+    oracle=f"""
+WITH {_EDGE_CTES},
+tri AS (
+  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+  FROM e e1 JOIN e e2 ON e1.y = e2.x
+            JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+nodes AS (SELECT unnest([a, b, c]) AS part_key FROM tri),
+tcnt AS (SELECT part_key, CAST(count(*) AS BIGINT) AS n_triangles FROM nodes GROUP BY 1),
+adj AS (SELECT x AS n FROM e UNION ALL SELECT y FROM e),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY 1)
+SELECT deg.n AS part_key, deg.degree,
+       CAST(coalesce(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(CAST(2 * coalesce(tcnt.n_triangles, 0) AS DOUBLE)
+             / (deg.degree * (deg.degree - 1)), 4) AS lcc
+FROM deg LEFT JOIN tcnt ON tcnt.part_key = deg.n
+WHERE deg.degree >= 2
+""",
+    tags=("graph",),
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: 2·triangles / (d·(d−1))
+    for degree ≥ 2 — how close each part's co-purchase neighborhood is
+    to a clique (the bundle-detection metric on top of raw triangle
+    counts). Pure integer numerator/denominator, ONE float division
+    rounded 4 dp. Plan: degree frame and the hub-safe oriented triangle
+    count share the same edge set; nodes in no triangle survive via the
+    left join with an exact 0."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = _node_degrees(e)
+    tri = _triangle_counts(e, deg)
+    out = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, deg["n"] == tri["part_key"], "left")
+        .select(
+            F.col("n").alias("part_key"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )
+    return out.select(
+        "part_key",
+        "degree",
+        "n_triangles",
+        F.round(
+            (2 * F.col("n_triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            4,
+        ).alias("lcc"),
     )
 
 

@@ -2698,3 +2698,35 @@ def q_embedding_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding")[2].cast("double").alias("d2"),
     )
     return skyline_nd(emb, "vec_id", ["d0", "d1", "d2"])
+
+
+# --- global set-similarity join (prefix filtering / PPJoin) -------------------
+
+@register(
+    "prefix_filter_jaccard",
+    oracle=f"""
+WITH sh AS ({SQL_DOCS_SHINGLES})
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+             / (CAST(len(a.hs) + len(b.hs) AS DOUBLE) - len(list_intersect(a.hs, b.hs))),
+             4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+            / (CAST(len(a.hs) + len(b.hs) AS DOUBLE) - len(list_intersect(a.hs, b.hs))),
+            4) >= 0.8
+""",
+    tags=("dedup", "llm"),
+)
+def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL exact shingle-Jaccard >= 0.8 over ALL doc pairs -- no
+    blocking key, no sketch -- via prefix filtering (PPJoin): candidates
+    only from docs sharing a shingle among their df-rarest prefix, plus
+    lossless size and positional prunes; exact verify after. The EXACT
+    counterpart of minhash_neardup on the SAME shingle-hash sets (LSH
+    trades recall for speed; this plan trades nothing -- the oracle is
+    the quadratic ground truth over every pair and the filters are
+    provably lossless), while shuffling only short rare-shingle
+    postings instead of n^2 pairs."""
+    return D.prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
+    )

@@ -147,6 +147,11 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "nested_subsets",
     "embedding_skyline",
     "time_weighted_avg",
+    "activity_streaks",
+    "revenue_gini",
+    "cusum_changepoint",
+    "prefix_filter_jaccard",
+    "clustering_coefficient",
 )
 
 

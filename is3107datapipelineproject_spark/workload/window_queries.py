@@ -1416,3 +1416,192 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_intervals",
         F.round(F.col("wsum").cast("double") / (F.lit(100.0) * F.col("dur")), 4).alias("twa"),
     )
+
+
+@register(
+    "activity_streaks",
+    oracle="""
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS eday
+  FROM events
+),
+i AS (
+  SELECT user_id, eday,
+         eday - row_number() OVER (PARTITION BY user_id ORDER BY eday) AS anchor
+  FROM d
+),
+s AS (SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS len FROM i GROUP BY 1, 2)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM s GROUP BY 1
+""",
+    tags=("events", "window", "timeseries"),
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive-active-day streaks — the classic
+    gaps-and-islands shape (retention/engagement reporting). Island key
+    is ``epoch_day − row_number()`` over the per-user day sequence:
+    constant exactly across a consecutive run, pure BIGINT arithmetic
+    (no date-type cross-engine drift — days are integer days since
+    epoch on both sides). Plan: the fact collapses map-side to the
+    distinct (user, day) frame, then ONE user-key exchange serves the
+    row_number window, the island aggregate, and the per-user rollup —
+    Catalyst chains all three on the same partitioning."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long").alias("eday"),
+    )
+    days = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("eday")
+    isl = days.select(
+        "user_id",
+        "eday",
+        (F.col("eday") - F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).cast("long").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+
+
+@register(
+    "revenue_gini",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS rn,
+         count(*) OVER () AS n
+  FROM rev
+),
+agg AS (
+  -- sums stay HUGEINT (DuckDB's native widening) — the Spark twin uses
+  -- DECIMAL(38,0) for the same exact-integer headroom
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         sum(cents) AS s,
+         sum(rn * cents) AS w,
+         sum(CASE WHEN rn > n - (n + 9) // 10 THEN cents END) AS top_cents
+  FROM ranked
+)
+SELECT n AS n_customers,
+       round((2.0 * w - (n + 1.0) * s) / (CAST(n AS DOUBLE) * s), 4) AS gini,
+       round(CAST(top_cents AS DOUBLE) / s, 4) AS top_decile_share
+FROM agg
+""",
+    tags=("agg", "analytics", "governance"),
+)
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: Gini coefficient + top-decile share
+    of per-customer revenue — the inequality metric corpus-governance
+    reports reuse for source concentration. Determinism: revenue is
+    exact BIGINT cents (round(price·100) — the cross-engine-safe
+    conversion), the rank weights Σrn·cents and totals stay integer
+    (ties in cents cannot perturb Σrn·cents: the rank sum over an
+    equal-value run is order-invariant), TWO float divisions at the end,
+    rounded 4 dp. Plan: fact collapses to the customer frame map-side;
+    the unpartitioned rank window is a single-task sort over the
+    CUSTOMER dimension (documented contract, same as rfm_segmentation —
+    swap to the 2-pass histogram rank at production customer counts);
+    final aggregate is 1 row. At extreme scale Σrn·cents approaches
+    BIGINT range — the DECIMAL(38,0) swap is the documented escape."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    k = F.expr("(n + 9) DIV 10")  # integer ceil(n/10), no float detour
+    top_flag = F.col("rn") > (F.col("n") - k)
+    # Σrn·cents approaches n·Σcents ≫ BIGINT range at ×100 already
+    # (measured: ANSI long-overflow at 150k customers × 15M orders), so
+    # the rank-weighted sums accumulate in DECIMAL(38,0) — still exact
+    # integer arithmetic, ~1e38 headroom; doubles only at the division.
+    agg = ranked.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(F.col("rn").cast("decimal(19,0)") * F.col("cents").cast("decimal(18,0)")).alias("w"),
+        F.sum(F.when(top_flag, F.col("cents")).cast("decimal(38,0)")).alias("top_cents"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (2.0 * F.col("w").cast("double")
+             - (F.col("n") + F.lit(1.0)) * F.col("s").cast("double"))
+            / (F.col("n").cast("double") * F.col("s").cast("double")),
+            4,
+        ).alias("gini"),
+        F.round(
+            F.col("top_cents").cast("double") / F.col("s").cast("double"), 4
+        ).alias("top_decile_share"),
+    )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT d, cnt,
+         CAST(sum(cnt) OVER (ORDER BY d) AS BIGINT) AS c,
+         row_number() OVER (ORDER BY d) AS k,
+         CAST(sum(cnt) OVER () AS BIGINT) AS t,
+         count(*) OVER () AS n
+  FROM daily
+)
+SELECT d AS change_day,
+       CAST(c * n - k * t AS BIGINT) AS cusum_scaled,
+       CAST(n AS BIGINT) AS n_days
+FROM cum
+ORDER BY abs(c * n - k * t) DESC, d
+LIMIT 1
+""",
+    tags=("events", "timeseries", "diagnostics"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point over the daily event-volume series: the day
+    k maximizing |Σ_{d≤k}(cnt_d − mean)| — where the cumulative
+    deviation from the global mean peaks, i.e. where the level shifts.
+    Determinism: the deviation sum is SCALED BY n so it stays pure
+    BIGINT (cum·n − k·total — no float mean ever enters), the argmax
+    tiebreaks on earliest day. Plan: fact collapses map-side to the
+    day-count frame (#days rows); the unpartitioned cumulative window
+    is a single task over that TINY frame; TakeOrderedAndProject picks
+    the winner — no full sort materializes."""
+    e = _t(spark, sf_dir, "events").select(F.date_trunc("day", "ts").alias("d"))
+    daily = e.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wc = Window.orderBy("d")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = daily.select(
+        "d",
+        F.sum("cnt").over(wc).cast("long").alias("c"),
+        F.row_number().over(wc).alias("k"),
+        F.sum("cnt").over(wall).cast("long").alias("t"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    s = (F.col("c") * F.col("n") - F.col("k") * F.col("t")).cast("long")
+    return (
+        cum.select(
+            F.col("d").alias("change_day"),
+            s.alias("cusum_scaled"),
+            F.col("n").alias("n_days"),
+        )
+        .orderBy(F.abs(F.col("cusum_scaled")).desc(), "change_day")
+        .limit(1)
+    )

@@ -516,3 +516,51 @@ def test_bm25_ranks_term_dense_doc_first(spark):
     assert ids[0] == 1, "short term-dense doc must rank first (dl normalization)"
     assert 3 not in ids
     assert all(got[i]["score"] >= got[i + 1]["score"] for i in range(len(got) - 1))
+
+
+def test_prefix_jaccard_matches_bruteforce_and_beats_lsh_recall(spark):
+    """The prefix-filtered join must return EXACTLY the brute-force
+    shingle-Jaccard pairs ≥ τ — the filters are lossless by theorem, so
+    any miss is a bug (the classic failure is an over-tight ⌈·⌉ from
+    float representation error)."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    rows = [(1, base), (2, base.replace("tango", "uniform")), (3, base.replace("alpha bravo", "zulu yankee"))]
+    rows += [(10 + i, f"doc {i} unrelated filler text about topic {i} entirely distinct") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r.doc1, r.doc2, r.jaccard)
+        for r in D.prefix_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    }
+    # brute force on the same shingle-hash sets
+    sets = {
+        r.doc_id: set(r.hs)
+        for r in df.select("doc_id", D.shingle_hash_set("text").alias("hs")).collect()
+    }
+    want = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 4)
+                if j >= 0.5:
+                    want.add((a, b, j))
+    assert got == want
+    assert len(want) >= 2  # the planted near-dups actually matched
+
+
+def test_prefix_jaccard_guard_trips_on_duplicate_saturated_corpus(spark):
+    """A corpus of byte-equal copies makes every shingle equally common —
+    the prefix postings ARE the corpus and the candidate join would be
+    quadratic. The count-guard must raise toward exact_dedup-first
+    instead of shuffling n² pairs."""
+    df = spark.createDataFrame(
+        [(i, "same boilerplate sentence repeated everywhere forever") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    with pytest.raises(ValueError, match="exact_dedup first"):
+        D.prefix_jaccard_pairs(df, "text", "doc_id", threshold=0.5, max_prefix_posting=10)
