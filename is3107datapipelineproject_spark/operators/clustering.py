@@ -119,11 +119,20 @@ def kmeans_assign(
     depth constant — the iterative-algorithm discipline from
     dedup.neardup_clusters applied to centroids instead of cluster ids.
     """
+    t = _points(df, id_col, vec_col)
+    final = _assign(t, _fit(t, k, iters))
+    return final.select(F.col("vid").alias(id_col), "cluster", "d2")
+
+
+def _points(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     from is3107datapipelineproject_spark.operators.dedup import spread_small_input
 
-    t = spread_small_input(df).select(
+    return spread_small_input(df).select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     )
+
+
+def _fit(t: DataFrame, k: int, iters: int) -> DataFrame:
     w = Window.orderBy("vid")
     cents = (
         t.orderBy("vid")
@@ -137,7 +146,29 @@ def kmeans_assign(
         # k rows: collapse to one partition before materializing so each
         # checkpoint is one task, not shuffle-partition-many empty ones.
         cents = _update(assigned).coalesce(1).localCheckpoint(eager=True)
-    final = _assign(t, cents)
+    return cents
+
+
+def kmeans_fit(
+    df: DataFrame, id_col: str, vec_col: str, k: int = 8, iters: int = 2
+) -> DataFrame:
+    """The model half of :func:`kmeans_assign`: the FINAL ``(cid,
+    centroid)`` frame (k rows) without the last assignment pass — what
+    an index build persists so later queries route against stored
+    centroids instead of re-running Lloyd (plans/indexes.py)."""
+    return _fit(_points(df, id_col, vec_col), k, iters)
+
+
+def assign_to_centroids(
+    df: DataFrame, id_col: str, vec_col: str, cents: DataFrame
+) -> DataFrame:
+    """Nearest-centroid assignment against an EXISTING ``(cid,
+    centroid)`` frame (stored or freshly fit): ``(id_col, cluster,
+    d2)``. One narrow broadcast-fold pass — the query-time router of a
+    persisted IVF index, and exactly the pass :func:`kmeans_assign`
+    ends with, so stored assignments and re-routed ones agree
+    bit-for-bit."""
+    final = _assign(_points(df, id_col, vec_col), cents)
     return final.select(F.col("vid").alias(id_col), "cluster", "d2")
 
 

@@ -79,7 +79,28 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping_pct: int = 85) -> Da
     # iteration counts (~10+) should still checkpoint the RANK vector
     # to bound plan depth; the edge side never needs it.
     edge_norm = edges.join(outw, "src").select("src", "dst", "w", "ow")
+    return pagerank_prenorm(edge_norm, iterations=iterations, damping_pct=damping_pct)
 
+
+def pagerank_prenorm(
+    edge_norm: DataFrame, iterations: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """PageRank over PRE-NORMALIZED edges ``(src, dst, w, ow)`` — the
+    build-once/query-many entry point: when the edge table is
+    materialized with out-weights baked in (plans/indexes.py), every
+    query pays only the per-iteration rank⋈edge join, never the
+    pair-generation or degree-normalization subtrees. Same BIGINT
+    fixed-point contract as :func:`pagerank` (which delegates here).
+
+    The rank side carries a SHUFFLE_HASH hint: the build side must be
+    the O(|V|) rank vector, never the O(|E|) edges. Without it, a
+    MATERIALIZED edge table small enough on disk (parquet-compressed)
+    flips Catalyst to BroadcastHashJoin with the EDGES as build side —
+    re-broadcasting the whole edge set every iteration, which inverts
+    the scale contract and OOM'd a default-heap driver at sf0.1
+    (found by the round-6 fresh-session probe). The hint also rules
+    out a per-iteration edge-side sort (SMJ); with a bucketed edge
+    scan the edge side then never exchanges OR sorts."""
     pr = (
         edge_norm.select(F.col("src").alias("node"))
         .distinct()
@@ -88,7 +109,7 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping_pct: int = 85) -> Da
     base = (100 - damping_pct) * SCALE // 100
     for _ in range(iterations):
         pr = (
-            edge_norm.join(pr, edge_norm["src"] == pr["node"])
+            edge_norm.join(pr.hint("shuffle_hash"), edge_norm["src"] == pr["node"])
             .groupBy("dst")
             .agg(F.expr("sum((pr * w) div ow)").cast("long").alias("_s"))
             .select(

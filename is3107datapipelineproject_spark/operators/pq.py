@@ -255,3 +255,58 @@ def ivfpq_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(topn)
     )
+
+
+def ivfpq_topk_from_index(
+    spark,
+    tables: dict[str, str],
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    topn: int = 20,
+) -> DataFrame:
+    """Search a PERSISTED IVF-PQ index (plans/indexes.py::
+    ivfpq_index_tables) for the smallest-id vector of ``df``: route the
+    query against the stored centroids, build the ADC lookup table from
+    the stored codebook, and score ONLY the stored codes of the query's
+    coarse cluster — the original d-dim vectors are never scanned.
+
+    Scale shape, and why this is the deployment path:
+    - routing = one narrow fold of the 1-row query over the k-row
+      centroid table (``clustering.assign_to_centroids``); collecting
+      the single cluster id is a 1-row documented eager guard, and it
+      buys PLANNING-time partition pruning;
+    - the codes scan carries ``cluster = <literal>`` so the parquet
+      source prunes to ~1/k_coarse of the files before reading a row;
+    - scoring is codes ⋈ broadcast(m·k-row ADC table) + one id-keyed
+      DECIMAL-exact sum — compressed-domain only, m bytes per
+      candidate;
+    - index build cost (k-means + encode) is paid by the build, not
+      here — the amortization ivfpq_topk (which recomputes both per
+      call) exists to contrast against.
+
+    Same determinism contract as :func:`ivfpq_topk`: 6-dp ADC entries,
+    DECIMAL accumulation, 4-dp rounding before the
+    TakeOrderedAndProject cut — identical results, same oracle."""
+    from is3107datapipelineproject_spark.operators.clustering import assign_to_centroids
+
+    cents = spark.table(tables["centroids"])
+    cb = spark.table(tables["codebook"])
+    q = df.orderBy(id_col).limit(1)
+    qc = assign_to_centroids(q, id_col, vec_col, cents).first()["cluster"]
+    qv = q.select(F.col(vec_col).cast("array<double>").alias("__q"))
+    sub_d = cb.select(F.size("cw").alias("d")).first()["d"]
+    lut = cb.crossJoin(F.broadcast(qv)).select(
+        "sub",
+        "code",
+        _dot(F.col("cw"), F.slice("__q", F.col("sub") * sub_d + 1, sub_d))
+        .cast(_DP)
+        .alias("dp"),
+    )
+    codes = spark.table(tables["codes"]).filter(F.col("cluster") == F.lit(qc))
+    sc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("dp").cast("double"), 4).alias("score"))
+    )
+    return sc.orderBy(F.desc("score"), F.asc(id_col)).limit(topn)

@@ -1,0 +1,141 @@
+"""Build-once / query-many derived tables: the materialized co-purchase
+edge table and the persisted IVF-PQ vector index.
+
+Round-5 bench audit (VERDICT r5): the five most expensive headline
+queries were all pair-gen-subtree-dominated — every graph query rebuilt
+the co-purchase edges from lineitem, and every PQ query re-ran coarse
+k-means + encode. A production workload builds these ONCE at ingest and
+amortizes them across every subsequent query; this module is that
+contract, expressed as catalog tables so the physical layout carries
+the query-time win:
+
+- ``copurchase_edge_table``: pre-normalized arcs ``(src, dst, w, ow)``
+  BUCKETED by ``src`` (plans/layout.py::write_bucketed). A bucketed
+  scan reports HashPartitioning(src), so each PageRank/BFS/k-core
+  iteration shuffles ONLY the O(|V|) rank/frontier vector — the O(|E|)
+  edge side never exchanges again, and the pair-generation double
+  shuffle (the r5 bench's dominant cost) is paid exactly once per
+  corpus version.
+- ``ivfpq_index_tables``: the three tables a billion-vector ANN
+  deployment stores — coarse k-means centroids (k rows), the PQ
+  codebook (m·k rows), and the per-vector codes PARTITIONED by coarse
+  cluster, so a query's candidate scan partition-prunes to ~1/k_coarse
+  of the files at PLANNING time (PartitionFilters in the explain), and
+  scoring runs purely in the compressed domain (codes join the
+  broadcast ADC table; the original d-dim vectors are never read).
+
+Build functions are idempotent per (sf_dir) within a session
+(``tableExists`` guard) and overwrite stale directories across
+sessions (the default in-memory catalog forgets, ``mode=overwrite``
+re-registers). Derived contents are pure functions of the source
+parquet, so the DuckDB oracles of the from-index queries are the SAME
+unrolled chains as their rebuild-every-time siblings — identical
+results, amortized plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.sources.tables import load_table
+
+
+def _tag(sf_dir: str) -> str:
+    return re.sub(r"[^a-zA-Z0-9]", "_", sf_dir.strip("/"))
+
+
+def _sweep_stale_location(spark: SparkSession, table: str) -> None:
+    """A NEW session's in-memory catalog is empty, but the warehouse
+    directory of a previous session's managed table survives on disk —
+    and saveAsTable refuses to CREATE over a non-empty location
+    (LOCATION_ALREADY_EXISTS). When the catalog does not know the table
+    but its default-database location exists, remove it so the rebuild
+    is a clean overwrite (the rebuild produces identical bytes anyway:
+    derived contents are pure functions of the source parquet)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(wh, table.lower())
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
+def copurchase_edge_table(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> DataFrame:
+    """Materialize (once) and scan the pre-normalized co-purchase edge
+    table: both directed arcs of every unordered part pair sharing an
+    order, weight = co-occurrence count, out-weight pre-joined —
+    exactly the ``edge_norm`` frame every iterative graph operator
+    builds internally, paid once instead of per query."""
+    from is3107datapipelineproject_spark.operators.graph import undirected_to_directed
+    from is3107datapipelineproject_spark.operators.pair_counts import pair_counts
+    from is3107datapipelineproject_spark.plans.layout import write_bucketed
+
+    table = f"copurchase_edges_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(table):
+        _sweep_stale_location(spark, table)
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        pairs = pair_counts(li, "l_orderkey", "l_partkey")
+        edges = undirected_to_directed(pairs, "member1", "member2", "cnt")
+        outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+        edge_norm = edges.join(outw, "src").select("src", "dst", "w", "ow")
+        write_bucketed(edge_norm, table, "src", n_buckets=n_buckets)
+    return spark.table(table)
+
+
+def ivfpq_index_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    k_coarse: int = 8,
+    km_iters: int = 2,
+    m: int = 8,
+    k: int = 16,
+) -> dict[str, str]:
+    """Materialize (once) the persisted IVF-PQ index over the
+    embeddings table; returns the table names
+    ``{"centroids", "codebook", "codes"}``.
+
+    The codes table is the long-form ``(vec_id, sub, code)`` encode
+    (operators/pq.py::pq_encode) joined with the coarse assignment and
+    PARTITIONED by ``cluster`` — the query path filters on a literal
+    cluster id, so the scan prunes to that partition's files before a
+    single row is read."""
+    from is3107datapipelineproject_spark.operators.clustering import (
+        assign_to_centroids,
+        kmeans_fit,
+    )
+    from is3107datapipelineproject_spark.operators.pq import pq_codebook, pq_encode
+
+    p = f"ivfpq_{_tag(sf_dir)}"
+    names = {
+        "centroids": f"{p}_centroids",
+        "codebook": f"{p}_codebook",
+        "codes": f"{p}_codes",
+    }
+    if not spark.catalog.tableExists(names["codes"]):
+        for t in names.values():
+            _sweep_stale_location(spark, t)
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = kmeans_fit(emb, "vec_id", "embedding", k=k_coarse, iters=km_iters)
+        cents.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
+            names["centroids"]
+        )
+        cb = pq_codebook(emb, "vec_id", "embedding", m, k)
+        cb.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
+            names["codebook"]
+        )
+        asg = assign_to_centroids(emb, "vec_id", "embedding", spark.table(names["centroids"]))
+        codes = pq_encode(emb, "vec_id", "embedding", m=m, k=k, codebook=cb)
+        (
+            codes.join(asg.select("vec_id", "cluster"), "vec_id")
+            .repartition("cluster")
+            .write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("cluster")
+            .saveAsTable(names["codes"])
+        )
+    return names

@@ -635,3 +635,78 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "antecedent", "consequent")
         .limit(50)
     )
+
+
+# --- materialized edge-table surface (plans/indexes.py) ----------------------
+#
+# Round-5 bench audit: every graph query above rebuilds the co-purchase
+# edges from lineitem, and that pair-gen subtree dominates their cost.
+# These three queries are the build-once/query-many contract a real
+# graph workload uses: one bucketed edge-table build, then queries that
+# pay only the iteration cost. Contents are a pure function of
+# lineitem, so the oracles are the SAME unrolled chains as the
+# rebuild-every-time siblings.
+
+_EDGE_SUMMARY_ORACLE = """
+WITH bridge AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem),
+pairs AS (
+  SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS w
+  FROM bridge a JOIN bridge b ON a.g = b.g AND a.m < b.m GROUP BY 1, 2
+),
+edges AS (SELECT m1 AS src, m2 AS dst, w FROM pairs
+          UNION ALL SELECT m2, m1, w FROM pairs)
+SELECT CAST(count(*) AS BIGINT) AS n_arcs,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+       CAST(sum(w) AS BIGINT) AS total_weight
+FROM edges
+"""
+
+
+@register("edge_table_build", oracle=_EDGE_SUMMARY_ORACLE, tags=("graph", "materialize"))
+def q_edge_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the bucketed co-purchase edge table
+    (plans/indexes.py::copurchase_edge_table — pre-normalized arcs
+    (src, dst, w, ow) bucketed by src) and return its summary row. The
+    build is idempotent per corpus; every subsequent *_from_edges query
+    reads the table instead of re-running the pair-gen double shuffle.
+    The summary scans ONLY the materialized table (count + distinct +
+    sum, partial-aggregatable); the oracle recomputes it from lineitem,
+    which is precisely the build-correctness check."""
+    from is3107datapipelineproject_spark.plans.indexes import copurchase_edge_table
+
+    e = copurchase_edge_table(spark, sf_dir)
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arcs"),
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        F.sum("w").cast("long").alias("total_weight"),
+    )
+
+
+@register("pagerank_from_edges", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative", "materialize"))
+def q_pagerank_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """copurchase_pagerank's amortized twin: identical result (same
+    oracle), but the edges come from the materialized bucketed table —
+    the query pays ONLY the 3 rank⋈edge iterations. The bucketed scan
+    reports HashPartitioning(src), so each iteration shuffles just the
+    O(|V|) rank vector; the O(|E|) edge side never exchanges. This is
+    the per-query cost profile a 100 TB graph deployment actually
+    runs."""
+    from is3107datapipelineproject_spark.plans.indexes import copurchase_edge_table
+
+    e = copurchase_edge_table(spark, sf_dir)
+    pr = G.pagerank_prenorm(e.select("src", "dst", "w", "ow"))
+    return pr.select(F.col("node").alias("part_key"), F.col("pr").alias("pr_scaled"))
+
+
+@register("kcore_from_edges", oracle=_KCORE_ORACLE, tags=("graph", "iterative", "materialize"))
+def q_kcore_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """copurchase_kcore's amortized twin over the materialized edge
+    table (same oracle, same _KCORE_K/3-round peel): per-round induced
+    degrees + two semi-joins start from the bucketed (src-partitioned)
+    scan, so the first-round degree aggregate is exchange-free and the
+    pair-gen subtree is gone entirely."""
+    from is3107datapipelineproject_spark.plans.indexes import copurchase_edge_table
+
+    e = copurchase_edge_table(spark, sf_dir)
+    out = G.kcore(e.select("src", "dst"), k=_KCORE_K, rounds=3)
+    return out.select(F.col("node").alias("part_key"), "degree")

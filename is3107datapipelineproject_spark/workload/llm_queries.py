@@ -2361,9 +2361,9 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, "vec_id", "embedding", m=PQ_M, k=PQ_K, topn=PQ_TOPN)
 
 
-@register(
-    "ivfpq_topk",
-    oracle=f"""
+# shared by ivfpq_topk (rebuild-per-call) and ivfpq_topk_from_index
+# (persisted index) — identical results by construction, same oracle.
+_IVFPQ_ORACLE = f"""
 WITH {_KM_CTES},
 {_PQ_TAIL},
 qc AS (SELECT cid FROM {_KM_FINAL} ORDER BY vec_id LIMIT 1),
@@ -2381,7 +2381,12 @@ sc AS (
   FROM enc JOIN cand USING (vec_id) JOIN lut USING (sub, code) GROUP BY 1
 )
 SELECT vec_id, score FROM sc ORDER BY score DESC, vec_id LIMIT {PQ_TOPN}
-""",
+"""
+
+
+@register(
+    "ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
     tags=("similarity", "pq", "clustering", "llm"),
 )
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2469,6 +2474,64 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         F.round(F.col("n_hits").cast("double") / F.lit(PQ_TOPN), 4).alias("recall"),
     )
+
+
+# --- persisted IVF-PQ index (plans/indexes.py) -------------------------------
+
+
+@register(
+    "ann_index_build",
+    oracle=f"""
+WITH {_KM_CTES}
+SELECT CAST(cid AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n_vectors
+FROM {_KM_FINAL} GROUP BY 1
+""",
+    tags=("similarity", "pq", "materialize", "llm"),
+)
+def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the persisted IVF-PQ index (plans/indexes.py::
+    ivfpq_index_tables — centroids, codebook, and cluster-PARTITIONED
+    codes tables) and return the per-cluster vector counts read from
+    the stored codes — the inverted-list length audit an ANN build
+    ships (cluster imbalance predicts the probe-cost tail). The count
+    reads ONLY the materialized table (one sub-slice per vector); the
+    oracle recomputes the coarse assignment from the embeddings, which
+    is exactly the build-correctness check."""
+    from is3107datapipelineproject_spark.plans.indexes import ivfpq_index_tables
+
+    tabs = ivfpq_index_tables(
+        spark, sf_dir, k_coarse=KMEANS_K, km_iters=KMEANS_ITERS, m=PQ_M, k=PQ_K
+    )
+    codes = spark.table(tabs["codes"])
+    return (
+        codes.filter(F.col("sub") == 0)
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+
+
+@register(
+    "ivfpq_topk_from_index",
+    oracle=_IVFPQ_ORACLE,
+    tags=("similarity", "pq", "materialize", "llm"),
+)
+def q_ivfpq_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivfpq_topk's amortized twin: identical result (same oracle), but
+    routing/LUT/scoring all come from the PERSISTED index tables
+    (operators/pq.py::ivfpq_topk_from_index) — no k-means, no encode,
+    no read of the original vectors at query time. The codes scan
+    partition-prunes to the query's coarse cluster at planning time
+    (literal cluster id from the 1-row centroid routing), so query cost
+    is ~|cluster|·m code lookups — the per-query profile a
+    billion-vector deployment actually pays."""
+    from is3107datapipelineproject_spark.operators.pq import ivfpq_topk_from_index
+    from is3107datapipelineproject_spark.plans.indexes import ivfpq_index_tables
+
+    tabs = ivfpq_index_tables(
+        spark, sf_dir, k_coarse=KMEANS_K, km_iters=KMEANS_ITERS, m=PQ_M, k=PQ_K
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk_from_index(spark, tabs, emb, "vec_id", "embedding", topn=PQ_TOPN)
 
 
 @register(

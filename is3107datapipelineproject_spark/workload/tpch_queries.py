@@ -918,27 +918,40 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_custkey as a total-order tie-break (ntile over a partial order is
     engine-dependent at quartile boundaries); monetary sums in
     DECIMAL(18,2) (exact, order-free). Plan: the fact collapses to one
-    per-customer aggregate (partial-agg map-side); the three ntile
-    passes run over the CUSTOMER-sized frame — at production scale
-    swap the unpartitioned ntile for a 2-pass histogram quantile
-    (percentile boundaries + broadcast bucket join) to avoid the
-    single-task sort; the final segment rollup is 64 rows."""
-    from pyspark.sql import Window
+    per-customer aggregate (partial-agg map-side, localCheckpoint'd so
+    the three rank passes share it); each quartile rides the TWO-LEVEL
+    distributed rank (operators.ranking.distributed_rank — quantile
+    cutoffs → parallel in-bucket ranks + a ≤64-row offset prefix) with
+    the EXACT ntile(4) recovered arithmetically from (rank, n)
+    (ranking.ntile_from_rank) — no single-task sort anywhere; the
+    final segment rollup is 64 rows."""
+    from is3107datapipelineproject_spark.operators.ranking import (
+        distributed_rank,
+        ntile_from_rank,
+    )
 
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
-    rfm = o.groupBy("o_custkey").agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
-        F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("monetary"),
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("monetary"),
+        )
+        # distributed_rank buckets on a numeric cast — dates rank by
+        # their epoch-day image (order-identical to the DATE order)
+        .withColumn("last_day", F.datediff("last_order", F.lit("1970-01-01").cast("date")))
+        .localCheckpoint(eager=True)
     )
-    scored = rfm.select(
-        "o_custkey",
-        F.ntile(4).over(Window.orderBy("last_order", "o_custkey")).cast("int").alias("r"),
-        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).cast("int").alias("f"),
-        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).cast("int").alias("m"),
-    )
+    scored = rfm
+    for metric, col in (("r", "last_day"), ("f", "frequency"), ("m", "monetary")):
+        scored = distributed_rank(
+            scored, col, ["o_custkey"], rank_col="__rn", count_col="__n"
+        ).withColumn(
+            metric, ntile_from_rank(F.col("__rn"), F.col("__n"), 4)
+        ).drop("__rn", "__n")
     return (
         scored.select(
             F.concat(

@@ -754,24 +754,40 @@ def q_window_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile + cume_dist coverage: price quartile and cumulative
     distribution of every order within its (priority, year) cell. The
     window order pins a TOTAL order (price, then key) so both ranks are
-    deterministic; partitioning by (priority, year) keeps window
-    partitions bounded as the corpus grows — for a corpus-scale global
-    rank use the two-level distributed rank `corpus_shuffle`
-    demonstrates instead of one giant window partition."""
+    deterministic. The cells are FIXED-COUNT (5 priorities × 7 years)
+    so each grows linearly with the corpus — a plain per-cell window
+    sort was measured 139× at ×100 data (SCALING.md) — so the ranks
+    ride the grouped TWO-LEVEL distributed rank (price-quantile
+    sub-buckets ranked in parallel inside each cell + a ≤64-row
+    per-cell offset prefix); ntile(4) is recovered arithmetically from
+    (rank, cell size) and, because (price, key) is a total order,
+    cume_dist() ≡ rank / n exactly."""
+    from is3107datapipelineproject_spark.operators.ranking import (
+        distributed_rank,
+        ntile_from_rank,
+    )
+
     o = _t(spark, sf_dir, "orders").select(
         "o_orderpriority",
         F.year("o_orderdate").cast("int").alias("o_year"),
         "o_orderkey",
         "o_totalprice",
     )
-    w = Window.partitionBy("o_orderpriority", "o_year").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    ranked = distributed_rank(
+        o,
+        "o_totalprice",
+        ["o_orderkey"],
+        group_cols=["o_orderpriority", "o_year"],
+        rank_col="__rn",
+        count_col="__n",
+    )
+    return ranked.select(
         "o_orderpriority",
         "o_year",
         "o_orderkey",
         "o_totalprice",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ntile_from_rank(F.col("__rn"), F.col("__n"), 4).alias("quartile"),
+        F.round(F.col("__rn").cast("double") / F.col("__n"), 6).alias("cume"),
     )
 
 
@@ -1507,23 +1523,27 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion), the rank weights Σrn·cents and totals stay integer
     (ties in cents cannot perturb Σrn·cents: the rank sum over an
     equal-value run is order-invariant), TWO float divisions at the end,
-    rounded 4 dp. Plan: fact collapses to the customer frame map-side;
-    the unpartitioned rank window is a single-task sort over the
-    CUSTOMER dimension (documented contract, same as rfm_segmentation —
-    swap to the 2-pass histogram rank at production customer counts);
+    rounded 4 dp. Plan: fact collapses to the customer frame map-side
+    and localCheckpoints once (cutoff pass + rank pass share it); ranks
+    come from the TWO-LEVEL distributed rank
+    (operators.ranking.distributed_rank: quantile cutoffs →
+    order-aligned value buckets ranked in parallel + a ≤64-row offset
+    prefix) — NO single-task sort over the customer-growing frame;
     final aggregate is 1 row. At extreme scale Σrn·cents approaches
-    BIGINT range — the DECIMAL(38,0) swap is the documented escape."""
+    BIGINT range — the rank-weighted sums accumulate in DECIMAL(38,0)."""
+    from is3107datapipelineproject_spark.operators.ranking import distributed_rank
+
     o = _t(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    rev = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+        )
+        .localCheckpoint(eager=True)
     )
-    w = Window.orderBy("cents", "o_custkey")
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = rev.select(
-        "cents",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-    )
+    ranked = distributed_rank(
+        rev, "cents", ["o_custkey"], rank_col="rn", count_col="n"
+    ).select("cents", "rn", "n")
     k = F.expr("(n + 9) DIV 10")  # integer ceil(n/10), no float detour
     top_flag = F.col("rn") > (F.col("n") - k)
     # Σrn·cents approaches n·Σcents ≫ BIGINT range at ×100 already
