@@ -945,3 +945,179 @@ def prefix_jaccard_pairs(
         .select("doc1", "doc2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_posting_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    dfreq: DataFrame | None = None,
+    shingles: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """``(sets, postings)`` for prefix-filtered set-similarity:
+    ``sets`` = ``(doc_id, toks)`` (the exact-verify side), ``postings``
+    = ``(doc_id, tok, pos, m)`` — each doc's PREFIX tokens (the first
+    ``m − ⌈τ·m⌉ + 1``) under a shared total token order, the pair of
+    frames a production ingest PERSISTS per document (the exact-tier
+    sibling of :func:`band_signature_frame`).
+
+    Order choice — the correctness-critical contract: the prefix bound
+    is lossless under ANY total order applied consistently to BOTH
+    sides of a future join.
+
+    - ``dfreq`` given (columns ``(tok, df)``): order by (df ASC, tok) —
+      rarest-first, the efficient PPJoin order. Tokens absent from
+      ``dfreq`` count df=0 (they sort first and can never match the
+      corpus anyway). Use when both sides' postings are built in the
+      SAME run under the same frequency snapshot
+      (:func:`incremental_prefix_jaccard`).
+    - ``dfreq=None``: order by token value alone — a FIXED order that
+      never drifts as the corpus grows, so postings persisted at ingest
+      time remain jointly lossless against every future batch (df-order
+      postings would silently break the bound once frequencies shift).
+      The streaming sink uses this (streaming.windows::
+      prefix_ingest_sink); the price is longer posting lists than
+      rarest-first, not recall.
+    """
+    tau = threshold - 1e-4
+    elems = shingle_hash_set(text_col) if shingles else F.array_distinct(ws_tokens(text_col))
+    sets = spread_small_input(df).select(F.col(id_col).alias("doc_id"), elems.alias("toks"))
+    return sets, postings_from_sets(sets, tau, dfreq=dfreq)
+
+
+def postings_from_sets(
+    sets: DataFrame, tau: float, dfreq: DataFrame | None = None
+) -> DataFrame:
+    """The posting half of :func:`prefix_posting_frame`, over an
+    ALREADY-built ``(doc_id, toks)`` frame — so a caller holding a
+    checkpointed set frame (the incremental operator hashes the corpus
+    exactly once for dfreq + verify + postings) never re-runs the
+    CPU-bound shingle stage."""
+    from pyspark.sql import Window
+
+    tok = sets.select("doc_id", F.explode("toks").alias("tok"))
+    if dfreq is not None:
+        tok = tok.join(dfreq, "tok", "left").withColumn("__o", F.coalesce("df", F.lit(0)))
+    else:
+        tok = tok.withColumn("__o", F.col("tok"))
+    wdoc = Window.partitionBy("doc_id").orderBy("__o", "tok")
+    sized = tok.select(
+        "doc_id",
+        "tok",
+        F.row_number().over(wdoc).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"),
+    )
+    return sized.filter(
+        F.col("pos") <= F.col("m") - F.ceil(F.lit(tau) * F.col("m") - 1e-9) + 1
+    )
+
+
+def incremental_prefix_jaccard(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    max_prefix_posting: int = 10_000,
+    shingles: bool = True,
+) -> DataFrame:
+    """EXACT incremental near-dup: every (new, old) pair with true
+    shingle-Jaccard ≥ τ between an arriving batch and the existing
+    corpus — the exact-tier twin of :func:`incremental_neardup` (which
+    trades recall via MinHash bands); the filters here are the PPJoin
+    prefix/size/positional prunes of :func:`prefix_jaccard_pairs`,
+    provably lossless, applied new×old only (never old×old).
+
+    Scale shape mirrors the sketch tier: the batch's prefix postings
+    BROADCAST onto the corpus posting stream (corpus never shuffles);
+    per-ingest cost is the batch encode + one map-side candidate join +
+    exact verification of the surviving candidates. The shared token
+    order is the corpus df snapshot (rarest-first — both sides built
+    under it in this run, so the bound holds); the persisted-postings
+    variant with a drift-free order lives in
+    streaming.windows::prefix_ingest_sink. ``max_prefix_posting``
+    guards the duplicate-saturated corpus exactly as in
+    :func:`prefix_jaccard_pairs`.
+
+    Returns ``(new_id, old_id, jaccard)``, jaccard ≥ τ rounded to 4 dp
+    BEFORE the threshold (cross-engine contract).
+    """
+    tau = threshold - 1e-4
+    elems = shingle_hash_set(text_col) if shingles else F.array_distinct(ws_tokens(text_col))
+    # ONE shingle pass per side: the checkpointed set frames feed dfreq,
+    # postings AND the exact verify (the CPU-bound stage of this plan).
+    to = (
+        spread_small_input(old)
+        .select(F.col(id_col).alias("doc_id"), elems.alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    tn = (
+        spread_small_input(new)
+        .select(F.col(id_col).alias("doc_id"), elems.alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    tok_o = to.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = (
+        tok_o.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).localCheckpoint(eager=True)
+    )
+    po = postings_from_sets(to, tau, dfreq=dfreq).localCheckpoint(eager=True)
+    pn = postings_from_sets(tn, tau, dfreq=dfreq)
+
+    hottest = po.groupBy("tok").agg(F.count(F.lit(1)).alias("p")).agg(F.max("p")).first()[0]
+    if hottest is not None and hottest > max_prefix_posting:
+        raise ValueError(
+            f"corpus prefix posting list of size {hottest} exceeds "
+            f"max_prefix_posting={max_prefix_posting}: run exact_dedup first "
+            "(duplicate-saturated corpus), then the incremental prefix join"
+        )
+    return _prefix_candidates_verify(po, pn, to, tn, tau, threshold)
+
+
+def _prefix_candidates_verify(
+    po: DataFrame,
+    pn: DataFrame,
+    old_sets: DataFrame,
+    new_sets: DataFrame,
+    tau: float,
+    threshold: float,
+) -> DataFrame:
+    """Candidate join + exact verify shared by the batch operator and
+    the streaming sink: corpus postings ⋈ BROADCAST batch postings with
+    the lossless size/positional prunes, then exact Jaccard on the full
+    sets (batch side broadcast again — candidate rows are
+    corpus-partitioned throughout; the corpus never shuffles)."""
+    o = po.select(
+        F.col("doc_id").alias("old_id"),
+        "tok",
+        F.col("pos").alias("opos"),
+        F.col("m").alias("om"),
+    )
+    n = pn.select(
+        F.col("doc_id").alias("new_id"),
+        "tok",
+        F.col("pos").alias("npos"),
+        F.col("m").alias("nm"),
+    )
+    need = F.ceil(F.lit(tau / (1.0 + tau)) * (F.col("om") + F.col("nm")) - 1e-9)
+    cand = (
+        o.join(F.broadcast(n), ["tok"])
+        .filter(
+            (F.col("nm").cast("double") >= F.lit(tau) * F.col("om"))
+            & (F.col("om").cast("double") >= F.lit(tau) * F.col("nm"))
+            & (F.least(F.col("om") - F.col("opos"), F.col("nm") - F.col("npos")) + 1 >= need)
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    x = old_sets.select(F.col("doc_id").alias("old_id"), F.col("toks").alias("__tx"))
+    y = new_sets.select(F.col("doc_id").alias("new_id"), F.col("toks").alias("__ty"))
+    inter = F.size(F.array_intersect(F.col("__tx"), F.col("__ty"))).cast("double")
+    union = (F.size("__tx") + F.size("__ty")).cast("double") - inter
+    jac = F.round(inter / union, 4)
+    return (
+        cand.join(x, "old_id")
+        .join(F.broadcast(y), "new_id")
+        .select("new_id", "old_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -477,3 +477,71 @@ def dq_monitor_totals(spark, report_dir: str) -> DataFrame:
         )
         .withColumn("passed", F.col("violations") == 0)
     )
+
+
+def prefix_ingest_sink(
+    postings_dir: str,
+    sets_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+):
+    """Streaming corpus ingest with every-batch EXACT near-dup
+    detection — the exact-tier twin of :func:`neardup_ingest_sink`
+    (which persists MinHash bands and trades recall): per micro-batch
+    of arriving documents,
+
+    1. builds the batch's prefix postings + shingle sets ONCE under the
+       FIXED token order (``prefix_posting_frame`` with ``dfreq=None``
+       — positions never drift as the corpus grows, so postings
+       persisted at any past ingest stay jointly lossless against
+       every future batch; a df-rarest order would silently invalidate
+       the prefix bound once frequencies shift);
+    2. joins them (broadcast, new side) against the PERSISTED corpus
+       postings at ``postings_dir`` with the lossless size/positional
+       prunes, verifies candidates exactly against the persisted sets
+       at ``sets_dir`` — the corpus text is never re-read or re-hashed;
+    3. appends surviving ``(new_id, old_id, jaccard)`` pairs to
+       ``pairs_dir``;
+    4. appends the batch's own postings + sets, so the NEXT batch sees
+       this one as corpus.
+
+    Same new×old-only contract as the sketch tier; within-batch pairs
+    are out of scope (run prefix_jaccard_pairs on the batch if they
+    matter). The fixed order costs longer posting lists than
+    rarest-first — never recall: the streamed pairs equal the batch
+    operator's bit-for-bit (asserted in tests), because both tiers'
+    filters are lossless and verification is exact.
+    """
+    from pyspark.errors import AnalysisException
+
+    from is3107datapipelineproject_spark.operators.dedup import (
+        _prefix_candidates_verify,
+        prefix_posting_frame,
+    )
+
+    tau = threshold - 1e-4
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sets_b, postings_b = prefix_posting_frame(
+            batch_df, text_col, id_col, threshold=threshold, dfreq=None
+        )
+        sets_b = sets_b.localCheckpoint(eager=True)
+        postings_b = postings_b.localCheckpoint(eager=True)
+        try:
+            corpus_postings = spark.read.parquet(postings_dir)
+            corpus_sets = spark.read.parquet(sets_dir)
+        except AnalysisException:  # cold start: first batch IS the corpus
+            corpus_postings = None
+            corpus_sets = None
+        if corpus_postings is not None:
+            pairs = _prefix_candidates_verify(
+                corpus_postings, postings_b, corpus_sets, sets_b, tau, threshold
+            )
+            pairs.write.mode("append").parquet(pairs_dir)
+        postings_b.write.mode("append").parquet(postings_dir)
+        sets_b.write.mode("append").parquet(sets_dir)
+
+    return apply

@@ -2793,3 +2793,37 @@ def q_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
     )
+
+
+@register(
+    "incremental_prefix_jaccard",
+    oracle=f"""
+WITH sh AS ({SQL_DOCS_SHINGLES})
+SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+       round(CAST(len(list_intersect(n.hs, o.hs)) AS DOUBLE)
+             / (CAST(len(n.hs) + len(o.hs) AS DOUBLE) - len(list_intersect(n.hs, o.hs))),
+             4) AS jaccard
+FROM sh n JOIN sh o ON n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+WHERE round(CAST(len(list_intersect(n.hs, o.hs)) AS DOUBLE)
+            / (CAST(len(n.hs) + len(o.hs) AS DOUBLE) - len(list_intersect(n.hs, o.hs))),
+            4) >= 0.8
+""",
+    tags=("dedup", "incremental", "llm"),
+)
+def q_incremental_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT incremental ingest dedup (operators/dedup.py::
+    incremental_prefix_jaccard): the doc_id %% 5 == 0 slice plays the
+    arriving batch, checked against the rest of the corpus for TRUE
+    shingle-Jaccard >= 0.8 via the lossless PPJoin prefix/size/
+    positional prunes -- the exact tier of the every-batch loop that
+    incremental_neardup covers with MinHash bands (which can miss
+    pairs; this cannot, so the oracle is the quadratic new x old ground
+    truth). The batch's prefix postings broadcast onto the corpus
+    posting stream -- the corpus never shuffles; the streaming twin
+    with PERSISTED drift-free postings is
+    streaming.windows::prefix_ingest_sink (stream==batch asserted in
+    tests)."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_prefix_jaccard(old, new, "text", "doc_id", threshold=0.8)

@@ -51,107 +51,69 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # checked core.  Ordering is presentation-only: every query is registered
 # exactly once and the full dict always contains all of them.
 #
-# Round-5 window: positions 1-30 are the 30 queries that have never been
-# driver-sampled in any round (r1-r4 covered the other 135); positions
-# 31-33 are the three operators whose code changed in round 4 AFTER their
-# last green sample; the remainder of the 50-slot window holds queries
-# added this round (no external evidence yet by definition).
+# Round-6 window (exactly 50): positions 1-42 are the 42 queries never
+# driver-sampled in r1-r5 (the round-5 registry outgrew the 50-slot
+# window; union of CORRECTNESS_r01-r05 covers the other 182); then
+# window_ntile_cume + copurchase_pagerank, whose code changed in round 6
+# AFTER their last green sample (distributed rank swap / shuffle_hash
+# hint); then the 6 queries new in round 6. kmeans_assign's round-6
+# refactor (pure code motion into _points/_fit) is deliberately NOT
+# re-queued: ivfpq_topk, in-window at position 16, drives the full
+# kmeans_assign path.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # --- never driver-sampled in r1-r4 (30) ---------------------------
-    "bigram_surprisal",
-    "blocklist_filter",
-    "bloom_contamination",
-    "bm25_search",
-    "containment_pairs",
-    "copurchase_pagerank",
-    "corpus_diff",
-    "corpus_drift",
-    "corpus_shuffle",
-    "data_card",
-    "decontaminate_fixed_bench",
-    "dup_cluster_sizes",
-    "dup_ngram_fraction",
-    "embedding_neardup_lsh",
-    "entity_resolution",
-    "fuzzy_name_match",
-    "hard_negatives",
-    "incremental_curation",
-    "kmeans_assign",
-    "kmeans_assign_hier",
-    "minhash_topk_similar",
-    "pretrain_pipeline",
-    "priority_sample",
-    "quality_classifier",
-    "quantile_sketch",
-    "related_parts_ppr",
-    "semantic_dedup",
-    "temperature_sample",
-    "vocab_growth",
-    "zipf_slope",
-    # --- changed in round 4 after their last green sample (3) ---------
-    "simhash_neardup",
-    "cosine_topk",
-    "boilerplate_flag",
-    # --- new in round 5: no external evidence yet ----------------------
-    "running_distinct_users",
-    "daily_anomaly_zscore",
-    "gap_fill_interpolate",
-    "session_transition_matrix",
-    "window_ntile_cume",
-    "bpe_merge_candidates",
-    "readability_score",
-    "char_entropy",
-    "copurchase_triangles",
-    "graph_degree_stats",
-    "similar_parts_jaccard",
-    "embedding_top_pc",
-    "embedding_pc_projection",
-    "word_pmi",
-    "embedding_abtt",
-    "numeric_corr",
-    "ab_test_summary",
-    "scd2_order_priority",
-    "copurchase_communities",
-    "ols_price_by_qty",
-    "discount_revenue",
-    "significant_parts",
-    "priority_by_linestatus",
-    "part_supplier_variety",
-    "bulk_part_suppliers",
-    "sole_returned_supplier",
-    "dq_constraints",
-    "chi2_terms",
-    "naive_bayes_confusion",
-    "pq_codes",
-    "pq_topk",
-    "window_time_range_avg",
-    "grouping_sets_revenue",
-    "mode_median_stats",
-    "session_overlap_join",
-    "approx_percentile_tdigest",
-    "ivfpq_topk",
-    "scd2_asof_lookup",
-    "pq_recall",
-    "vocab_coverage",
-    "skyline_parts",
-    "copurchase_bfs_hops",
-    "repeated_spans",
-    "copurchase_kcore",
-    "mixture_allocation",
-    "association_rules",
-    "source_overlap",
-    "seasonal_decompose_dow",
-    "rfm_segmentation",
-    "top_conversion_paths",
-    "sql_interface_revenue",
-    "nested_subsets",
-    "embedding_skyline",
-    "time_weighted_avg",
+    # --- never driver-sampled in r1-r5 (42) ---------------------------
     "activity_streaks",
-    "revenue_gini",
-    "cusum_changepoint",
-    "prefix_filter_jaccard",
+    "approx_percentile_tdigest",
+    "association_rules",
+    "bulk_part_suppliers",
+    "chi2_terms",
     "clustering_coefficient",
+    "copurchase_bfs_hops",
+    "copurchase_communities",
+    "copurchase_kcore",
+    "cusum_changepoint",
+    "discount_revenue",
+    "dq_constraints",
+    "embedding_skyline",
+    "grouping_sets_revenue",
+    "ivfpq_topk",
+    "mixture_allocation",
+    "mode_median_stats",
+    "naive_bayes_confusion",
+    "nested_subsets",
+    "ols_price_by_qty",
+    "part_supplier_variety",
+    "pq_codes",
+    "pq_recall",
+    "pq_topk",
+    "prefix_filter_jaccard",
+    "priority_by_linestatus",
+    "repeated_spans",
+    "revenue_gini",
+    "rfm_segmentation",
+    "scd2_asof_lookup",
+    "scd2_order_priority",
+    "seasonal_decompose_dow",
+    "session_overlap_join",
+    "significant_parts",
+    "skyline_parts",
+    "sole_returned_supplier",
+    "source_overlap",
+    "sql_interface_revenue",
+    "time_weighted_avg",
+    "top_conversion_paths",
+    "vocab_coverage",
+    "window_time_range_avg",
+    # --- changed in round 6 after their last green sample (2) ---------
+    "window_ntile_cume",
+    "copurchase_pagerank",
+    # --- new in round 6: no external evidence yet (6) -----------------
+    "edge_table_build",
+    "pagerank_from_edges",
+    "kcore_from_edges",
+    "ann_index_build",
+    "ivfpq_topk_from_index",
+    "incremental_prefix_jaccard",
 )
 
 

@@ -673,3 +673,79 @@ def test_hist_ingest_sink_equals_global_histogram(spark, tmp_path):
     assert n_bins < n_partials, "compaction must shrink the partial log"
     assert spark.read.parquet(sketch_dir).count() == n_bins
     assert sorted(map(tuple, hist_read(spark, sketch_dir).collect())) == before
+
+
+def test_prefix_ingest_sink_matches_batch_incremental(spark, tmp_path):
+    """EXACT-tier streaming ingest dedup == batch
+    incremental_prefix_jaccard: two document micro-batches through the
+    prefix-postings foreachBatch sink; batch 2's pairs against the
+    PERSISTED (fixed-order) postings must equal the batch operator run
+    with batch 1 as corpus — both tiers' filters are lossless and the
+    verify is exact, so the different token ORDERS (fixed vs
+    df-rarest) must not change a single pair. Postings table must hold
+    a prefix (never the full set) per doc."""
+    from is3107datapipelineproject_spark.operators import dedup as D
+    from is3107datapipelineproject_spark.streaming.windows import prefix_ingest_sink
+
+    b1 = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely unrelated text about distributed query processing"),
+        (3, "a third document with its own distinctive wording throughout"),
+    ]
+    b2 = [
+        (11, "the quick brown fox jumps over the lazy dog again and again"),  # dup of 1
+        (12, "a third document with its own distinctive wording throughout today"),  # near 3
+        (13, "fresh content that matches nothing in the existing corpus"),
+    ]
+    docs_dir = tmp_path / "pfx_docs"
+    spark.createDataFrame(b1, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(docs_dir / "f0.parquet")
+    )
+    spark.createDataFrame(b2, ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(docs_dir / "f1.parquet")
+    )
+    postings_dir = str(tmp_path / "pfx_postings")
+    sets_dir = str(tmp_path / "pfx_sets")
+    pairs_dir = str(tmp_path / "pfx_pairs")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            prefix_ingest_sink(postings_dir, sets_dir, pairs_dir, threshold=0.7)
+        )
+        .option("checkpointLocation", str(tmp_path / "pfx_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in D.incremental_prefix_jaccard(
+            spark.createDataFrame(b1, ["doc_id", "text"]),
+            spark.createDataFrame(b2, ["doc_id", "text"]),
+            "text",
+            "doc_id",
+            threshold=0.7,
+        ).collect()
+    }
+    assert got == want and (11, 1, 1.0) in got
+    # postings: every doc present, and each doc persisted a PREFIX
+    # (m - ceil(tau*m) + 1 rows), never its full set
+    import math
+
+    p = spark.read.parquet(postings_dir)
+    per_doc = {r.doc_id: (r.n, r.m) for r in
+               p.groupBy("doc_id", "m").count().withColumnRenamed("count", "n").collect()}
+    assert set(per_doc) == {1, 2, 3, 11, 12, 13}
+    tau = 0.7 - 1e-4
+    for doc, (n, m) in per_doc.items():
+        assert n == m - math.ceil(tau * m - 1e-9) + 1, (doc, n, m)

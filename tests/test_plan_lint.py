@@ -1,6 +1,6 @@
 """Physical-plan lint over the ENTIRE query registry.
 
-Two invariants every registered query's plan must satisfy — the two
+Three invariants every registered query's plan must satisfy — the
 failure modes that silently kill a plan at 100 TB:
 
 - no ``CartesianProduct``: an un-broadcast cross join is O(n·m) shuffle
@@ -10,6 +10,14 @@ failure modes that silently kill a plan at 100 TB:
   plan is only acceptable Arrow-batched (``ArrowEvalPython``,
   ``MapInPandas``, ``FlatMapGroupsInPandas``) or as the deliberate UDTF
   surface (``BatchEvalPythonUDTF`` — token_runs' lateral join demo).
+- no UNPARTITIONED ``Window`` unless the query is allowlisted with a
+  stated reason why the frame it sorts is BOUNDED (does not grow with
+  the corpus/fact tables). An empty-partition window plans as
+  ``Exchange SinglePartition → Sort → Window`` — one task sorts the
+  whole frame, the class of defect behind the round-5 ``revenue_gini``
+  / ``rfm_segmentation`` verdicts (both now ride
+  operators.ranking.distributed_rank instead). Every new entry here
+  must argue boundedness, or switch to the distributed rank.
 
 Planning at sf0.001 exercises exactly what the driver/bench will run;
 iterative operators execute their (tiny) fixpoint loops during plan
@@ -18,6 +26,7 @@ construction, which is part of the point — the lint sees the real plan.
 
 from __future__ import annotations
 
+import json
 import re
 
 import pytest
@@ -29,10 +38,70 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # BatchEvalPython <- row UDF (forbidden); BatchEvalPythonUDTF <- allowed.
 ROW_UDF = re.compile(r"BatchEvalPython(?!UDTF)")
 
+# query -> why its unpartitioned Window frames are bounded. The lint
+# fails any query with an empty-partition Window that is not listed —
+# "documented swap" is not enough; boundedness must be argued here.
+UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
+    # two-level distributed rank (operators/ranking.py): the prefix /
+    # group-total windows run over the ≤ n_buckets(=64)-row bucket-count
+    # aggregate, never the ranked frame itself.
+    "revenue_gini": "distributed_rank bucket-offset prefix: ≤64 rows",
+    "rfm_segmentation": "3× distributed_rank bucket-offset prefix: ≤64 rows each",
+    # same machinery, hash-aligned buckets (sampling.deterministic_shuffle
+    # / packing.pack_sequences): ≤1024-row bucket totals.
+    "corpus_shuffle": "two-level shuffle rank bucket-offset prefix: ≤1024 rows",
+    "pack_sequences": "distributed prefix-sum bucket offsets: ≤n_buckets rows",
+    # calendar spines: one row per day (or day-of-week) — 36.5k rows per
+    # century no matter the corpus size.
+    "cusum_changepoint": "daily event spine: #days rows",
+    "running_distinct_users": "daily event spine: #days rows",
+    "seasonal_decompose_dow": "daily spine + 7-row day-of-week frame",
+    # histogram / sketch compactions: frame = distinct buckets/bins.
+    "perplexity_buckets": "cumulative histogram over 4-dp surprisal bins",
+    "quantile_sketch": "KLL-style compaction over sketch bins, not rows",
+    "vocab_growth": "cumulative over fixed ingest buckets",
+    # vocabulary-dimension frames (explicitly documented in
+    # operators/text.py::build_vocab: Heaps' law keeps the DISTINCT
+    # vocabulary in the millions — MBs — at 100 TB corpus scale).
+    "vocab_build": "distinct-vocabulary rank (Heaps-law bounded, text.py:214)",
+    "doc_term_matrix": "vocabulary rank inside build_vocab (same bound)",
+    "zipf_slope": "rank over the top_k=500-row frequency head",
+    # small dimension / frontier frames.
+    "mixture_allocation": "per-source frame: #sources rows",
+    "skyline_parts": "sweep over the local-pruned skyline frontier ≪ corpus",
+}
+
+_UNPART_WINDOW_RE = re.compile(r"\.Window$")
+
+
+def _unpartitioned_windows(df) -> int:
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    return sum(
+        1
+        for n in nodes
+        if _UNPART_WINDOW_RE.search(n.get("class", "")) and not n.get("partitionSpec")
+    )
+
 
 @pytest.mark.parametrize("name", sorted(registry.queries()))
 def test_plan_has_no_cartesian_or_row_python(spark, name):
     fn = registry.queries()[name]
-    plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    df = fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     assert not ROW_UDF.search(plan), f"{name}: row-at-a-time Python UDF in plan"
+    n_unpart = _unpartitioned_windows(df)
+    if n_unpart and name not in UNPARTITIONED_WINDOW_ALLOWLIST:
+        pytest.fail(
+            f"{name}: {n_unpart} unpartitioned Window node(s) — a single-task "
+            "sort at scale. Use operators.ranking.distributed_rank, or argue "
+            "boundedness in UNPARTITIONED_WINDOW_ALLOWLIST."
+        )
+
+
+def test_window_allowlist_entries_are_live():
+    """Every allowlist entry must name a registered query — stale
+    entries hide new regressions behind old reasons."""
+    qs = registry.queries()
+    stale = [n for n in UNPARTITIONED_WINDOW_ALLOWLIST if n not in qs]
+    assert not stale, f"stale allowlist entries: {stale}"
