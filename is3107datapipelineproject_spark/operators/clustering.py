@@ -172,6 +172,59 @@ def assign_to_centroids(
     return final.select(F.col("vid").alias(id_col), "cluster", "d2")
 
 
+def assign_top2(
+    df: DataFrame, id_col: str, vec_col: str, cents: DataFrame
+) -> DataFrame:
+    """Best AND second-best centroid per point:
+    ``(id_col, cluster, d2_own, d2_alt)`` where ``d2_alt`` is the
+    squared distance to the nearest OTHER centroid — the pair a
+    simplified-silhouette cluster-quality audit needs. Same narrow
+    broadcast-fold shape as :func:`assign_to_centroids` (corpus never
+    shuffled, never expanded k×); the fold carries a (best, second)
+    struct instead of just the argmin, with the identical rounded-d2 /
+    smaller-cid tie rule at both ranks, so ``cluster``/``d2_own`` agree
+    bit-for-bit with :func:`kmeans_assign` and ``d2_alt`` replays the
+    oracle's rank-2 row."""
+    t = _points(df, id_col, vec_col)
+    inf = F.lit(float("inf"))
+    zero = F.struct(
+        inf.alias("d1"),
+        F.lit(-1).cast("int").alias("c1"),
+        inf.alias("d2"),
+        F.lit(-1).cast("int").alias("c2"),
+    )
+
+    def merge(acc: Column, c: Column) -> Column:
+        d = _sq_dist(F.col("vec"), c["centroid"])
+        beats1 = (d < acc["d1"]) | ((d == acc["d1"]) & (c["cid"] < acc["c1"]))
+        beats2 = (d < acc["d2"]) | ((d == acc["d2"]) & (c["cid"] < acc["c2"]))
+        return (
+            F.when(
+                beats1,
+                F.struct(
+                    d.alias("d1"), c["cid"].alias("c1"),
+                    acc["d1"].alias("d2"), acc["c1"].alias("c2"),
+                ),
+            )
+            .when(
+                beats2,
+                F.struct(
+                    acc["d1"].alias("d1"), acc["c1"].alias("c1"),
+                    d.alias("d2"), c["cid"].alias("c2"),
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    best = F.aggregate("cents", zero, merge)
+    return t.crossJoin(F.broadcast(_pack_centroids(cents))).select(
+        F.col("vid").alias(id_col),
+        best["c1"].alias("cluster"),
+        best["d1"].alias("d2_own"),
+        best["d2"].alias("d2_alt"),
+    )
+
+
 def kmeans_assign_two_level(
     df: DataFrame,
     id_col: str,

@@ -139,3 +139,34 @@ def ivfpq_index_tables(
             .saveAsTable(names["codes"])
         )
     return names
+
+
+def fact_bucket_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> dict[str, str]:
+    """Materialize (once) the co-bucketed fact-table pair: ``orders``
+    bucketed by ``o_orderkey`` and ``lineitem`` bucketed by
+    ``l_orderkey``, SAME bucket count — the ingest-time layout that
+    deletes the dominant exchange from every orders⋈lineitem join. Both
+    scans report Murmur3 HashPartitioning(orderkey, n) and Spark's
+    EnsureRequirements recognizes the two specs as co-partitioned for
+    an equi-join on the two keys, so the sort-merge join plans with NO
+    Exchange on either side (asserted by
+    tests/test_indexes.py::test_bucketed_fact_join_plan). At 100 TB the
+    one-time bucketed rewrite is amortized across every subsequent
+    order-grain join, aggregate (partial-agg on the bucket key), and
+    point lookup (bucket pruning); buckets are single-file and
+    key-sorted (plans/layout.py::write_bucketed) for row-group
+    skipping."""
+    from is3107datapipelineproject_spark.plans.layout import write_bucketed
+
+    names = {
+        "orders": f"orders_bkt_{_tag(sf_dir)}",
+        "lineitem": f"lineitem_bkt_{_tag(sf_dir)}",
+    }
+    specs = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+    for t, key in specs.items():
+        if not spark.catalog.tableExists(names[t]):
+            _sweep_stale_location(spark, names[t])
+            write_bucketed(load_table(spark, sf_dir, t), names[t], key, n_buckets=n_buckets)
+    return names

@@ -898,6 +898,47 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_exact_dedup",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, md5(text) AS content_md5,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT content_md5, n_bytes,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id
+FROM p GROUP BY 1, 2
+""",
+    tags=("multimodal", "dedup", "llm"),
+)
+def q_multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical dedup over the BINARY payload column — the first
+    pass of any image/audio ingest (identical files re-crawled under
+    different ids) and the multimodal twin of text exact_dedup: md5
+    over the raw payload bytes (JVM codegen on BinaryType — the hash
+    never crosses into Python, unlike the decode kernels), fingerprint
+    groupBy, keeper = smallest id. Every group is emitted (n_copies =
+    1 rows included) so the result doubles as the payload manifest a
+    content-addressed store ingests. Linear: one narrow scan + one
+    fingerprint-keyed aggregate; payload bytes collapse to a 32-char
+    key before the shuffle, so shuffle volume is id-sized no matter how
+    large the blobs are — the property that matters when the column is
+    4 MB images rather than text."""
+    docs = _t(spark, sf_dir, "documents")
+    p = M.attach_payload(docs, "text", "doc_id")
+    return (
+        p.select("doc_id", F.md5("payload").alias("content_md5"),
+                 F.octet_length("payload").cast("long").alias("n_bytes"))
+        .groupBy("content_md5", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").cast("long").alias("keeper_id"),
+        )
+    )
+
+
+@register(
     "vocab_build",
     oracle=f"""
 WITH toks AS ({SQL_DOCS_TOKS}),
@@ -1739,6 +1780,75 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS)
+
+
+_SIL_D2 = (
+    "round(list_sum(list_transform(list_zip(e.v, i.c), "
+    "x -> (x[1]-x[2])*(x[1]-x[2]))), 6)"
+)
+
+
+@register(
+    "cluster_silhouette",
+    oracle=f"""
+WITH {_KM_CTES},
+d_all AS (
+  SELECT vec_id, cid, d2, rn FROM (
+    SELECT e.vec_id, i.cid, {_SIL_D2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SIL_D2} ASC, i.cid ASC) AS rn
+    FROM e, c{KMEANS_ITERS} i
+  ) WHERE rn <= 2
+),
+top2 AS (
+  SELECT a.vec_id, a.cid AS cluster, a.d2 AS d2_own, b.d2 AS d2_alt
+  FROM d_all a JOIN d_all b USING (vec_id)
+  WHERE a.rn = 1 AND b.rn = 2
+),
+sil AS (
+  SELECT cluster,
+         CASE WHEN d2_alt <= 0 THEN 0.0
+              ELSE round(1.0 - sqrt(d2_own / d2_alt), 6) END AS s
+  FROM top2
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+       round(sum(s) / count(*), 4) AS mean_silhouette
+FROM sil GROUP BY cluster
+""",
+    tags=("clustering", "diagnostics", "llm"),
+)
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette — the cluster-quality audit
+    run before trusting k-means as a SemDeDup/IVF blocking key: a point
+    scores 1 - sqrt(d2_own/d2_alt) against its nearest and second-
+    nearest centroids (the centroid-based silhouette of Hruschka et
+    al.; b >= a by argmin construction, so (b-a)/max(a,b) collapses to
+    1 - a/b in the distance domain). One narrow fold per point carries
+    (best, second-best) through the SAME rounded-d2/smaller-cid tie
+    rule as assignment (operators/clustering.py::assign_top2), so the
+    oracle's rank-2 window row is replayed exactly; the corpus is never
+    shuffled and the only aggregate is k rows out. Per-point s is
+    rounded to 6dp before the mean (sum order across partitions then
+    cannot move the 4dp-rounded per-cluster mean)."""
+    from is3107datapipelineproject_spark.operators.clustering import (
+        assign_top2,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=KMEANS_K, iters=KMEANS_ITERS)
+    t2 = assign_top2(emb, "vec_id", "embedding", cents)
+    s = F.when(F.col("d2_alt") <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.sqrt(F.col("d2_own") / F.col("d2_alt")), 6)
+    )
+    return (
+        t2.withColumn("s", s)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(F.sum("s") / F.count(F.lit(1)), 4).alias("mean_silhouette"),
+        )
+    )
 
 
 @register(

@@ -1002,3 +1002,80 @@ def q_sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         names[key] = v
     out = spark.sql(_SQL_IFACE.format(**names))
     return out.withColumn("yr", F.col("yr").cast("int"))
+
+
+# --- round 6: co-bucketed fact-table layout (build-once surface) ------------
+
+
+@register(
+    "fact_bucket_build",
+    oracle="""
+SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_lineitems,
+       CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem) AS BIGINT) AS n_li_orders
+""",
+    tags=("warehouse", "materialize"),
+)
+def q_fact_bucket_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the co-bucketed orders/lineitem pair
+    (plans/indexes.py::fact_bucket_tables) and return a build-
+    correctness summary scanned from the MATERIALIZED tables only (the
+    oracle recomputes the same counts from the raw parquet — a lost or
+    duplicated row in the bucketed rewrite fails the hash). Bucketing
+    is the ingest-half of the contract; bucketed_join_revenue is the
+    query-half that cashes it in."""
+    from is3107datapipelineproject_spark.plans.indexes import fact_bucket_tables
+
+    names = fact_bucket_tables(spark, sf_dir)
+    o, li = spark.table(names["orders"]), spark.table(names["lineitem"])
+    return (
+        o.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .crossJoin(
+            li.agg(
+                F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+                F.countDistinct("l_orderkey").cast("long").alias("n_li_orders"),
+            )
+        )
+    )
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+    tags=("warehouse", "join", "materialize"),
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through the co-bucketed layout: the
+    orders⋈lineitem equi-join reads both bucketed tables and plans as
+    a sort-merge join with NO Exchange on either side — the scans
+    already report the same HashPartitioning(orderkey, 16), so the only
+    shuffle in the whole plan is the 5-row priority rollup. On raw
+    parquet this join shuffles BOTH fact tables every time it runs; at
+    100 TB that double exchange IS the query cost, and this plan is the
+    reason warehouses bucket facts on the join key at ingest. Revenue
+    accumulates in DECIMAL(18,2)x(1-discount) exactly like the raw-scan
+    TPC-H family, so the bucketed path is hash-identical to the raw
+    oracle."""
+    from is3107datapipelineproject_spark.plans.indexes import fact_bucket_tables
+
+    names = fact_bucket_tables(spark, sf_dir)
+    o = spark.table(names["orders"]).select("o_orderkey", "o_orderpriority")
+    li = spark.table(names["lineitem"]).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

@@ -1625,3 +1625,157 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("cusum_scaled")).desc(), "change_day")
         .limit(1)
     )
+
+
+# --- round 6: smoothing + autocorrelation over the daily revenue series -----
+
+
+@register(
+    "ewma_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+x AS (
+  SELECT a.d, unnest(generate_series(0, 27)) AS k FROM daily a
+),
+j AS (
+  SELECT x.d,
+         CAST(round(pow(0.5, x.k / 7.0) * 1000000) AS BIGINT) AS wk,
+         b.cents
+  FROM x JOIN daily b ON b.d = x.d - x.k * INTERVAL 1 DAY
+),
+s AS (
+  SELECT d,
+         CAST(count(*) AS BIGINT) AS n_days,
+         sum(CAST(cents AS DECIMAL(38,0)) * wk) AS num,
+         CAST(sum(wk) AS BIGINT) AS den
+  FROM j GROUP BY 1
+)
+SELECT s.d, daily.cents,
+       round(CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE) / 100.0, 4) AS ewma_revenue,
+       s.n_days
+FROM s JOIN daily USING (d)
+""",
+    tags=("warehouse", "timeseries"),
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily order revenue
+    (half-life 7 days, window truncated at 28): the smoothing pass a
+    revenue dashboard runs over the raw daily series. The variable
+    per-pair weight (1/2)^((t-i)/7) rules out a plain frame-bounded
+    window SUM, and a range self-join would nested-loop; instead each
+    anchor day EXPLODES its 28 fixed offsets and equi-joins the daily
+    frame on the shifted date — shuffle-hash on a date key, never a
+    cross product. Corpus-scale work is exactly one groupBy(day); the
+    spine-squared stage is #days x 28 rows no matter how many orders
+    feed it. Determinism: weights are the 28 integers
+    round(2^(-k/7)*1e6) (verified identical in Spark and DuckDB),
+    revenue is BIGINT cents, the weighted sum accumulates in
+    DECIMAL(38,0) (BIGINT would overflow at ~1e5x this SF), and the
+    single double division is rounded to 4dp."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").cast("long").alias("cents"))
+    x = daily.select("d", F.explode(F.sequence(F.lit(0), F.lit(27))).alias("k"))
+    wk = F.round(F.pow(F.lit(0.5), F.col("k") / 7.0) * 1000000).cast("long")
+    b = daily.select(F.col("d").alias("bd"), F.col("cents").alias("bcents"))
+    j = x.withColumn("wk", wk).join(
+        b, F.col("bd") == F.expr("d - make_interval(0, 0, 0, k)"), "inner"
+    )
+    s = j.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.col("bcents").cast("decimal(38,0)") * F.col("wk")).alias("num"),
+        F.sum("wk").cast("long").alias("den"),
+    )
+    return s.join(daily, "d").select(
+        "d",
+        "cents",
+        F.round(F.col("num").cast("double") / F.col("den").cast("double") / 100.0, 4).alias(
+            "ewma_revenue"
+        ),
+        "n_days",
+    )
+
+
+@register(
+    "autocorr_daily_revenue",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT l.lag, a.cents AS x, b.cents AS y
+  FROM daily a
+  JOIN (VALUES (1), (7)) l(lag) ON TRUE
+  JOIN daily b ON b.d = a.d - l.lag * INTERVAL 1 DAY
+),
+m AS (
+  SELECT lag,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(x AS DECIMAL(38,0)) * y) AS sxy,
+         sum(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+         sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS INT) AS lag, n AS n_days,
+       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS acf
+FROM m
+""",
+    tags=("warehouse", "timeseries", "diagnostics"),
+)
+def q_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1 and 7 —
+    the seasonality diagnostic behind the dow decomposition: a strong
+    lag-7 ACF says weekly structure, lag-1 says momentum. Each lag
+    equi-joins the daily spine against itself shifted by the lag (a
+    2-row broadcast lag frame x #days — no window over an unpartitioned
+    corpus frame, no cross product), then Pearson r from the six exact
+    moments (n, Sx, Sy, Sxy, Sxx, Syy) accumulated in DECIMAL(38,0);
+    the only float arithmetic is the one closed-form expression over
+    the six casts, identical in both engines, rounded to 4dp. The
+    corpus reduces to the #days spine in the first aggregate, so lag
+    count scales the spine, never the fact table."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("d").agg(F.sum("cents").cast("long").alias("cents"))
+    lags = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(7))).alias("lag")
+    )
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(F.col("d").alias("bd"), F.col("cents").alias("y"))
+    pairs = a.join(
+        b, F.col("bd") == F.expr("d - make_interval(0, 0, 0, lag)"), "inner"
+    ).select("lag", F.col("cents").alias("x"), "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    n = d("n")
+    acf = F.round(
+        (n * d("sxy") - d("sx") * d("sy"))
+        / F.sqrt((n * d("sxx") - d("sx") * d("sx")) * (n * d("syy") - d("sy") * d("sy"))),
+        4,
+    )
+    return m.select(F.col("lag").cast("int").alias("lag"), F.col("n").alias("n_days"), acf.alias("acf"))
