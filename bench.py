@@ -179,6 +179,16 @@ HEADLINE = [
     "ann_index_build",
     "ivfpq_topk_from_index",
     "incremental_prefix_jaccard",
+    # round 6 session 2: smoothing/ACF, cluster quality, binary dedup,
+    # co-bucketed fact layout
+    "ewma_daily_revenue",
+    "autocorr_daily_revenue",
+    "cluster_silhouette",
+    "multimodal_exact_dedup",
+    "fact_bucket_build",
+    "bucketed_join_revenue",
+    "zorder_events_box",
+    "bpe_learn_merges",
 ]
 
 

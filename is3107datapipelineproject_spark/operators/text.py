@@ -583,3 +583,74 @@ def word_pmi(df, text_col: str, id_col: str, min_count: int = 5, top_n: int = 10
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+def bpe_learn_merges(
+    df, text_col: str, id_col: str, rounds: int = 3, passes: int = 8
+):
+    """Actual BPE merge LEARNING (Sennrich et al., 2016) — not just the
+    round-1 candidate ranking of :func:`bpe_merge_pairs`: run ``rounds``
+    full iterations of (count adjacent symbol pairs → pick the argmax →
+    rewrite every word's symbol sequence with the merged token), and
+    return the learned merge table ``(merge_rank, pair, merge_count)``.
+
+    Scale shape: the corpus collapses to the DISTINCT word-frequency
+    table in one aggregate, and every iteration after that is
+    vocabulary-sized — exactly why production BPE trainers
+    (GPT-2/sentencepiece) train on word counts. Words are carried as
+    space-delimited symbol strings ('l o w'), so the merge rewrite is a
+    plain string ``replace(' a b ', ' ab ')`` — whole-stage-codegen
+    JVM, no UDF. ``replace`` is left-to-right non-overlapping in BOTH
+    engines (boundary-sharing occurrences like 'a b a b' need a second
+    pass because adjacent matches share the separator space), so the
+    rewrite applies ``passes`` fixed passes — a fixed point for any
+    word up to 2^passes symbols — keeping Spark and the unrolled-CTE
+    DuckDB oracle bit-identical. Each round's winning pair is resolved
+    to a LITERAL via a 1-row argmax collect (control-plane scalar, same
+    pattern as the z-order bounds guard), and the rewritten vocabulary
+    is eagerly localCheckpoint'd so round r+1's plan does not replay
+    rounds 1..r."""
+    toks = df.select(F.explode(ws_tokens(text_col)).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    cur = vocab.select(
+        F.concat(F.lit(" "), F.regexp_replace("token", "(.)", "$1 ")).alias("seq"),
+        "freq",
+    ).localCheckpoint(eager=True)
+    merges = []
+    for r in range(1, rounds + 1):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        prs = (
+            cur.select(syms.alias("syms"), "freq")
+            .filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.concat(
+                            F.element_at("syms", i), F.lit(" "), F.element_at("syms", i + 1)
+                        ),
+                    )
+                ).alias("pair"),
+            )
+        )
+        top = (
+            prs.groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair"))
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((r, top.pair, top.cnt))
+        search = F.lit(f" {top.pair} ")
+        repl = F.lit(" " + top.pair.replace(" ", "") + " ")
+        newseq = F.col("seq")
+        for _ in range(passes):
+            newseq = F.replace(newseq, search, repl)
+        cur = cur.select(newseq.alias("seq"), "freq").localCheckpoint(eager=True)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, merge_count long"
+    )

@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from is3107datapipelineproject_spark.sources.tables import load_table
@@ -170,3 +170,79 @@ def fact_bucket_tables(
             _sweep_stale_location(spark, names[t])
             write_bucketed(load_table(spark, sf_dir, t), names[t], key, n_buckets=n_buckets)
     return names
+
+
+def _morton_spread16(c: Column) -> Column:
+    """Spread a 16-bit value's bits to the even positions of a 32-bit
+    lane (classic magic-number dilation), on BIGINT lanes so the top
+    interleaved bit never touches a sign bit."""
+    c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+    c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+    c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def morton_z16(a: Column, b: Column) -> Column:
+    """Interleave two 16-bit BIGINT columns into their Morton z-value —
+    pure shift/mask codegen, no UDF."""
+    return _morton_spread16(a).bitwiseOR(F.shiftleft(_morton_spread16(b), 1))
+
+
+def zorder_events_table(
+    spark: SparkSession, sf_dir: str, n_ranges: int = 32
+) -> DataFrame:
+    """Materialize (once) the events table Z-ORDERED on
+    (user_id, event day): both dimensions are min-max scaled to 16 bits,
+    bit-interleaved into a Morton z-value (shift/mask codegen — no
+    UDF), then range-partitioned AND sorted by it. Because the z-curve
+    is locality-preserving in BOTH dimensions at once, every parquet
+    row group ends up with TIGHT min/max statistics on user_id and ts
+    simultaneously — so a box predicate (user range AND time range)
+    skips row groups on both dimensions, where a single-column sort
+    gives tight stats on one dimension and useless full-range stats on
+    the other. This is the multi-dimensional data-skipping layout
+    (Delta/Iceberg OPTIMIZE ZORDER) that makes needle-in-100-TB box
+    queries scan-bound on the needle, not the haystack; measured
+    row-group overlap vs a time-sorted layout is asserted in
+    tests/test_indexes.py::test_zorder_layout_prunes_boxes."""
+    table = f"events_z_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(table):
+        _sweep_stale_location(spark, table)
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "__day", F.unix_date(F.to_date("ts")).cast("long")
+        )
+        b = e.agg(
+            F.min("user_id").alias("u0"), F.max("user_id").alias("u1"),
+            F.min("__day").alias("d0"), F.max("__day").alias("d1"),
+        )
+        z = e.crossJoin(F.broadcast(b)).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+            morton_z16(
+                F.floor(
+                    (F.col("user_id") - F.col("u0")) * 65535
+                    / F.greatest(F.col("u1") - F.col("u0"), F.lit(1))
+                ).cast("long"),
+                F.floor(
+                    (F.col("__day") - F.col("d0")) * 65535
+                    / F.greatest(F.col("d1") - F.col("d0"), F.lit(1))
+                ).cast("long"),
+            ).alias("zval"),
+        )
+        # Spark's default INT96 timestamps carry NO parquet min/max
+        # statistics — which would silently disable the ts half of the
+        # row-group skipping this layout exists for. Write int64 micros
+        # (the modern type every lakehouse writer uses).
+        old_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        try:
+            (
+                z.repartitionByRange(n_ranges, "zval")
+                .sortWithinPartitions("zval")
+                .write.mode("overwrite")
+                .format("parquet")
+                .saveAsTable(table)
+            )
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", old_tt)
+    return spark.table(table)

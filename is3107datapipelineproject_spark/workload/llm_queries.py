@@ -2167,6 +2167,71 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_merge_pairs(docs, "text", "doc_id")
 
 
+def _bpe_learn_sql(rounds: int = 3, passes: int = 8) -> str:
+    """Unrolled-CTE DuckDB twin of operators/text.py::bpe_learn_merges:
+    per round, pair argmax (count desc, pair asc) then the same
+    ``passes``-fold left-to-right non-overlapping replace rewrite."""
+    parts = [
+        f"toks AS ({SQL_DOCS_TOKS})",
+        "vocab AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS freq"
+        " FROM (SELECT unnest(toks) AS t FROM toks) GROUP BY 1)",
+        r"v0 AS (SELECT ' ' || regexp_replace(token, '(.)', '\1 ', 'g') AS seq,"
+        " freq FROM vocab)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"s{r} AS (SELECT string_split(trim(seq), ' ') AS syms, freq FROM v{r-1})"
+        )
+        parts.append(
+            f"p{r} AS (SELECT unnest(list_transform(generate_series(1, len(syms) - 1),"
+            f" i -> syms[i] || ' ' || syms[i+1])) AS pair, freq"
+            f" FROM s{r} WHERE len(syms) >= 2)"
+        )
+        parts.append(
+            f"m{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt"
+            f" FROM p{r} GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)"
+        )
+        expr = "seq"
+        for _ in range(passes):
+            expr = (
+                f"replace({expr}, ' ' || m{r}.pair || ' ',"
+                f" ' ' || replace(m{r}.pair, ' ', '') || ' ')"
+            )
+        parts.append(f"v{r} AS (SELECT {expr} AS seq, freq FROM v{r-1}, m{r})")
+    final = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, pair, cnt AS merge_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(merge_rank AS INT) AS merge_rank, pair, merge_count"
+        + f" FROM ({final})"
+    )
+
+
+@register(
+    "bpe_learn_merges",
+    oracle=_bpe_learn_sql(),
+    tags=("text", "tokenizer", "llm"),
+)
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE merge learning, 3 rounds — the step bpe_merge_candidates
+    only previews: each round counts adjacent symbol pairs over the
+    word-frequency table, picks the (count desc, pair asc) argmax, and
+    REWRITES every word's symbol sequence with the merged token before
+    the next round, so rounds 2-3 count pairs involving previously
+    merged symbols (real tokenizer training, not three independent
+    rankings). The corpus collapses to the distinct-word table in one
+    aggregate; every round after that is vocabulary-sized
+    (operators/text.py::bpe_learn_merges — string-replace rewrite in
+    JVM codegen, fixed 8-pass fixed-point, per-round winner resolved to
+    a literal via a 1-row argmax)."""
+    from is3107datapipelineproject_spark.operators.text import bpe_learn_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, "text", "doc_id")
+
+
 @register(
     "readability_score",
     oracle=f"""

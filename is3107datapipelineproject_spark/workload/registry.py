@@ -114,6 +114,18 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "ann_index_build",
     "ivfpq_topk_from_index",
     "incremental_prefix_jaccard",
+    # --- new in round-6 session 2: positions 51+ are OUTSIDE this
+    # round's 50-slot driver sample window by design (the 42 never-
+    # sampled queries above must not be evicted); they are the head of
+    # NEXT round's rotation. Locally oracle-green via tools/rehearse.
+    "ewma_daily_revenue",
+    "autocorr_daily_revenue",
+    "cluster_silhouette",
+    "multimodal_exact_dedup",
+    "fact_bucket_build",
+    "bucketed_join_revenue",
+    "zorder_events_box",
+    "bpe_learn_merges",
 )
 
 

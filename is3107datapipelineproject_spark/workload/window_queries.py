@@ -1779,3 +1779,67 @@ def q_autocorr_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return m.select(F.col("lag").cast("int").alias("lag"), F.col("n").alias("n_days"), acf.alias("acf"))
+
+
+@register(
+    "zorder_events_box",
+    oracle="""
+WITH d AS (
+  SELECT user_id, value,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS dy
+  FROM events
+),
+b AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
+             min(dy) AS d0, max(dy) AS d1 FROM d)
+SELECT CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM d, b
+WHERE user_id BETWEEN u0 AND u0 + (u1 - u0) // 4
+  AND dy BETWEEN d0 AND d0 + (d1 - d0) // 4
+""",
+    tags=("events", "materialize", "layout"),
+)
+def q_zorder_events_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box query (user range AND time range) against the Z-ORDERED
+    events table (plans/indexes.py::zorder_events_table — Morton-
+    interleaved user/day, range-partitioned + sorted by z-value). The
+    box bounds (first quarter of each dimension) are resolved to
+    LITERALS via a 1-row eager bounds scan — the same control-plane
+    pattern as ivfpq_topk_from_index's cluster-id guard, and the whole
+    point: literal min/max predicates on BOTH user_id and ts reach the
+    parquet scan as PushedFilters, and because the z-curve clusters
+    both dimensions at once, row groups outside the box fail their
+    stats check on one dimension or the other — the 100 TB box query
+    reads ~the box, not the corpus (overlap measured against a
+    time-sorted layout in test_zorder_layout_prunes_boxes). The oracle
+    runs the same box over the RAW events parquet, which is exactly the
+    layout-rewrite-lost-no-rows check."""
+    import datetime
+
+    from is3107datapipelineproject_spark.plans.indexes import zorder_events_table
+
+    z = zorder_events_table(spark, sf_dir)
+    zb = z.select(
+        "user_id", "value", "ts", F.unix_date(F.to_date("ts")).cast("long").alias("dy")
+    )
+    u0, u1, d0, d1 = zb.agg(
+        F.min("user_id"), F.max("user_id"), F.min("dy"), F.max("dy")
+    ).first()
+    uhi = u0 + (u1 - u0) // 4
+    epoch = datetime.datetime(1970, 1, 1)
+    lo_ts = epoch + datetime.timedelta(days=int(d0))
+    hi_ts = epoch + datetime.timedelta(days=int(d0 + (d1 - d0) // 4) + 1)
+    return (
+        z.filter(
+            (F.col("user_id") >= int(u0))
+            & (F.col("user_id") <= int(uhi))
+            & (F.col("ts") >= F.lit(lo_ts))
+            & (F.col("ts") < F.lit(hi_ts))
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+        )
+    )

@@ -68,3 +68,105 @@ def test_edge_table_rebuild_survives_stale_location(spark):
     os.makedirs(os.path.join(wh, table.lower()), exist_ok=True)
     n2 = copurchase_edge_table(spark, SF).count()
     assert n1 == n2 and n1 > 0
+
+
+def test_bucketed_fact_join_plan(spark):
+    """The co-bucketed orders⋈lineitem contract: with broadcast off
+    (simulating the 100 TB case where neither fact fits an executor),
+    the equi-join must plan as a SortMergeJoin whose subtree contains
+    NO Exchange — both bucketed scans already report the required
+    HashPartitioning(orderkey, 16). The only exchange in the whole plan
+    is the 5-row priority rollup. At toy SF with broadcast enabled
+    Catalyst correctly prefers a broadcast join instead; that adaptive
+    downgrade is allowed, the shuffle is not."""
+    fn = registry.queries()["bucketed_join_revenue"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(fn(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan[:400]
+    join_subtree = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Bucketed: true" in join_subtree
+    assert join_subtree.count("Exchange") == 0, (
+        "bucketed fact join must not shuffle either side:\n" + join_subtree[:600]
+    )
+
+
+def test_zorder_layout_prunes_boxes(spark, tmp_path):
+    """The reason the z-table exists: for a box predicate (quarter of
+    the user range × quarter of the time range) the Morton layout must
+    leave FEWER row groups with overlapping min/max stats than a plain
+    time-sorted layout of the same rows — time-sorting gives tight ts
+    stats but full-range user stats, so every time-overlapping group
+    survives the user dimension; the z-curve clusters both at once.
+    Stats are read straight from the parquet footers (what the scan's
+    row-group skipping consults)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from is3107datapipelineproject_spark.plans.indexes import (
+        _tag,
+        zorder_events_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    zorder_events_table(spark, sf)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    zdir = f"{wh}/events_z_{_tag(sf).lower()}"
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    tdir = str(tmp_path / "events_tsorted")
+    old_tt = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        e.repartitionByRange(32, "ts").sortWithinPartitions("ts").write.parquet(tdir)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", old_tt)
+
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    u0, u1, d0, d1 = e.agg(
+        F.min("user_id"), F.max("user_id"),
+        F.min(F.unix_date(F.to_date("ts"))), F.max(F.unix_date(F.to_date("ts"))),
+    ).first()
+    uhi = u0 + (u1 - u0) // 4
+    epoch = datetime.datetime(1970, 1, 1)
+    lo_ts = epoch + datetime.timedelta(days=int(d0))
+    hi_ts = epoch + datetime.timedelta(days=int(d0 + (d1 - d0) // 4) + 1)
+
+    def overlapping_groups(d: str) -> tuple[int, int]:
+        tot = hit = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema:
+                        md.row_group(rg).column(i).statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                tot += 1
+                su, st = cols["user_id"], cols["ts"]
+                # Spark writes isAdjustedToUTC → pyarrow returns aware
+                # datetimes; the box bounds are naive wall-clock values.
+                st_min = st.min.replace(tzinfo=None)
+                st_max = st.max.replace(tzinfo=None)
+                if (su.min <= uhi and su.max >= u0
+                        and st_min < hi_ts and st_max >= lo_ts):
+                    hit += 1
+        return hit, tot
+
+    z_hit, z_tot = overlapping_groups(zdir)
+    t_hit, t_tot = overlapping_groups(tdir)
+    assert z_tot >= 16 and t_tot >= 16
+    assert z_hit < t_hit, (
+        f"z-order must beat time-sort on a 2-D box: z {z_hit}/{z_tot} vs ts {t_hit}/{t_tot}"
+    )
+    assert z_hit <= z_tot // 4, (
+        f"box covers 1/16 of the plane; z-layout should skip most groups: {z_hit}/{z_tot}"
+    )
