@@ -189,6 +189,9 @@ HEADLINE = [
     "bucketed_join_revenue",
     "zorder_events_box",
     "bpe_learn_merges",
+    "ks_test_priority_revenue",
+    "kmv_source_overlap",
+    "dpp_modern_era_revenue",
 ]
 
 

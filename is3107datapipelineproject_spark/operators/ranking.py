@@ -45,7 +45,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["distributed_rank", "ntile_from_rank"]
+__all__ = ["distributed_cumsum", "distributed_rank", "ntile_from_rank"]
 
 
 def distributed_rank(
@@ -128,4 +128,64 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
         F.when(rank <= big, ((rank - 1) / (s + 1)).cast("long") + 1)
         .otherwise(m + ((rank - big - 1) / F.greatest(s, F.lit(1))).cast("long") + 1)
         .cast("int")
+    )
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    value_col: str,
+    sum_cols: Sequence[str],
+    tiebreak_cols: Sequence[str] = (),
+    n_buckets: int = 64,
+    rel_err: float = 0.01,
+) -> DataFrame:
+    """Append ``<c>_cum`` = inclusive running sum of each column in
+    ``sum_cols`` under ``ORDER BY value_col, *tiebreak_cols`` — the
+    cumulative-distribution sibling of :func:`distributed_rank`, same
+    two-level shape: quantile-cutoff buckets (order-aligned), local
+    running sums inside each bucket (window PARTITIONED by bucket —
+    ~n/n_buckets rows per task), bucket totals prefix-summed over the
+    ≤n_buckets-row aggregate, broadcast back as offsets. Exactly
+    reproduces ``SUM(c) OVER (ORDER BY value, ties ROWS UNBOUNDED
+    PRECEDING..CURRENT)``, so oracles keep plain window SQL while the
+    Spark plan never sorts the frame in one task. Sums are cast to
+    BIGINT at the end — callers accumulating beyond 9.2e18 should
+    pre-cast ``sum_cols`` to DECIMAL(38,0)."""
+    vc = F.col(value_col).cast("double")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.select(vc.alias("__v")).approxQuantile("__v", probs, rel_err)
+    cuts = sorted(set(c for c in cuts if c is not None))
+    if cuts:
+        arr = F.array(*[F.lit(float(c)) for c in cuts])
+        bucket = F.aggregate(
+            arr, F.lit(0), lambda acc, c: acc + F.when(vc > c, 1).otherwise(0)
+        )
+    else:
+        bucket = F.lit(0)
+    t = df.withColumn("__bucket", bucket)
+    local_w = (
+        Window.partitionBy("__bucket")
+        .orderBy(value_col, *tiebreak_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in sum_cols:
+        t = t.withColumn(f"__lc_{c}", F.sum(c).over(local_w))
+    totals = t.groupBy("__bucket").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    prefix_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bucket",
+        *[
+            F.coalesce(F.sum(f"__t_{c}").over(prefix_w), F.lit(0)).alias(f"__o_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = t.join(F.broadcast(offsets), "__bucket")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"{c}_cum", (F.col(f"__o_{c}") + F.col(f"__lc_{c}")).cast("long")
+        )
+    return out.drop(
+        "__bucket", *[f"__lc_{c}" for c in sum_cols], *[f"__o_{c}" for c in sum_cols]
     )

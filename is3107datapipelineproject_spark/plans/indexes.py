@@ -246,3 +246,46 @@ def zorder_events_table(
         finally:
             spark.conf.set("spark.sql.parquet.outputTimestampType", old_tt)
     return spark.table(table)
+
+
+def orders_year_partitioned(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Materialize (once) the year-PARTITIONED orders fact plus a tiny
+    ``(o_year, era)`` dimension — the layout pair that exercises
+    Spark's dynamic partition pruning: a query that joins the fact to
+    the dim under a dim-side predicate never names the years, yet the
+    fact scan receives a ``dynamicpruning`` PartitionFilter built from
+    the dim join keys at runtime (via the reused broadcast exchange),
+    so only the matching year directories are ever listed/read. At
+    100 TB with hundreds of date partitions this is the difference
+    between scanning the whole fact and scanning the era — and it
+    requires zero query-side knowledge of the partition values, unlike
+    a literal IN-list. Partition column values are derived
+    (year(o_orderdate)) so the rewrite loses no rows — the from-layout
+    query keeps the raw-parquet oracle."""
+    names = {
+        "orders": f"orders_byyear_{_tag(sf_dir)}",
+        "years": f"years_dim_{_tag(sf_dir)}",
+    }
+    if not spark.catalog.tableExists(names["orders"]):
+        for t in names.values():
+            _sweep_stale_location(spark, t)
+        o = load_table(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        )
+        (
+            o.repartition("o_year")
+            .write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("o_year")
+            .saveAsTable(names["orders"])
+        )
+        years = o.select("o_year").distinct().select(
+            "o_year",
+            F.when(F.col("o_year") >= 1996, F.lit("modern"))
+            .otherwise(F.lit("early"))
+            .alias("era"),
+        )
+        years.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
+            names["years"]
+        )
+    return names

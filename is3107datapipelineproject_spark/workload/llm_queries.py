@@ -2760,6 +2760,61 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_source_overlap",
+    oracle=f"""
+WITH v AS (
+  SELECT DISTINCT source AS key,
+         CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) AS h
+  FROM (SELECT source, unnest({{toks}}) AS term FROM documents)
+),
+r AS (SELECT key, h, row_number() OVER (PARTITION BY key ORDER BY h) AS rn FROM v),
+sk AS (SELECT key, list_sort(list(h)) AS s FROM r WHERE rn <= 256 GROUP BY key),
+p AS (SELECT a.key AS key1, b.key AS key2, a.s AS s1, b.s AS s2
+      FROM sk a JOIN sk b ON a.key < b.key),
+m AS (SELECT key1, key2, s1, s2,
+             list_sort(list_distinct(list_concat(s1, s2)))[1:256] AS mg
+      FROM p)
+SELECT key1 AS source1, key2 AS source2,
+       CAST(least(256, len(mg)) AS INT) AS k_used,
+       round(CAST(len(list_intersect(list_intersect(mg, s1), s2)) AS DOUBLE)
+             / least(256, len(mg)), 4) AS jaccard_est,
+       round((CAST(least(256, len(mg)) AS DOUBLE) - 1.0) * 268435456.0 / mg[-1],
+             1) AS union_est
+FROM m
+""".replace("{toks}", SQL_TOKS),
+    tags=("governance", "sketch", "llm"),
+)
+def q_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_overlap's SKETCH twin: per-source KMV (k-minimum-values,
+    k=256) distinct-vocabulary sketches, then pairwise Jaccard AND
+    union-cardinality ESTIMATES from the constant-size sketches alone
+    (Beyer et al. 2007) — the deployment shape when per-release set
+    algebra must run over stored kilobyte summaries instead of
+    re-scanning two corpus versions. Each sketch is k·8 bytes
+    regardless of corpus size; the pair stage is #sources² rows of
+    k-length array algebra, zero corpus access — against exact
+    source_overlap the estimate lands within the ~1/√k ≈ 6% KMV error
+    band (operators/sketches.py::kmv_sketches / kmv_pair_estimates)."""
+    from is3107datapipelineproject_spark.operators.sketches import (
+        kmv_pair_estimates,
+        kmv_sketches,
+    )
+    from is3107datapipelineproject_spark.operators.text import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(ws_tokens("text")).alias("term"))
+    sk = kmv_sketches(toks, "source", "term")
+    est = kmv_pair_estimates(sk)
+    return est.select(
+        F.col("key1").alias("source1"),
+        F.col("key2").alias("source2"),
+        "k_used",
+        "jaccard_est",
+        "union_est",
+    )
+
+
+@register(
     "source_overlap",
     oracle=f"""
 WITH v AS (

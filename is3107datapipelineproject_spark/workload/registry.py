@@ -126,6 +126,9 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "bucketed_join_revenue",
     "zorder_events_box",
     "bpe_learn_merges",
+    "ks_test_priority_revenue",
+    "kmv_source_overlap",
+    "dpp_modern_era_revenue",
 )
 
 

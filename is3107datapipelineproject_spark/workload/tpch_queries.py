@@ -1079,3 +1079,53 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "dpp_modern_era_revenue",
+    oracle="""
+WITH y AS (
+  SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS o_year,
+         CASE WHEN year(o_orderdate) >= 1996 THEN 'modern' ELSE 'early' END AS era
+  FROM orders
+)
+SELECT o.o_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_totalprice FROM orders) o
+JOIN y ON y.o_year = o.o_year
+WHERE y.era = 'modern'
+GROUP BY 1
+""",
+    tags=("warehouse", "materialize", "layout"),
+)
+def q_dpp_modern_era_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by year for the 'modern' era through the year-PARTITIONED
+    orders fact joined to the era dimension
+    (plans/indexes.py::orders_year_partitioned). The query never names
+    a year — the dim-side ``era = 'modern'`` predicate is the only
+    filter — yet the fact scan receives a runtime ``dynamicpruning``
+    PartitionFilter fed by the broadcast dim exchange, so only the
+    matching year directories are listed and read
+    (test_dpp_plan_prunes_partitions asserts the subquery filter in
+    the scan). This is the third pruning mechanism in the layout
+    family: planning-time literal partition pruning (ivfpq codes),
+    stats-based row-group skipping (z-order), and now RUNTIME partition
+    pruning from a join — at 100 TB, the mechanism that keeps
+    date-partitioned fact scans proportional to the dim selection with
+    zero query-side partition knowledge."""
+    from is3107datapipelineproject_spark.plans.indexes import orders_year_partitioned
+
+    names = orders_year_partitioned(spark, sf_dir)
+    o = spark.table(names["orders"])
+    y = spark.table(names["years"]).filter(F.col("era") == "modern")
+    return (
+        o.join(y.select("o_year"), "o_year")
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )

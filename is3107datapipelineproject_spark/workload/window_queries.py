@@ -1843,3 +1843,94 @@ def q_zorder_events_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
         )
     )
+
+
+@register(
+    "ks_test_priority_revenue",
+    oracle="""
+WITH s AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+         o_orderpriority = '1-URGENT' AS g1
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+n AS (
+  SELECT CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2
+  FROM s
+),
+d AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(sum(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS k2
+  FROM s GROUP BY 1
+),
+c AS (
+  SELECT v,
+         CAST(sum(k1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+         CAST(sum(k2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2
+  FROM d
+),
+x AS (
+  SELECT v, abs(CAST(c1 AS DECIMAL(38,0)) * n2 - CAST(c2 AS DECIMAL(38,0)) * n1) AS dev
+  FROM c, n
+)
+SELECT n1, n2,
+       round(CAST(dev AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 4) AS ks_d,
+       v AS ks_at
+FROM x, n ORDER BY dev DESC, v LIMIT 1
+""",
+    tags=("warehouse", "diagnostics", "stats"),
+)
+def q_ks_test_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    URGENT and LOW order-price distributions — the drift test a data
+    pipeline runs between releases ('did this slice's distribution
+    move?'). D = max |F1 − F2| needs both empirical CDFs at every
+    distinct value: per-value counts (one aggregate), then running
+    sums under the value order via the two-level distributed cumsum
+    (operators/ranking.py::distributed_cumsum) — the CDF is never built
+    in a single-task sort, and the deviation |c1·n2 − c2·n1| stays in
+    exact DECIMAL(38,0) integer arithmetic so the argmax (ties → the
+    smallest value) is engine-independent; the only float op is the
+    final rounded division. Output: sizes, D, and the value where the
+    gap is attained."""
+    from is3107datapipelineproject_spark.operators.ranking import distributed_cumsum
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("g1"),
+    )
+    d = s.groupBy("v").agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("long").alias("k1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("long").alias("k2"),
+    )
+    c = distributed_cumsum(d, "v", ["k1", "k2"])
+    n = d.agg(
+        F.sum("k1").cast("long").alias("n1"), F.sum("k2").cast("long").alias("n2")
+    )
+    x = c.crossJoin(F.broadcast(n)).select(
+        "v",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("k1_cum").cast("decimal(38,0)") * F.col("n2")
+            - F.col("k2_cum").cast("decimal(38,0)") * F.col("n1")
+        ).alias("dev"),
+    )
+    return (
+        x.orderBy(F.col("dev").desc(), "v")
+        .limit(1)
+        .select(
+            "n1",
+            "n2",
+            F.round(
+                F.col("dev").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                4,
+            ).alias("ks_d"),
+            F.col("v").alias("ks_at"),
+        )
+    )

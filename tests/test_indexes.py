@@ -170,3 +170,17 @@ def test_zorder_layout_prunes_boxes(spark, tmp_path):
     assert z_hit <= z_tot // 4, (
         f"box covers 1/16 of the plane; z-layout should skip most groups: {z_hit}/{z_tot}"
     )
+
+
+def test_dpp_plan_prunes_partitions(spark):
+    """dpp_modern_era_revenue's fact scan must carry a runtime
+    ``dynamicpruning`` PartitionFilter derived from the era-dim join —
+    the query names no year, yet only matching year directories are
+    read."""
+    fn = registry.queries()["dpp_modern_era_revenue"]
+    plan = _plan(fn(spark, SF))
+    m = re.search(r"orders_byyear[^\n]*", plan)
+    assert m, "year-partitioned orders scan missing"
+    assert "dynamicpruning" in m.group(0), (
+        "fact scan must be dynamically pruned: " + m.group(0)[:300]
+    )

@@ -69,6 +69,10 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     # small dimension / frontier frames.
     "mixture_allocation": "per-source frame: #sources rows",
     "skyline_parts": "sweep over the local-pruned skyline frontier ≪ corpus",
+    # distributed_cumsum (operators/ranking.py): same bucket-offset
+    # machinery as distributed_rank — the unpartitioned prefix window
+    # runs over the ≤64-row bucket-totals aggregate only.
+    "ks_test_priority_revenue": "distributed_cumsum bucket-offset prefix: ≤64 rows",
 }
 
 _UNPART_WINDOW_RE = re.compile(r"\.Window$")

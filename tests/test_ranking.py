@@ -76,3 +76,35 @@ def test_ntile_from_rank_matches_builtin(spark, n):
         ).alias("got"),
     )
     assert out.filter(F.col("got") != F.col("want")).count() == 0
+
+
+def test_distributed_cumsum_matches_window(spark):
+    from is3107datapipelineproject_spark.operators.ranking import distributed_cumsum
+
+    df = _frame(spark).withColumn("a", (F.col("id") % 11).cast("long")).withColumn(
+        "b", (F.col("id") % 3).cast("long")
+    )
+    got = distributed_cumsum(df, "v", ["a", "b"], tiebreak_cols=["id"], n_buckets=8)
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select(
+        "id",
+        F.sum("a").over(w).cast("long").alias("a_cum"),
+        F.sum("b").over(w).cast("long").alias("b_cum"),
+    )
+    g = {r.id: (r.a_cum, r.b_cum) for r in got.select("id", "a_cum", "b_cum").collect()}
+    e = {r.id: (r.a_cum, r.b_cum) for r in want.collect()}
+    assert g == e
+
+
+def test_distributed_cumsum_constant_column(spark):
+    from is3107datapipelineproject_spark.operators.ranking import distributed_cumsum
+
+    df = _frame(spark, n=50).withColumn("v", F.lit(1)).withColumn(
+        "a", F.lit(2).cast("long")
+    )
+    got = distributed_cumsum(df, "v", ["a"], tiebreak_cols=["id"], n_buckets=8)
+    rows = {r.id: r.a_cum for r in got.collect()}
+    assert rows == {i: 2 * (i + 1) for i in range(50)}
