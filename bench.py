@@ -192,6 +192,8 @@ HEADLINE = [
     "ks_test_priority_revenue",
     "kmv_source_overlap",
     "dpp_modern_era_revenue",
+    "ols_price_qty_discount",
+    "bloom_join_brand_qty",
 ]
 
 

@@ -129,6 +129,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "ks_test_priority_revenue",
     "kmv_source_overlap",
     "dpp_modern_era_revenue",
+    "ols_price_qty_discount",
+    "bloom_join_brand_qty",
 )
 
 

@@ -1129,3 +1129,149 @@ def q_dpp_modern_era_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+
+
+
+@register(
+    "ols_price_qty_discount",
+    oracle="""
+WITH s AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 10000) AS BIGINT) AS d,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(q AS DECIMAL(38,0))) AS sq, sum(CAST(d AS DECIMAL(38,0))) AS sd,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(q AS DECIMAL(38,0)) * q) AS sqq,
+         sum(CAST(q AS DECIMAL(38,0)) * d) AS sqd,
+         sum(CAST(d AS DECIMAL(38,0)) * d) AS sdd,
+         sum(CAST(q AS DECIMAL(38,0)) * y) AS sqy,
+         sum(CAST(d AS DECIMAL(38,0)) * y) AS sdy,
+         sum(CAST(y AS DECIMAL(38,0)) * y) AS syy
+  FROM s
+),
+f AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(sq AS DOUBLE) AS sq, CAST(sd AS DOUBLE) AS sd,
+         CAST(sy AS DOUBLE) AS sy, CAST(sqq AS DOUBLE) AS sqq, CAST(sqd AS DOUBLE) AS sqd,
+         CAST(sdd AS DOUBLE) AS sdd, CAST(sqy AS DOUBLE) AS sqy, CAST(sdy AS DOUBLE) AS sdy,
+         CAST(syy AS DOUBLE) AS syy
+  FROM m
+),
+b AS (
+  SELECT n, sy, sqy, sdy, syy,
+         round((sy*(sqq*sdd - sqd*sqd) - sq*(sqy*sdd - sqd*sdy) + sd*(sqy*sqd - sqq*sdy))
+               / (n*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd)), 6) AS b0,
+         round((n*(sqy*sdd - sqd*sdy) - sy*(sq*sdd - sqd*sd) + sd*(sq*sdy - sqy*sd))
+               / (n*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd)), 6) AS b1,
+         round((n*(sqq*sdy - sqy*sqd) - sq*(sq*sdy - sqy*sd) + sy*(sq*sqd - sqq*sd))
+               / (n*(sqq*sdd - sqd*sqd) - sq*(sq*sdd - sqd*sd) + sd*(sq*sqd - sqq*sd)), 6) AS b2
+  FROM f
+)
+SELECT CAST(n AS BIGINT) AS n_rows, b0, b1, b2,
+       round(1.0 - (syy - b0*sy - b1*sqy - b2*sdy) / (syy - sy*sy/n), 6) AS r2
+FROM b
+""",
+    tags=("warehouse", "stats"),
+)
+def q_ols_price_qty_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature closed-form OLS — extendedprice (cents) on quantity
+    and discount (basis points) with intercept — the 'regression at
+    100 TB is just moments' shape: ONE scan accumulates the ten exact
+    DECIMAL(38,0) sums of the normal equations (all partial-aggregated
+    map-side, no shuffle beyond one 1-row aggregate), the 3x3 system is
+    solved in closed form by Cramer's rule over a single double cast of
+    those sums, and R² falls out of the same moments — no residual
+    second pass, no iteration, no driver-side data. Coefficients are
+    rounded to 6dp BEFORE feeding the R² expression so every derived
+    number is engine-identical."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("d"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("q")).alias("sq"), F.sum(dec("d")).alias("sd"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("q") * F.col("q")).alias("sqq"),
+        F.sum(dec("q") * F.col("d")).alias("sqd"),
+        F.sum(dec("d") * F.col("d")).alias("sdd"),
+        F.sum(dec("q") * F.col("y")).alias("sqy"),
+        F.sum(dec("d") * F.col("y")).alias("sdy"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+    )
+    dbl = {c: F.col(c).cast("double") for c in
+           ["n", "sq", "sd", "sy", "sqq", "sqd", "sdd", "sqy", "sdy", "syy"]}
+    n, sq, sd, sy = dbl["n"], dbl["sq"], dbl["sd"], dbl["sy"]
+    sqq, sqd, sdd = dbl["sqq"], dbl["sqd"], dbl["sdd"]
+    sqy, sdy, syy = dbl["sqy"], dbl["sdy"], dbl["syy"]
+    det = n * (sqq * sdd - sqd * sqd) - sq * (sq * sdd - sqd * sd) + sd * (sq * sqd - sqq * sd)
+    b0 = F.round((sy * (sqq * sdd - sqd * sqd) - sq * (sqy * sdd - sqd * sdy)
+                  + sd * (sqy * sqd - sqq * sdy)) / det, 6)
+    b1 = F.round((n * (sqy * sdd - sqd * sdy) - sy * (sq * sdd - sqd * sd)
+                  + sd * (sq * sdy - sqy * sd)) / det, 6)
+    b2 = F.round((n * (sqq * sdy - sqy * sqd) - sq * (sq * sdy - sqy * sd)
+                  + sy * (sq * sqd - sqq * sd)) / det, 6)
+    out = m.select(
+        F.col("n").alias("n_rows"),
+        b0.alias("b0"), b1.alias("b1"), b2.alias("b2"),
+        sy.alias("__sy"), sqy.alias("__sqy"), sdy.alias("__sdy"),
+        syy.alias("__syy"), n.alias("__n"),
+    )
+    r2 = F.round(
+        1.0
+        - (F.col("__syy") - F.col("b0") * F.col("__sy") - F.col("b1") * F.col("__sqy")
+           - F.col("b2") * F.col("__sdy"))
+        / (F.col("__syy") - F.col("__sy") * F.col("__sy") / F.col("__n")),
+        6,
+    )
+    return out.select("n_rows", "b0", "b1", "b2", r2.alias("r2"))
+
+
+@register(
+    "bloom_join_brand_qty",
+    oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+GROUP BY 1
+""",
+    tags=("warehouse", "join", "layout"),
+)
+def q_bloom_join_brand_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective-dimension fact join — one brand's lineitem volume. The
+    query itself is a plain dim-filtered join; what it carries is the
+    RUNTIME ROW-FILTER contract: when the fact side is large (the
+    100 TB regime — simulated in test_runtime_bloom_filter_join by
+    lowering the application-side threshold), Spark injects a
+    bloom_filter_agg over the filtered dim keys and a might_contain
+    predicate into the FACT SCAN'S filter, discarding non-matching rows
+    before the join exchange — the row-level sibling of DPP's
+    partition-level pruning, and it needs no partitioning or layout at
+    all. At toy SF the optimizer correctly skips the filter (the scan
+    is below the threshold); the correctness contract is identical
+    either way, which is why one oracle serves both regimes."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey", "p_brand"
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("total_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )

@@ -184,3 +184,29 @@ def test_dpp_plan_prunes_partitions(spark):
     assert "dynamicpruning" in m.group(0), (
         "fact scan must be dynamically pruned: " + m.group(0)[:300]
     )
+
+
+def test_runtime_bloom_filter_join(spark):
+    """bloom_join_brand_qty's 100 TB contract: with the application-side
+    size threshold lowered to simulate a big fact scan (and broadcast
+    off so the join actually shuffles), Spark must inject a
+    bloom_filter_agg over the filtered dim keys and a ``might_contain``
+    predicate into the fact side — runtime row-level pruning, the
+    sibling of DPP's partition-level pruning."""
+    fn = registry.queries()["bloom_join_brand_qty"]
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        plan = _plan(fn(spark, SF))
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan, "fact side must carry the runtime bloom probe"
+    assert "bloom_filter_agg" in plan, "dim side must build the bloom filter"
