@@ -610,6 +610,17 @@ def bpe_learn_merges(
     pattern as the z-order bounds guard), and the rewritten vocabulary
     is eagerly localCheckpoint'd so round r+1's plan does not replay
     rounds 1..r."""
+    merges, _ = _bpe_train(df, text_col, rounds, passes)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, pair string, merge_count long"
+    )
+
+
+def _bpe_train(df, text_col: str, rounds: int, passes: int):
+    """Shared BPE training loop: returns (merge list, final rewritten
+    word-frequency frame ``(seq, freq)``) — the second return is what a
+    fertility/compression audit consumes without replaying the loop."""
     toks = df.select(F.explode(ws_tokens(text_col)).alias("token"))
     vocab = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("freq"))
     cur = vocab.select(
@@ -650,7 +661,28 @@ def bpe_learn_merges(
         for _ in range(passes):
             newseq = F.replace(newseq, search, repl)
         cur = cur.select(newseq.alias("seq"), "freq").localCheckpoint(eager=True)
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        merges, "merge_rank int, pair string, merge_count long"
+    return merges, cur
+
+
+def bpe_fertility_stats(df, text_col: str, rounds: int = 3, passes: int = 8):
+    """Tokenizer-fertility audit: train ``rounds`` BPE merges, ENCODE
+    the word-frequency table with them, and report corpus totals —
+    words, characters, post-merge tokens, and chars/token (the
+    compression a tokenizer buys, the number a pretraining-budget
+    planner actually consumes). The encode is free: the training loop's
+    final rewritten vocabulary IS the encoding of every distinct word,
+    so corpus totals are frequency-weighted sums over the vocab —
+    corpus-scale work remains the one word-count aggregate."""
+    _, cur = _bpe_train(df, text_col, rounds, passes)
+    word = F.replace(F.trim(F.col("seq")), F.lit(" "), F.lit(""))
+    n_tok = F.size(F.split(F.trim(F.col("seq")), " "))
+    return cur.agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.length(word)).cast("long").alias("n_chars"),
+        F.sum(F.col("freq") * n_tok).cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("freq") * F.length(word)).cast("double")
+            / F.sum(F.col("freq") * n_tok).cast("double"),
+            4,
+        ).alias("chars_per_token"),
     )

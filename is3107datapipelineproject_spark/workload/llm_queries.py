@@ -2233,6 +2233,35 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_fertility",
+    oracle=_bpe_learn_sql().split("\nSELECT CAST(merge_rank")[0]
+    + """
+SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+       CAST(sum(freq * length(replace(trim(seq), ' ', ''))) AS BIGINT) AS n_chars,
+       CAST(sum(freq * len(string_split(trim(seq), ' '))) AS BIGINT) AS n_tokens,
+       round(CAST(sum(freq * length(replace(trim(seq), ' ', ''))) AS DOUBLE)
+             / sum(freq * len(string_split(trim(seq), ' '))), 4) AS chars_per_token
+FROM v3
+""",
+    tags=("text", "tokenizer", "llm"),
+)
+def q_bpe_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility/compression after the 3 learned BPE merges:
+    corpus words, characters, post-merge tokens, and chars-per-token —
+    the budget number (tokens per unit text) a pretraining planner
+    feeds into data-mixture math. The encode costs nothing beyond
+    training: the loop's final rewritten vocabulary IS every distinct
+    word's encoding, so the totals are frequency-weighted sums over the
+    vocab frame (operators/text.py::bpe_fertility_stats); the oracle
+    reuses the same unrolled CTE chain and aggregates its final
+    vocabulary state."""
+    from is3107datapipelineproject_spark.operators.text import bpe_fertility_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_fertility_stats(docs, "text")
+
+
+@register(
     "readability_score",
     oracle=f"""
 WITH m AS (

@@ -131,6 +131,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "dpp_modern_era_revenue",
     "ols_price_qty_discount",
     "bloom_join_brand_qty",
+    "bpe_token_fertility",
+    "time_to_convert_quantiles",
 )
 
 

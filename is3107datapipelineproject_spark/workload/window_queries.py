@@ -1934,3 +1934,72 @@ def q_ks_test_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").alias("ks_at"),
         )
     )
+
+
+@register(
+    "time_to_convert_quantiles",
+    oracle="""
+WITH fv AS (
+  SELECT user_id, min(ts) AS fv FROM events WHERE event_type = 'view' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, f.fv, min(e.ts) AS fp
+  FROM events e JOIN fv f USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > f.fv GROUP BY 1, 2
+),
+d AS (SELECT user_id, (epoch_us(fp) - epoch_us(fv)) // 1000000 AS dur_s FROM fp),
+r AS (
+  SELECT user_id, dur_s,
+         row_number() OVER (ORDER BY dur_s, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM d
+)
+SELECT q, CAST(n AS BIGINT) AS n_users, CAST(dur_s AS BIGINT) AS seconds
+FROM r JOIN (VALUES (25), (50), (75), (90)) t(q)
+  ON rn = CAST(ceil(q * n / 100.0) AS BIGINT)
+""",
+    tags=("events", "funnel", "stats"),
+)
+def q_time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT conversion-latency percentiles (P25/50/75/90 of first-view
+    → first-subsequent-purchase, in whole seconds) — the funnel-health
+    distribution behind events_funnel's counts. Durations are exact
+    BIGINT seconds (µs difference floor-divided — both engines take the
+    same integer floor); the percentile is the rank-statistics
+    definition (value at rank ⌈q·n/100⌉ under a total order), computed
+    with the two-level distributed rank so no single task ever sorts
+    the per-user duration frame, then a 4-row broadcast of the
+    requested quantiles picks the target ranks. Exact order statistics
+    at corpus scale — the honest sibling of the t-digest approximation
+    in approx_percentile_tdigest."""
+    from is3107datapipelineproject_spark.operators.ranking import distributed_rank
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    fv = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("fv")
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("fv"))
+        .groupBy("user_id", "fv")
+        .agg(F.min("ts").alias("fp"))
+    )
+    d = fp.select(
+        "user_id",
+        F.floor(
+            (F.unix_micros("fp") - F.unix_micros("fv")) / F.lit(1000000.0)
+        ).cast("long").alias("dur_s"),
+    )
+    r = distributed_rank(d, "dur_s", ["user_id"], rank_col="rn", count_col="n")
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(25), F.lit(50), F.lit(75), F.lit(90))).alias("q")
+    )
+    return (
+        r.crossJoin(F.broadcast(qs))
+        .filter(
+            F.col("rn")
+            == F.ceil(F.col("q") * F.col("n") / F.lit(100.0)).cast("long")
+        )
+        .select("q", F.col("n").alias("n_users"), F.col("dur_s").alias("seconds"))
+    )

@@ -73,6 +73,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     # machinery as distributed_rank — the unpartitioned prefix window
     # runs over the ≤64-row bucket-totals aggregate only.
     "ks_test_priority_revenue": "distributed_cumsum bucket-offset prefix: ≤64 rows",
+    "time_to_convert_quantiles": "distributed_rank bucket-offset prefix: ≤64 rows",
 }
 
 _UNPART_WINDOW_RE = re.compile(r"\.Window$")
