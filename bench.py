@@ -196,6 +196,12 @@ HEADLINE = [
     "bloom_join_brand_qty",
     "bpe_token_fertility",
     "time_to_convert_quantiles",
+    "classifier_calibration",
+    "winsorized_revenue_stats",
+    "quality_auc",
+    "precision_recall_curve",
+    "multiplier_bootstrap_ci",
+    "kneser_ney_bigram",
 ]
 
 

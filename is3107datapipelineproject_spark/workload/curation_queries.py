@@ -1419,3 +1419,348 @@ def q_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(alloc1 + IF(r > 0, least(cap - alloc1, (l * (cap - alloc1)) DIV r), 0) AS BIGINT)"
         ).alias("alloc"),
     )
+
+
+from is3107datapipelineproject_spark.workload.llm_queries import (  # noqa: E402
+    SQL_TOKS as _SQL_TOKS_CAL,
+)
+
+
+@register(
+    "classifier_calibration",
+    oracle=f"""
+WITH qc AS ({_qc_oracle(0.78)}),
+t2 AS (SELECT doc_id, text, {{toks}} AS toks FROM documents),
+m2 AS (SELECT doc_id,
+              CAST(len(toks) AS DOUBLE) AS n,
+              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+              CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                / length(text) AS pr
+       FROM t2),
+h AS (SELECT doc_id,
+             round(0.5 * least(1.0, n / 100.0) + 0.3 * ttr + 0.2 * (1.0 - pr), 4) AS quality
+      FROM m2),
+j AS (
+  SELECT CAST(round(qc.quality_prob * 10000) AS BIGINT) AS p4,
+         CASE WHEN h.quality >= 0.55 THEN 1 ELSE 0 END AS lbl
+  FROM qc JOIN h USING (doc_id)
+),
+b AS (SELECT CAST(least(p4 // 1000, 9) AS INT) AS decile, p4, lbl FROM j)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(p4) AS DOUBLE) / (count(*) * 10000.0), 4) AS mean_prob,
+       round(CAST(sum(lbl) AS DOUBLE) / count(*), 4) AS frac_quality
+FROM b GROUP BY 1
+""".replace("{toks}", _SQL_TOKS_CAL),
+    tags=("curation", "diagnostics", "llm"),
+)
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the model-based quality stage: decile-
+    bucket the logistic quality_prob and compare each bucket's mean
+    predicted probability against the fraction the INDEPENDENT
+    heuristic quality_score (>= 0.55) calls quality — the calibration
+    audit run before trusting a learned filter to allocate a data
+    budget (a well-calibrated bucket has mean_prob ≈ frac_quality).
+    Integer-exact everywhere: the 4-dp prob becomes BIGINT
+    ten-thousandths, the decile is integer division of that (no
+    float-boundary drift at 0.7000), and both per-bucket means are one
+    rounded division of exact sums. One corpus scan computes both
+    feature sets; the aggregate is 10 rows."""
+    from is3107datapipelineproject_spark.operators import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    qc = C.quality_classifier(docs, "text", "doc_id", threshold=_QC_THRESHOLD)
+    h = docs.select(
+        "doc_id", F.round(X.quality_score("text"), 4).alias("quality")
+    )
+    j = qc.join(h, "doc_id").select(
+        F.round(F.col("quality_prob") * 10000).cast("long").alias("p4"),
+        F.when(F.col("quality") >= 0.55, 1).otherwise(0).alias("lbl"),
+    )
+    b = j.select(
+        F.least(F.floor(F.col("p4") / 1000), F.lit(9)).cast("int").alias("decile"),
+        "p4",
+        "lbl",
+    )
+    return b.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("p4").cast("double") / (F.count(F.lit(1)) * 10000.0), 4
+        ).alias("mean_prob"),
+        F.round(F.sum("lbl").cast("double") / F.count(F.lit(1)), 4).alias(
+            "frac_quality"
+        ),
+    )
+
+
+# Shared scored-and-labeled frame for the classifier-evaluation family
+# (classifier_calibration / quality_auc / precision_recall_curve): the
+# logistic quality_prob as BIGINT ten-thousandths next to the
+# INDEPENDENT heuristic-quality binary label.
+def _scored_label_oracle() -> str:
+    return f"""
+qc AS ({_qc_oracle(_QC_THRESHOLD)}),
+t9 AS (SELECT doc_id, text, {_SQL_TOKS_CAL} AS toks FROM documents),
+m9 AS (SELECT doc_id,
+              CAST(len(toks) AS DOUBLE) AS n,
+              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+              CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+                / length(text) AS pr
+       FROM t9),
+h9 AS (SELECT doc_id,
+              round(0.5 * least(1.0, n / 100.0) + 0.3 * ttr + 0.2 * (1.0 - pr), 4) AS quality
+       FROM m9),
+j9 AS (
+  SELECT CAST(round(qc.quality_prob * 10000) AS BIGINT) AS p4,
+         CASE WHEN h9.quality >= 0.55 THEN 1 ELSE 0 END AS lbl
+  FROM qc JOIN h9 USING (doc_id)
+)"""
+
+
+def _scored_label_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    qc = C.quality_classifier(docs, "text", "doc_id", threshold=_QC_THRESHOLD)
+    h = docs.select("doc_id", F.round(X.quality_score("text"), 4).alias("quality"))
+    return qc.join(h, "doc_id").select(
+        F.round(F.col("quality_prob") * 10000).cast("long").alias("p4"),
+        F.when(F.col("quality") >= 0.55, 1).otherwise(0).cast("long").alias("lbl"),
+    )
+
+
+@register(
+    "quality_auc",
+    oracle=f"""
+WITH {_scored_label_oracle()},
+g AS (SELECT p4, count(*) AS cnt, sum(lbl) AS pos FROM j9 GROUP BY 1),
+c AS (SELECT p4, cnt, pos,
+             sum(cnt) OVER (ORDER BY p4 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_cum
+      FROM g),
+s AS (SELECT
+        sum(CAST(pos AS HUGEINT) * (2 * (cnt_cum - cnt) + cnt + 1)) AS s2,
+        sum(CAST(pos AS HUGEINT)) AS p,
+        sum(CAST(cnt - pos AS HUGEINT)) AS nneg,
+        sum(CAST(cnt AS HUGEINT)) AS ntot,
+        sum(CAST(pos AS HUGEINT) * (p4 - 10000) * (p4 - 10000)
+            + CAST(cnt - pos AS HUGEINT) * p4 * p4) AS bsum
+      FROM c)
+SELECT CAST(p AS BIGINT) AS n_pos,
+       CAST(nneg AS BIGINT) AS n_neg,
+       round(CAST(s2 - p * (p + 1) AS DOUBLE)
+             / (2.0 * CAST(p AS DOUBLE) * CAST(nneg AS DOUBLE)), 4) AS auc,
+       round(CAST(bsum AS DOUBLE) / (CAST(ntot AS DOUBLE) * 100000000.0), 4) AS brier
+FROM s
+""",
+    tags=("curation", "diagnostics", "stats", "llm"),
+)
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC AUC (Mann-Whitney rank-sum with the tie-average
+    correction) plus the Brier score for the learned quality filter
+    against the independent heuristic label — the threshold-free
+    discrimination + calibration summary pair that decides whether a
+    learned filter is trusted with a data budget at all. Scale shape:
+    the doc-level frame collapses to per-score-value (cnt, pos) counts
+    — AT MOST 10001 groups forever, because the score is a 4-dp
+    probability — and the running total over that bounded frame goes
+    through the two-level distributed_cumsum (no single-task sort even
+    if scores were unbounded). Integer-exact: rank sums are doubled to
+    stay integral under tie-averaging, accumulated in DECIMAL(38,0)
+    (HUGEINT on the oracle side), two rounded float divisions at the
+    very end."""
+    from is3107datapipelineproject_spark.operators.ranking import distributed_cumsum
+
+    j = _scored_label_frame(spark, sf_dir)
+    # The (cnt, pos)-per-score table is <= 10001 rows forever; checkpoint
+    # it eagerly so distributed_cumsum's multi-consumer DAG (quantile
+    # probe + local sums + bucket totals + offset join) pays the
+    # tokenize -> score -> join pipeline exactly once.
+    g = (
+        j.groupBy("p4")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("lbl").alias("pos"))
+        .localCheckpoint(eager=True)
+    )
+    c = distributed_cumsum(g, "p4", ["cnt"])
+    dec = lambda col: col.cast("decimal(38,0)")
+    s = c.agg(
+        F.sum(
+            dec(F.col("pos"))
+            * (2 * (F.col("cnt_cum") - F.col("cnt")) + F.col("cnt") + 1)
+        ).alias("s2"),
+        F.sum(dec(F.col("pos"))).alias("p"),
+        F.sum(dec(F.col("cnt") - F.col("pos"))).alias("nneg"),
+        F.sum(dec(F.col("cnt"))).alias("ntot"),
+        F.sum(
+            dec(F.col("pos")) * (F.col("p4") - 10000) * (F.col("p4") - 10000)
+            + dec(F.col("cnt") - F.col("pos")) * F.col("p4") * F.col("p4")
+        ).alias("bsum"),
+    )
+    return s.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("s2") - F.col("p") * (F.col("p") + 1)).cast("double")
+            / (2.0 * F.col("p").cast("double") * F.col("nneg").cast("double")),
+            4,
+        ).alias("auc"),
+        F.round(
+            F.col("bsum").cast("double") / (F.col("ntot").cast("double") * 1e8), 4
+        ).alias("brier"),
+    )
+
+
+@register(
+    "precision_recall_curve",
+    oracle=f"""
+WITH {_scored_label_oracle()},
+b AS (SELECT CAST(least(p4 // 1000, 9) AS INT) AS decile, lbl FROM j9),
+g AS (SELECT decile, count(*) AS cnt, sum(lbl) AS pos FROM b GROUP BY 1),
+c AS (SELECT decile,
+             sum(pos) OVER (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(cnt) OVER (ORDER BY decile DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS predpos
+      FROM g),
+tot AS (SELECT sum(pos) AS p_all, sum(cnt) AS n_all FROM g)
+SELECT CAST(c.decile AS INT) AS decile,
+       c.decile / 10.0 AS threshold,
+       CAST(tp AS BIGINT) AS tp,
+       CAST(predpos - tp AS BIGINT) AS fp,
+       CAST(p_all - tp AS BIGINT) AS fn,
+       round(CAST(tp AS DOUBLE) / CAST(predpos AS DOUBLE), 4) AS prec,
+       round(CAST(tp AS DOUBLE) / CAST(p_all AS DOUBLE), 4) AS recall,
+       round(2.0 * tp / CAST(predpos + p_all AS DOUBLE), 4) AS f1,
+       round(CAST(tp AS DOUBLE) * n_all / (CAST(predpos AS DOUBLE) * p_all), 4) AS lift
+FROM c, tot
+""",
+    tags=("curation", "diagnostics", "stats", "llm"),
+)
+def q_precision_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 / lift at every decile threshold of the
+    learned quality score — the operating-point table a curation run
+    reads to pick the score cutoff that hits a recall target (with the
+    base-rate lift column showing how much better than random each
+    cutoff selects). The corpus collapses to AT MOST 10 decile rows in
+    one map-side-combined groupBy; the descending cumulative TP /
+    predicted-positive sums run over that bounded frame (allowlisted:
+    the decile key is least(p4//1000, 9), so the windowed frame can
+    never exceed 10 rows at any corpus size). F1 and lift are computed
+    from exact integer counts in one float expression and rounded once
+    — F1 = 2·TP/(predpos + P) avoids chaining the already-rounded
+    precision/recall."""
+    j = _scored_label_frame(spark, sf_dir)
+    b = j.select(
+        F.least(F.floor(F.col("p4") / 1000), F.lit(9)).cast("int").alias("decile"),
+        "lbl",
+    )
+    g = b.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("lbl").alias("pos")
+    )
+    w = (
+        Window.orderBy(F.col("decile").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "decile",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum("cnt").over(w).alias("predpos"),
+    )
+    tot = g.agg(F.sum("pos").alias("p_all"), F.sum("cnt").alias("n_all"))
+    out = c.crossJoin(F.broadcast(tot))
+    return out.select(
+        F.col("decile").cast("int").alias("decile"),
+        (F.col("decile") / F.lit(10.0)).alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        (F.col("predpos") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("p_all") - F.col("tp")).cast("long").alias("fn"),
+        F.round(F.col("tp").cast("double") / F.col("predpos").cast("double"), 4).alias("prec"),
+        F.round(F.col("tp").cast("double") / F.col("p_all").cast("double"), 4).alias("recall"),
+        F.round(
+            F.lit(2.0) * F.col("tp") / (F.col("predpos") + F.col("p_all")).cast("double"), 4
+        ).alias("f1"),
+        F.round(
+            F.col("tp").cast("double") * F.col("n_all")
+            / (F.col("predpos").cast("double") * F.col("p_all")),
+            4,
+        ).alias("lift"),
+    )
+
+
+def _kn_oracle() -> str:
+    from is3107datapipelineproject_spark.workload.llm_queries import SQL_TOKS
+
+    return f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
+),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+cp AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cpx, CAST(count(*) AS BIGINT) AS nf
+       FROM cb GROUP BY 1),
+pr AS (SELECT w2, CAST(count(*) AS BIGINT) AS npred FROM cb GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS bt FROM cb),
+p AS (SELECT w1, w2, c,
+             round((CAST(c AS DOUBLE) - 0.75) / cpx
+                   + 0.75 * nf / cpx * (npred / CAST(bt AS DOUBLE)), 4) AS p_kn
+      FROM cb JOIN cp USING (w1) JOIN pr USING (w2) CROSS JOIN tot)
+SELECT w1, w2, c AS n_pair, p_kn
+FROM p ORDER BY p_kn DESC, w1, w2 LIMIT 200
+"""
+
+
+@register(
+    "kneser_ney_bigram",
+    oracle=_kn_oracle(),
+    tags=("curation", "text", "llm"),
+)
+def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 bigrams by Kneser-Ney smoothed conditional probability
+    (absolute discount d = 0.75, continuation-count backoff) — the LM
+    estimate that fixes MLE's two failure modes at once: probability
+    mass is reserved for unseen continuations, and the backoff weight
+    of a word is how many DISTINCT contexts it follows (continuation
+    count), not its raw frequency — the statistic behind "san
+    francisco"-style burst words scoring low out of context. Everything
+    derives from the bigram count table: prefix totals + distinct-
+    follower counts from one groupBy(w1), distinct-predecessor counts
+    from one groupBy(w2), the distinct-bigram total as a broadcast
+    1-row scalar — all Zipf-bounded far below corpus size but joined on
+    their keys, never assumed broadcastable. p_kn is one pinned-order
+    double expression over exact integers, rounded before the ranked
+    cut (TakeOrderedAndProject: per-partition top-200 + merge, no
+    global sort)."""
+    from is3107datapipelineproject_spark.operators.text import ws_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    arr = ws_tokens("text")
+    pairs = F.filter(
+        F.zip_with(
+            arr,
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    bg = docs.select(F.explode(pairs).alias("__p")).select(
+        F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2")
+    )
+    cb = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cp = cb.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cpx"), F.count(F.lit(1)).alias("nf")
+    )
+    pr = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("npred"))
+    tot = cb.agg(F.count(F.lit(1)).alias("bt"))
+    p_kn = F.round(
+        (F.col("c").cast("double") - 0.75) / F.col("cpx")
+        + F.lit(0.75) * F.col("nf") / F.col("cpx")
+        * (F.col("npred") / F.col("bt").cast("double")),
+        4,
+    )
+    p = (
+        cb.join(cp, "w1")
+        .join(pr, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", F.col("c").alias("n_pair"), p_kn.alias("p_kn"))
+    )
+    return p.orderBy(F.col("p_kn").desc(), "w1", "w2").limit(200)

@@ -107,17 +107,18 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # --- changed in round 6 after their last green sample (2) ---------
     "window_ntile_cume",
     "copurchase_pagerank",
-    # --- new in round 6: no external evidence yet (6) -----------------
+    # --- new in round 6 session 1: no external evidence yet (6) -------
     "edge_table_build",
     "pagerank_from_edges",
     "kcore_from_edges",
     "ann_index_build",
     "ivfpq_topk_from_index",
     "incremental_prefix_jaccard",
-    # --- new in round-6 session 2: positions 51+ are OUTSIDE this
+    # --- new in round-6 session 2 (13): positions 51+ are OUTSIDE this
     # round's 50-slot driver sample window by design (the 42 never-
     # sampled queries above must not be evicted); they are the head of
-    # NEXT round's rotation. Locally oracle-green via tools/rehearse.
+    # NEXT round's rotation. All locally oracle-green via tools/rehearse
+    # AND the fresh-process /tmp driver simulation.
     "ewma_daily_revenue",
     "autocorr_daily_revenue",
     "cluster_silhouette",
@@ -133,6 +134,12 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "bloom_join_brand_qty",
     "bpe_token_fertility",
     "time_to_convert_quantiles",
+    "classifier_calibration",
+    "winsorized_revenue_stats",
+    "quality_auc",
+    "precision_recall_curve",
+    "multiplier_bootstrap_ci",
+    "kneser_ney_bigram",
 )
 
 

@@ -2003,3 +2003,237 @@ def q_time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q", F.col("n").alias("n_users"), F.col("dur_s").alias("seconds"))
     )
+
+
+@register(
+    "winsorized_revenue_stats",
+    oracle="""
+WITH s AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+),
+r AS (
+  SELECT v, row_number() OVER (ORDER BY v, o_orderkey) AS rn,
+         count(*) OVER () AS n
+  FROM s
+),
+k AS (
+  SELECT CAST(ceil(0.05 * n) AS BIGINT) AS klo,
+         CAST(ceil(0.95 * n) AS BIGINT) AS khi, n
+  FROM r LIMIT 1
+),
+cut AS (
+  SELECT k.n, k.klo, k.khi,
+         (SELECT v FROM r WHERE rn = k.klo) AS vlo,
+         (SELECT v FROM r WHERE rn = k.khi) AS vhi
+  FROM k
+),
+agg AS (
+  SELECT
+    sum(CAST(v AS DECIMAL(38,0))) AS sv,
+    sum(CAST(least(greatest(v, c.vlo), c.vhi) AS DECIMAL(38,0))) AS sw,
+    sum(CASE WHEN rn >= c.klo AND rn <= c.khi THEN CAST(v AS DECIMAL(38,0)) END) AS st,
+    sum(CASE WHEN rn >= c.klo AND rn <= c.khi THEN 1 ELSE 0 END) AS nt
+  FROM r, cut c
+)
+SELECT CAST(c.n AS BIGINT) AS n_orders,
+       round(CAST(a.sv AS DOUBLE) / c.n / 100.0, 4) AS mean_revenue,
+       round(CAST(a.sw AS DOUBLE) / c.n / 100.0, 4) AS winsorized_mean,
+       round(CAST(a.st AS DOUBLE) / a.nt / 100.0, 4) AS trimmed_mean
+FROM agg a, cut c
+""",
+    tags=("warehouse", "stats"),
+)
+def q_winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust revenue statistics with EXACT rank-based cutoffs: the
+    plain mean next to the P5/P95-winsorized mean (tails clamped to the
+    exact order-statistic values) and the trimmed mean (tails dropped)
+    — the outlier-robust trio a revenue report runs when a few mega-
+    orders would otherwise own the average. The cutoff VALUES are exact
+    order statistics from the two-level distributed rank (no
+    single-task sort, no approximate quantiles — approx cutoffs would
+    make the result non-reproducible across runs); clamp and sums are
+    exact DECIMAL(38,0) integer arithmetic over BIGINT cents, three
+    rounded divisions at the end."""
+    from is3107datapipelineproject_spark.operators.ranking import distributed_rank
+
+    s = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    r = distributed_rank(s, "v", ["o_orderkey"], rank_col="rn", count_col="n")
+    k = r.select(
+        F.ceil(0.05 * F.col("n")).cast("long").alias("klo"),
+        F.ceil(0.95 * F.col("n")).cast("long").alias("khi"),
+        F.col("n").alias("n_all"),
+    ).limit(1)
+    vlo = r.join(F.broadcast(k), F.col("rn") == F.col("klo")).select(
+        F.col("v").alias("vlo")
+    )
+    vhi = r.join(F.broadcast(k.select("khi")), F.col("rn") == F.col("khi")).select(
+        F.col("v").alias("vhi")
+    )
+    cut = k.crossJoin(F.broadcast(vlo)).crossJoin(F.broadcast(vhi))
+    dec = lambda c: c.cast("decimal(38,0)")
+    a = r.drop("n").crossJoin(F.broadcast(cut)).agg(
+        F.max("n_all").alias("n_orders"),
+        F.sum(dec(F.col("v"))).alias("sv"),
+        F.sum(dec(F.least(F.greatest(F.col("v"), F.col("vlo")), F.col("vhi")))).alias("sw"),
+        F.sum(
+            F.when(
+                (F.col("rn") >= F.col("klo")) & (F.col("rn") <= F.col("khi")),
+                dec(F.col("v")),
+            )
+        ).alias("st"),
+        F.sum(
+            F.when(
+                (F.col("rn") >= F.col("klo")) & (F.col("rn") <= F.col("khi")), 1
+            ).otherwise(0)
+        ).cast("long").alias("nt"),
+    )
+    return a.select(
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("sv").cast("double") / F.col("n_orders") / 100.0, 4).alias(
+            "mean_revenue"
+        ),
+        F.round(F.col("sw").cast("double") / F.col("n_orders") / 100.0, 4).alias(
+            "winsorized_mean"
+        ),
+        F.round(F.col("st").cast("double") / F.col("nt") / 100.0, 4).alias(
+            "trimmed_mean"
+        ),
+    )
+
+
+# Multiplier-bootstrap weight distribution: a 4-point law on {0,1,2,3}
+# with E[w] = 1 and Var[w] = 1 (the two moment conditions multiplier /
+# weighted bootstrap theory requires, cf. Mammen 1993), drawn from ONE
+# hex byte (256 levels) of an md5 digest: P = (110, 54, 74, 18)/256.
+# Cumulative byte cutoffs, interpolated into BOTH engines from here.
+_BOOT_CUTS = (110, 164, 238)  # w = #cutoffs <= byte  (110+54+74+18 = 256)
+_BOOT_B = 32
+_BOOT_LO = max(1, round(0.025 * _BOOT_B))  # rank of the 2.5% order stat
+_BOOT_HI = _BOOT_B + 1 - _BOOT_LO
+
+
+def _boot_oracle() -> str:
+    # _BOOT_B replicate draws from _BOOT_B/16 md5 calls: each 128-bit
+    # digest yields sixteen independent byte draws (hex substr 1,3,...,31).
+    w_of = lambda byte: " + ".join(f"CAST({byte} >= {c} AS INT)" for c in _BOOT_CUTS)
+    w_cols = []
+    for b in range(_BOOT_B):
+        h = f"md5('boot{b // 16}|' || CAST(o_orderkey AS VARCHAR))"
+        byte = f"CAST('0x' || substr({h}, {1 + 2 * (b % 16)}, 2) AS BIGINT)"
+        w_cols.append(f"({w_of(byte)}) AS w{b}")
+    w_sel = ",\n       ".join(w_cols)
+    sums = ",\n         ".join(
+        f"sum(CAST(w{b} AS HUGEINT) * v) AS swv{b}" for b in range(_BOOT_B)
+    )
+    b_list = ", ".join(str(b) for b in range(_BOOT_B))
+    mb_list = ", ".join(
+        f"round(CAST(swv{b} AS DOUBLE) / n_orders / 100.0, 4)" for b in range(_BOOT_B)
+    )
+    return f"""
+WITH v AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+w AS (SELECT v,
+       {w_sel}
+      FROM v),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             round(CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / count(*) / 100.0, 4) AS mean_revenue,
+         {sums}
+      FROM w),
+m AS (SELECT n_orders, mean_revenue,
+             unnest([{b_list}]) AS b, unnest([{mb_list}]) AS mb FROM a),
+q AS (SELECT n_orders, mean_revenue, mb,
+             row_number() OVER (ORDER BY mb, b) AS rn FROM m)
+SELECT n_orders, mean_revenue,
+       min(CASE WHEN rn = {_BOOT_LO} THEN mb END) AS ci_lo,
+       min(CASE WHEN rn = {_BOOT_HI} THEN mb END) AS ci_hi
+FROM q GROUP BY 1, 2
+""".strip()
+
+
+@register(
+    "multiplier_bootstrap_ci",
+    oracle=_boot_oracle(),
+    tags=("warehouse", "stats"),
+)
+def q_multiplier_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed multiplier (weighted) bootstrap: a 95%-ish
+    confidence interval for mean order revenue from 32 resampling
+    replicates in ONE narrow scan with NO row multiplication — each row
+    contributes a deterministic mean-1/variance-1 multiplier weight to
+    every replicate (Mammen's moment conditions; the 4-point law on
+    {0,1,2,3} is drawn from single md5 BYTES, so 32 replicates cost 2
+    hashes per row and a weight is three flat byte comparisons), and
+    the 32 replicate sums are COLUMNS of one map-side-combined global
+    aggregate — the canonical multiplier form mean_b = (1/n)·Σ w·v
+    needs exactly one sum per replicate, keeping the aggregate at 34
+    fields, UNDER spark.sql.codegen.maxFields=100, so the whole
+    scan→project→partial-agg pipeline stays in whole-stage codegen.
+    (Rejected shapes, all measured: self-normalized 130-field aggregate
+    → codegen disabled + janino 64 KB blowup + ~10 s/plan analysis;
+    transform-over-sequence HOF → interpreted eval re-computing the
+    digest array per element, 256 md5/row; posexplode to a 64-group agg
+    → 64× row materialization, 16 s at sf0.1.) The shuffle moves one
+    partial row per task, never data. Replicate means un-pivot into a
+    frame of exactly 32 rows (allowlisted) whose extreme order
+    statistics are the CI (~94% nominal coverage at B=32 — rank
+    ceil(0.025·B) each side; raise _BOOT_B for tighter nominal level,
+    cost is linear). Draws are reproducible,
+    partition-independent, and bit-identical in both engines (weights
+    and cutoffs interpolated from one table); replicate sums accumulate
+    in DECIMAL(38,0) (HUGEINT oracle-side): w <= 3, cents <= ~6e7,
+    exact far past 100 TB row counts."""
+    v = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    key = F.col("o_orderkey").cast("string")
+    hdf = v.select(
+        "v",
+        *[
+            F.md5(F.concat(F.lit(f"boot{c}|"), key)).alias(f"h{c}")
+            for c in range(_BOOT_B // 16)
+        ],
+    )
+    w_cols = []
+    for b in range(_BOOT_B):
+        byte = F.conv(
+            F.substring(F.col(f"h{b // 16}"), 1 + 2 * (b % 16), 2), 16, 10
+        ).cast("long")
+        w_cols.append(
+            sum([(byte >= F.lit(cut)).cast("int") for cut in _BOOT_CUTS], F.lit(0)).alias(
+                f"w{b}"
+            )
+        )
+    wdf = hdf.select("v", *w_cols)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            4,
+        ).alias("mean_revenue"),
+    ] + [
+        F.sum(F.col(f"w{b}").cast("decimal(38,0)") * F.col("v")).alias(f"swv{b}")
+        for b in range(_BOOT_B)
+    ]
+    a = wdf.agg(*aggs)
+    mb = [
+        F.round(
+            F.col(f"swv{b}").cast("double") / F.col("n_orders") / 100.0, 4
+        ).alias(f"mb{b}")
+        for b in range(_BOOT_B)
+    ]
+    m = a.select(
+        "n_orders", "mean_revenue", F.posexplode(F.array(*mb)).alias("b", "mb")
+    )
+    q = m.select(
+        "n_orders",
+        "mean_revenue",
+        "mb",
+        F.row_number().over(Window.orderBy("mb", "b")).alias("rn"),
+    )
+    return q.groupBy("n_orders", "mean_revenue").agg(
+        F.min(F.when(F.col("rn") == _BOOT_LO, F.col("mb"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == _BOOT_HI, F.col("mb"))).alias("ci_hi"),
+    )

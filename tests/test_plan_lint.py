@@ -74,6 +74,13 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     # runs over the ≤64-row bucket-totals aggregate only.
     "ks_test_priority_revenue": "distributed_cumsum bucket-offset prefix: ≤64 rows",
     "time_to_convert_quantiles": "distributed_rank bucket-offset prefix: ≤64 rows",
+    "winsorized_revenue_stats": "distributed_rank bucket-offset prefix: ≤64 rows",
+    "quality_auc": "distributed_cumsum bucket-offset prefix: ≤64 rows",
+    # decile key is least(p4 // 1000, 9): the windowed frame is the
+    # 10-row decile aggregate at any corpus size.
+    "precision_recall_curve": "decile aggregate: ≤10 rows by construction",
+    # replicate-mean frame is exactly _BOOT_B = 64 rows at any corpus size
+    "multiplier_bootstrap_ci": "bootstrap replicate frame: exactly _BOOT_B=32 rows",
 }
 
 _UNPART_WINDOW_RE = re.compile(r"\.Window$")
