@@ -202,6 +202,8 @@ HEADLINE = [
     "precision_recall_curve",
     "multiplier_bootstrap_ci",
     "kneser_ney_bigram",
+    "fk_integrity_audit",
+    "trend_robust_stats",
 ]
 
 

@@ -140,6 +140,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "precision_recall_curve",
     "multiplier_bootstrap_ci",
     "kneser_ney_bigram",
+    "fk_integrity_audit",
+    "trend_robust_stats",
 )
 
 

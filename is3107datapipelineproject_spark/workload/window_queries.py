@@ -2237,3 +2237,193 @@ def q_multiplier_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rn") == _BOOT_LO, F.col("mb"))).alias("ci_lo"),
         F.min(F.when(F.col("rn") == _BOOT_HI, F.col("mb"))).alias("ci_hi"),
     )
+
+
+# FK edges of the star schema: (edge label, child table, child key,
+# parent table, parent key). Drives BOTH the Spark plan and the oracle.
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for label, ct, ck, pt, pk in _FK_EDGES:
+        parts.append(f"""
+SELECT '{label}' AS edge,
+       CAST(count(*) AS BIGINT) AS child_rows,
+       CAST(sum(CASE WHEN {ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_keys,
+       CAST(sum(CASE WHEN {ck} IS NOT NULL AND __hit IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+FROM (SELECT c.{ck}, p.__hit
+      FROM {ct} c LEFT JOIN (SELECT DISTINCT {pk}, 1 AS __hit FROM {pt}) p
+      ON c.{ck} = p.{pk})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "fk_integrity_audit",
+    oracle=_fk_oracle(),
+    tags=("warehouse", "dq"),
+)
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every foreign-key edge of the
+    star schema in one report: per edge, the child row count, NULL
+    foreign keys (not references, counted separately, never called
+    orphans), and orphan rows whose key has no parent — the
+    load-validation gate a warehouse runs after every ingest, and the
+    query that decides whether downstream inner joins silently drop
+    revenue. Plan shape per edge: child keys LEFT JOIN the
+    DISTINCT-projected parent key set (Catalyst broadcasts the real
+    dims; the fact-to-fact edge lineitem->orders shuffles on the join
+    key, the correct shape at 100 TB — neither side is assumed
+    broadcastable) collapsing map-side to one row; the 8 one-row
+    aggregates union into the report. Counts are exact BIGINTs, no
+    floats anywhere."""
+    out = None
+    for label, ct, ck, pt, pk in _FK_EDGES:
+        child = _t(spark, sf_dir, ct).select(F.col(ck).alias("k"))
+        par = (
+            _t(spark, sf_dir, pt)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        row = (
+            child.join(par, "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("child_rows"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("null_keys"),
+                F.sum(
+                    F.when(
+                        F.col("k").isNotNull() & F.col("__hit").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("orphans"),
+            )
+            .select(F.lit(label).alias("edge"), "child_rows", "null_keys", "orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "trend_robust_stats",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT a.d AS da, b.d AS db, a.cents AS ca, b.cents AS cb
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+sl AS (SELECT da, db, CAST(cb - ca AS DOUBLE) / date_diff('day', da, db) AS s FROM p),
+agg AS (SELECT CAST(sum(sign(cb - ca)) AS BIGINT) AS s_stat,
+               CAST(count(*) AS BIGINT) AS m FROM p),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+r AS (SELECT s, row_number() OVER (ORDER BY s, da, db) AS rn FROM sl),
+med AS (SELECT r.s FROM r, agg WHERE r.rn = (agg.m + 1) // 2)
+SELECT nn.n AS n_days, agg.m AS n_pairs, agg.s_stat,
+       round((CAST(agg.s_stat AS DOUBLE) - sign(CAST(agg.s_stat AS DOUBLE)))
+             / sqrt(nn.n * (nn.n - 1.0) * (2 * nn.n + 5) / 18.0), 4) AS z_stat,
+       round(med.s / 100.0, 4) AS sen_slope
+FROM agg, nn, med
+""",
+    tags=("warehouse", "timeseries", "stats"),
+)
+def q_trend_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric trend test + robust slope for the daily revenue
+    series: the Mann-Kendall S statistic and continuity-corrected z
+    (is revenue trending at all, with no normality assumption) next to
+    the Theil-Sen slope (the MEDIAN of all pairwise day-to-day slopes —
+    one mega-order day cannot drag it the way it drags OLS). Scale
+    shape: the fact collapses map-side to the day spine (#days rows —
+    bounded by the calendar, not the corpus), so the all-pairs frame is
+    days²/2 ≈ low millions FOREVER; the pair join broadcasts the tiny
+    spine, S and the pair count are exact BIGINT sums, and the exact
+    median slope is an order statistic from the two-level
+    distributed_rank (value at rank (m+1)//2, lower median, total
+    order pinned by (slope, day-pair)). z is one pinned-order double
+    expression over exact integers, rounded once; slopes are exact-int
+    ratios — IEEE-identical in both engines — and the selected median
+    rounds only at output."""
+    from is3107datapipelineproject_spark.operators.ranking import distributed_rank
+
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.date_trunc("day", "o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    p = a.join(F.broadcast(b), F.col("da") < F.col("db"))
+    # greatest(.., 1): ANSI guard only — Catalyst pushes an
+    # IsNotNull(bucket_expr) predicate containing this division into the
+    # pair join, where it evaluates on da == db pairs (datediff = 0)
+    # BEFORE the da < db condition drops them; every surviving pair has
+    # datediff >= 1, so the guard never changes a kept value.
+    # localCheckpoint: (1) the slope frame is BOUNDED (days²/2 rows
+    # forever), (2) distributed_rank consumes it 3× (quantile probe +
+    # ranked frame + bucket totals), and (3) without the cut Catalyst
+    # fuses the rank's bucket-assignment ArrayAggregate into the pair
+    # join's pushed IsNotNull predicate — an interpreted 63-element fold
+    # per candidate PAIR (measured: 92 s -> 21 s at sf0.01). The
+    # repartition matters too: AQE coalesces the tiny day aggregate to
+    # ONE partition, so without it every downstream map (the bucket
+    # fold over 2.9M pair rows) runs single-threaded (21 s -> ~4 s).
+    sl = (
+        p.select(
+            "da",
+            "db",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / F.greatest(F.datediff(F.col("db"), F.col("da")), F.lit(1))
+            ).alias("s"),
+        )
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    agg = p.agg(
+        F.sum(F.signum(F.col("cb") - F.col("ca"))).cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r = distributed_rank(sl, "s", ["da", "db"], rank_col="rn", count_col="cnt_all")
+    k = agg.select(F.floor((F.col("m") + 1) / 2).cast("long").alias("k"))
+    med = r.join(F.broadcast(k), F.col("rn") == F.col("k")).select(
+        F.col("s").alias("med_s")
+    )
+    z = F.round(
+        (F.col("s_stat").cast("double") - F.signum(F.col("s_stat").cast("double")))
+        / F.sqrt(
+            F.col("n") * (F.col("n") - F.lit(1.0)) * (2 * F.col("n") + 5) / F.lit(18.0)
+        ),
+        4,
+    )
+    return (
+        agg.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("m").alias("n_pairs"),
+            "s_stat",
+            z.alias("z_stat"),
+            F.round(F.col("med_s") / 100.0, 4).alias("sen_slope"),
+        )
+    )

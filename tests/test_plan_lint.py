@@ -81,6 +81,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "precision_recall_curve": "decile aggregate: ≤10 rows by construction",
     # replicate-mean frame is exactly _BOOT_B = 64 rows at any corpus size
     "multiplier_bootstrap_ci": "bootstrap replicate frame: exactly _BOOT_B=32 rows",
+    "trend_robust_stats": "distributed_rank bucket-offset prefix: ≤64 rows",
 }
 
 _UNPART_WINDOW_RE = re.compile(r"\.Window$")
