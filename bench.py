@@ -204,6 +204,7 @@ HEADLINE = [
     "kneser_ney_bigram",
     "fk_integrity_audit",
     "trend_robust_stats",
+    "group_exact_percentiles",
 ]
 
 

@@ -142,6 +142,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "kneser_ney_bigram",
     "fk_integrity_audit",
     "trend_robust_stats",
+    "group_exact_percentiles",
 )
 
 

@@ -2427,3 +2427,57 @@ def q_trend_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("med_s") / 100.0, 4).alias("sen_slope"),
         )
     )
+
+
+@register(
+    "group_exact_percentiles",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority AS pr, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+),
+r AS (
+  SELECT pr, v,
+         row_number() OVER (PARTITION BY pr ORDER BY v, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY pr) AS n
+  FROM s
+)
+SELECT pr AS o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_orders,
+       round(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) / 100.0, 4) AS p50,
+       round(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END) / 100.0, 4) AS p90
+FROM r GROUP BY 1
+""",
+    tags=("warehouse", "stats"),
+)
+def q_group_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group P50/P90 of order revenue (discrete order
+    statistics: the value at rank ceil(q·n) within each priority
+    group) computed scale-safely: groups here are CORPUS-SIZED (5
+    priorities × n/5 orders each), exactly the case where Spark's
+    built-in exact `percentile` aggregate — which buffers every value
+    of a group inside one aggregation buffer (see agg_percentiles, the
+    small-group tool) — becomes a single-executor memory bomb at
+    100 TB. The grouped distributed_rank keeps every task's sort at
+    ~n/64 rows regardless of group size; percentile extraction is then
+    one groupBy over rank-flagged rows. Cents stay BIGINT until the
+    one rounded division per statistic."""
+    from is3107datapipelineproject_spark.operators.ranking import distributed_rank
+
+    s = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    r = distributed_rank(
+        s, "v", ["o_orderkey"], group_cols=["pr"], rank_col="rn", count_col="n"
+    )
+    pick = lambda q: F.max(
+        F.when(F.col("rn") == F.ceil(q * F.col("n")).cast("long"), F.col("v"))
+    )
+    return r.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.round(pick(0.5) / 100.0, 4).alias("p50"),
+        F.round(pick(0.9) / 100.0, 4).alias("p90"),
+    )
