@@ -205,6 +205,7 @@ HEADLINE = [
     "fk_integrity_audit",
     "trend_robust_stats",
     "group_exact_percentiles",
+    "stream_static_enrich",
 ]
 
 

@@ -545,3 +545,42 @@ def prefix_ingest_sink(
         sets_b.write.mode("append").parquet(sets_dir)
 
     return apply
+
+
+def nation_window_revenue(
+    events: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STATIC enrichment join + windowed rollup: purchase events
+    joined to the static customer→nation dimension (broadcast equi-join
+    — Structured Streaming executes stream-static joins statelessly,
+    re-reading the static side per micro-batch, so this costs no state
+    store at all, unlike the stream-stream interval join in
+    click_purchase_attribution), then a tumbling event-time revenue
+    window per nation. Works identically on batch and streaming frames;
+    the oracle runs the batch twin and
+    tests/test_layout_and_streaming.py asserts stream(availableNow) ==
+    batch. The dim join is the canonical streaming-enrichment shape at
+    100 TB/day: the fact stream never shuffles — it broadcasts the dim
+    and aggregates partially within each micro-batch."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    dim = (
+        customer.select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("user_id", "n_name")
+    )
+    e = src.filter(F.col("event_type") == "purchase").join(F.broadcast(dim), "user_id")
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("revenue"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_name", "cnt", "revenue")
+    )

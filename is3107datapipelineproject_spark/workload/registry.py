@@ -143,6 +143,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "fk_integrity_audit",
     "trend_robust_stats",
     "group_exact_percentiles",
+    "stream_static_enrich",
 )
 
 

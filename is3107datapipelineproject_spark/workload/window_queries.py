@@ -2481,3 +2481,36 @@ def q_group_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pick(0.5) / 100.0, 4).alias("p50"),
         F.round(pick(0.9) / 100.0, 4).alias("p90"),
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+SELECT date_trunc('day', ts) AS window_start, n_name,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE e.event_type = 'purchase'
+GROUP BY 1, 2
+""",
+    tags=("events", "streaming", "window"),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension-enrichment rollup
+    (streaming/windows.py::nation_window_revenue): daily purchase
+    revenue per nation, the SAME transformation serving batch (here, so
+    DuckDB can oracle it) and a file stream
+    (tests/test_layout_and_streaming.py asserts stream(availableNow) ==
+    this). The static customer→nation dim broadcasts — the streaming
+    fact never shuffles."""
+    from is3107datapipelineproject_spark.streaming.windows import (
+        nation_window_revenue,
+    )
+
+    return nation_window_revenue(
+        _t(spark, sf_dir, "events"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )

@@ -749,3 +749,37 @@ def test_prefix_ingest_sink_matches_batch_incremental(spark, tmp_path):
     tau = 0.7 - 1e-4
     for doc, (n, m) in per_doc.items():
         assert n == m - math.ceil(tau * m - 1e-9) + 1, (doc, n, m)
+
+
+def test_stream_equals_batch_static_enrich(spark, tmp_path):
+    """nation_window_revenue — a stream-STATIC dim-enrichment join +
+    tumbling revenue window — over a file stream (availableNow,
+    complete mode) must equal the batch twin: the broadcast dim join is
+    stateless in Structured Streaming, so no watermark/state semantics
+    can diverge."""
+    import shutil
+
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    events_dir = tmp_path / "events_enrich"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", events_dir / "part-0.parquet")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    nat = load_table(spark, SF_SMOKE, "nation")
+    stream = W.nation_window_revenue(W.events_stream(spark, str(events_dir)), cust, nat)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = W.nation_window_revenue(load_table(spark, SF_SMOKE, "events"), cust, nat)
+    got = {
+        (r.window_start, r.n_name): (r.cnt, r.revenue)
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    want = {(r.window_start, r.n_name): (r.cnt, r.revenue) for r in batch.collect()}
+    assert got == want and len(got) > 0
