@@ -206,6 +206,7 @@ HEADLINE = [
     "trend_robust_stats",
     "group_exact_percentiles",
     "stream_static_enrich",
+    "markov_next_event_accuracy",
 ]
 
 

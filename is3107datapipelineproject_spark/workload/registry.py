@@ -144,6 +144,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "trend_robust_stats",
     "group_exact_percentiles",
     "stream_static_enrich",
+    "markov_next_event_accuracy",
 )
 
 

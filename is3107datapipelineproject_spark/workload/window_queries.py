@@ -2514,3 +2514,112 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "nation"),
     )
+
+
+def _sql_frac_w(salt: str, col_expr: str) -> str:
+    # oracle twin of operators/sampling.py::hash_unit
+    return (
+        f"(CAST('0x' || substr(md5('{salt}|' || {col_expr}), 1, 7) AS BIGINT)"
+        " / 268435456.0)"
+    )
+
+
+@register(
+    "markov_next_event_accuracy",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+labeled AS (
+  SELECT event_type AS f, next_type AS t,
+         {_sql_frac_w("markov", "CAST(user_id AS VARCHAR)")} < 0.2 AS is_test
+  FROM seq WHERE next_type IS NOT NULL
+),
+tr AS (SELECT f, t, count(*) AS n FROM labeled WHERE NOT is_test GROUP BY 1, 2),
+model AS (
+  SELECT f, t AS predicted
+  FROM (SELECT f, t, row_number() OVER (PARTITION BY f ORDER BY n DESC, t) AS rk FROM tr)
+  WHERE rk = 1
+),
+ev AS (
+  SELECT l.f, m.predicted, CASE WHEN l.t = m.predicted THEN 1 ELSE 0 END AS ok
+  FROM labeled l JOIN model m ON l.f = m.f
+  WHERE l.is_test
+),
+per AS (
+  SELECT f AS from_type, predicted,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(ok) AS BIGINT) AS n_correct,
+         round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS accuracy
+  FROM ev GROUP BY 1, 2
+)
+SELECT * FROM per
+UNION ALL
+SELECT 'ALL' AS from_type, '*' AS predicted,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(ok) AS BIGINT) AS n_correct,
+       round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS accuracy
+FROM ev
+""",
+    tags=("events", "sequence", "stats", "diagnostics"),
+)
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of the first-order Markov journey model: fit
+    argmax-next-event per from-state on the TRAIN users, score accuracy
+    on the 20% hash-held-out TEST users — the validation step that
+    decides whether session_transition_matrix's model is worth wiring
+    into a product, with the user-level split preventing sequence
+    leakage between fit and eval (a transition-level split would put a
+    user's own behaviour on both sides). Everything after the one
+    user-partitioned lead() window is vocabulary-sized: the model is
+    #event-types rows (argmax tiebroken alphabetically so both engines
+    pick the same mode), the eval join is model-keyed, and the report
+    is #types+1 rows. The split is the engine-wide md5 content-hash
+    convention — stable under corpus growth and re-partitioning."""
+    from is3107datapipelineproject_spark.operators.sampling import hash_unit
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", F.col("event_type").alias("f"),
+        F.lead("event_type").over(w).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    labeled = seq.select(
+        "f", "t", (hash_unit("user_id", "markov") < 0.2).alias("is_test")
+    )
+    tr = (
+        labeled.filter(~F.col("is_test"))
+        .groupBy("f", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mw = Window.partitionBy("f").orderBy(F.col("n").desc(), "t")
+    model = (
+        tr.select("f", F.col("t").alias("predicted"), F.row_number().over(mw).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    ev = (
+        labeled.filter(F.col("is_test"))
+        .join(F.broadcast(model), "f")
+        .select(
+            "f",
+            "predicted",
+            F.when(F.col("t") == F.col("predicted"), 1).otherwise(0).alias("ok"),
+        )
+    )
+    per = ev.groupBy(F.col("f").alias("from_type"), "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("ok").cast("long").alias("n_correct"),
+        F.round(F.sum("ok").cast("double") / F.count(F.lit(1)), 4).alias("accuracy"),
+    )
+    allr = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum("ok").cast("long").alias("n_correct"),
+        F.round(F.sum("ok").cast("double") / F.count(F.lit(1)), 4).alias("accuracy"),
+    ).select(
+        F.lit("ALL").alias("from_type"), F.lit("*").alias("predicted"),
+        "n_test", "n_correct", "accuracy",
+    )
+    return per.unionByName(allr)
