@@ -207,6 +207,7 @@ HEADLINE = [
     "group_exact_percentiles",
     "stream_static_enrich",
     "markov_next_event_accuracy",
+    "mmr_rerank",
 ]
 
 

@@ -14,7 +14,7 @@ Determinism contract recap (see operators.* docstrings):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from is3107datapipelineproject_spark.operators import dedup as D
@@ -3086,3 +3086,154 @@ def q_incremental_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     old = docs.filter(F.col("doc_id") % 5 != 0)
     return D.incremental_prefix_jaccard(old, new, "text", "doc_id", threshold=0.8)
+
+
+# ---- MMR diversified retrieval ---------------------------------------------
+
+_MMR_LAMBDA = 0.5
+_MMR_K = 5  # selections per query
+_MMR_CAND = 20  # candidate pool = cosine top-20
+_MMR_NQ = 5  # query vectors: vec_id < 5
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    prev = "sel1"
+    for k in range(2, _MMR_K + 1):
+        steps.append(f"""
+rem{k} AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                    WHERE p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id)
+),
+pen{k} AS (
+  SELECT s.query_id, s.a AS neighbor_id, max(s.sim) AS pen
+  FROM sims s JOIN {prev} p ON s.query_id = p.query_id AND s.b = p.neighbor_id
+  GROUP BY 1, 2
+),
+pick{k} AS (
+  SELECT query_id, neighbor_id, {k} AS step
+  FROM (SELECT r.query_id, r.neighbor_id,
+               row_number() OVER (PARTITION BY r.query_id
+                                  ORDER BY round({_MMR_LAMBDA} * r.cosine - {1 - _MMR_LAMBDA} * p.pen, 6) DESC,
+                                           r.neighbor_id) AS rk
+        FROM rem{k} r JOIN pen{k} p
+        ON r.query_id = p.query_id AND r.neighbor_id = p.neighbor_id)
+  WHERE rk = 1
+),
+sel{k} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{k})""")
+        prev = f"sel{k}"
+    chain = ",".join(steps)
+    return f"""
+WITH e AS ({SQL_EMB}),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_MMR_NQ}),
+s0 AS (
+  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+  FROM e, q WHERE e.vec_id <> q.qid
+),
+cand AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s0)
+  WHERE rank <= {_MMR_CAND}
+),
+sims AS (
+  SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         round(list_cosine_similarity(ea.v, eb.v), 4) AS sim
+  FROM cand c1
+  JOIN cand c2 ON c1.query_id = c2.query_id AND c1.neighbor_id <> c2.neighbor_id
+  JOIN e ea ON ea.vec_id = c1.neighbor_id
+  JOIN e eb ON eb.vec_id = c2.neighbor_id
+),
+sel1 AS (SELECT query_id, neighbor_id, 1 AS step FROM cand WHERE rank = 1),
+{chain}
+SELECT s.query_id, CAST(s.step AS INT) AS step, s.neighbor_id, c.cosine
+FROM {prev} s JOIN cand c ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id
+"""
+
+
+@register(
+    "mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "llm"),
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval (Carbonell &
+    Goldstein 1998): greedily select 5 of the cosine top-20 candidates
+    per query, each step taking argmax of λ·rel(q,d) − (1−λ)·max_{s∈S}
+    sim(d,s) — the rerank that stops a result page from being five
+    near-copies of the same document, and the standard post-ANN step in
+    retrieval-augmented pipelines. Scale shape: the expensive part is
+    the candidate generation (cosine_topk's broadcast-queries × corpus
+    scan, shared machinery); everything after operates on CHECKPOINTED
+    candidate frames bounded by queries × 20 rows (pairwise sim table:
+    queries × 20×19) — the greedy loop unrolls into 4 anti-join +
+    window-argmax rounds over those tiny frames, each window
+    partitioned by query_id. Determinism: cosine and pairwise sims
+    round to 4 before any ranking, the MMR score rounds to 6 before its
+    argmax, all ties break on neighbor_id — both engines walk
+    identical greedy paths."""
+    from is3107datapipelineproject_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = (
+        S.cosine_topk(
+            emb, emb.filter(F.col("vec_id") < _MMR_NQ), "vec_id", "embedding",
+            k=_MMR_CAND,
+        )
+        .select("query_id", "neighbor_id", "cosine")
+        .localCheckpoint(eager=True)
+    )
+    v = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"),
+        S.l2_norm(F.col("embedding").cast("array<double>")).alias("nrm"),
+    )
+    c1 = cand.select("query_id", F.col("neighbor_id").alias("a"))
+    c2 = cand.select("query_id", F.col("neighbor_id").alias("b"))
+    pairs = c1.join(c2, "query_id").filter(F.col("a") != F.col("b"))
+    va = v.select(F.col("vec_id").alias("a"), F.col("v").alias("av"), F.col("nrm").alias("an"))
+    vb = v.select(F.col("vec_id").alias("b"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    sims = (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "query_id", "a", "b",
+            F.round(S.dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    selected = (
+        cand.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("step"))
+    )
+    for k in range(2, _MMR_K + 1):
+        rem = cand.join(
+            selected.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        )
+        pen = (
+            sims.join(
+                selected.select("query_id", F.col("neighbor_id").alias("b")),
+                ["query_id", "b"],
+            )
+            .groupBy("query_id", F.col("a").alias("neighbor_id"))
+            .agg(F.max("sim").alias("pen"))
+        )
+        scored = rem.join(pen, ["query_id", "neighbor_id"]).withColumn(
+            "sc",
+            F.round(
+                F.lit(_MMR_LAMBDA) * F.col("cosine")
+                - F.lit(1 - _MMR_LAMBDA) * F.col("pen"),
+                6,
+            ),
+        )
+        wk = Window.partitionBy("query_id").orderBy(F.col("sc").desc(), "neighbor_id")
+        pick = (
+            scored.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") == 1)
+            .select("query_id", "neighbor_id", F.lit(k).alias("step"))
+        )
+        selected = selected.unionByName(pick)
+    return selected.join(cand, ["query_id", "neighbor_id"]).select(
+        "query_id", F.col("step").cast("int").alias("step"), "neighbor_id", "cosine"
+    )

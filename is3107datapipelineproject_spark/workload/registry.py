@@ -145,6 +145,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "group_exact_percentiles",
     "stream_static_enrich",
     "markov_next_event_accuracy",
+    "mmr_rerank",
 )
 
 
