@@ -208,6 +208,7 @@ HEADLINE = [
     "stream_static_enrich",
     "markov_next_event_accuracy",
     "mmr_rerank",
+    "join_cardinality_estimate",
 ]
 
 

@@ -146,6 +146,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "stream_static_enrich",
     "markov_next_event_accuracy",
     "mmr_rerank",
+    "join_cardinality_estimate",
 )
 
 

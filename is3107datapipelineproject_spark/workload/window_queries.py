@@ -2623,3 +2623,88 @@ def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_test", "n_correct", "accuracy",
     )
     return per.unionByName(allr)
+
+
+def _cms_join_oracle() -> str:
+    from is3107datapipelineproject_spark.operators.sketches import CMS_D, CMS_W
+
+    def sketch(src_cte: str, j: int) -> str:
+        return f"""SELECT {j} AS row,
+       CAST('0x' || substr(md5('cms{j}|' || k), 1, 7) AS BIGINT) % {CMS_W} AS bucket,
+       CAST(sum(c) AS HUGEINT) AS cnt
+FROM {src_cte} GROUP BY 1, 2"""
+
+    ska = "\nUNION ALL\n".join(sketch("oc", j) for j in range(CMS_D))
+    skb = "\nUNION ALL\n".join(sketch("ec", j) for j in range(CMS_D))
+    return f"""
+WITH oc AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS c FROM orders GROUP BY 1),
+ec AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c FROM events GROUP BY 1),
+ska AS ({ska}),
+skb AS ({skb}),
+est AS (
+  SELECT min(p) AS estimate FROM (
+    SELECT a.row, sum(a.cnt * b.cnt) AS p
+    FROM ska a JOIN skb b ON a.row = b.row AND a.bucket = b.bucket
+    GROUP BY 1)
+),
+ex AS (SELECT CAST(sum(CAST(oc.c AS HUGEINT) * ec.c) AS HUGEINT) AS exact_rows
+       FROM oc JOIN ec ON oc.k = ec.k)
+SELECT CAST(ex.exact_rows AS BIGINT) AS exact_rows,
+       CAST(est.estimate AS BIGINT) AS estimated_rows,
+       round((CAST(est.estimate AS DOUBLE) - CAST(ex.exact_rows AS DOUBLE))
+             / CAST(ex.exact_rows AS DOUBLE), 4) AS rel_overestimate
+FROM ex, est
+"""
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=_cms_join_oracle(),
+    tags=("warehouse", "sketch", "diagnostics"),
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-size estimation from MERGEABLE sketches (the
+    AGMS/CMS inner-product estimator: |A ⋈ B| = Σ_k c_A(k)·c_B(k) ≥
+    estimated by min over hash rows of the sketch dot product, one-sided
+    overestimate) next to the exact answer — the planner-style check a
+    pipeline runs BEFORE launching a many-to-many join that might
+    explode, here orders × events on customer. At 100 TB the point is
+    that each side's CMS is a constant d×w=4×2048-counter table built
+    with one partial-agg pass and STORED with the table like any other
+    statistic: estimating every candidate join in a workload costs d×w
+    multiplications per pair, no data is rescanned, and sketches of
+    corpus slices merge losslessly (cms_merge). Exact side is one
+    count-join; counts multiply in DECIMAL(38,0) (HUGEINT oracle-side)."""
+    from is3107datapipelineproject_spark.operators.sketches import cms_build
+
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ec = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("string").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ska = cms_build(oc, "k", "c")
+    skb = cms_build(ec, "k", "c")
+    dec = lambda c: c.cast("decimal(38,0)")
+    est = (
+        ska.join(skb.withColumnRenamed("bucket_cnt", "cnt_b"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(dec(F.col("bucket_cnt")) * F.col("cnt_b")).alias("p"))
+        .agg(F.min("p").alias("estimate"))
+    )
+    ex = oc.join(ec.withColumnRenamed("c", "cb"), "k").agg(
+        F.sum(dec(F.col("c")) * F.col("cb")).alias("exact_rows")
+    )
+    return ex.crossJoin(F.broadcast(est)).select(
+        F.col("exact_rows").cast("long").alias("exact_rows"),
+        F.col("estimate").cast("long").alias("estimated_rows"),
+        F.round(
+            (F.col("estimate").cast("double") - F.col("exact_rows").cast("double"))
+            / F.col("exact_rows").cast("double"),
+            4,
+        ).alias("rel_overestimate"),
+    )
