@@ -209,6 +209,7 @@ HEADLINE = [
     "markov_next_event_accuracy",
     "mmr_rerank",
     "join_cardinality_estimate",
+    "embedding_release_drift",
 ]
 
 

@@ -3237,3 +3237,100 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selected.join(cand, ["query_id", "neighbor_id"]).select(
         "query_id", F.col("step").cast("int").alias("step"), "neighbor_id", "cosine"
     )
+
+
+@register(
+    "embedding_release_drift",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         CASE WHEN (CAST('0x' || substr(md5('embdrift|' || CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT)
+                    / 268435456.0) < 0.5 THEN 'A' ELSE 'B' END AS rel,
+         embedding
+  FROM embeddings
+),
+x AS (
+  SELECT rel, i AS dim,
+         CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS xi
+  FROM (SELECT rel, embedding, unnest(generate_series(0, len(embedding) - 1)) AS i FROM e)
+),
+s AS (SELECT rel, dim, CAST(sum(xi) AS HUGEINT) AS sx, count(*) AS n FROM x GROUP BY 1, 2),
+j AS (
+  SELECT a.dim, a.sx AS sa, b.sx AS sb, a.n AS na, b.n AS nb
+  FROM (SELECT * FROM s WHERE rel = 'A') a
+  JOIN (SELECT * FROM s WHERE rel = 'B') b ON a.dim = b.dim
+),
+agg AS (
+  SELECT max(na) AS n_a, max(nb) AS n_b,
+         sum(sa * sb) AS dotab, sum(sa * sa) AS naa, sum(sb * sb) AS nbb
+  FROM j
+),
+top AS (
+  SELECT CAST(dim AS INT) AS top_drift_dim
+  FROM j ORDER BY abs(sa * nb - sb * na) DESC, dim LIMIT 1
+)
+SELECT CAST(agg.n_a AS BIGINT) AS n_a, CAST(agg.n_b AS BIGINT) AS n_b,
+       round(CAST(dotab AS DOUBLE) / (sqrt(CAST(naa AS DOUBLE)) * sqrt(CAST(nbb AS DOUBLE))), 4) AS mean_cosine,
+       top.top_drift_dim
+FROM agg, top
+""",
+    tags=("similarity", "diagnostics", "llm"),
+)
+def q_embedding_release_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between two releases (simulated by the
+    engine-wide content-hash split): cosine between the releases' MEAN
+    vectors plus the dimension with the largest mean shift — the
+    monitor that catches a re-embedded corpus whose vector space
+    silently rotated (retrieval indexes built on release A are then
+    invalid for release B queries). Determinism is the whole trick:
+    per-dimension sums are exact BIGINT fixed-point (float32 → 6-dp
+    micro-units), cosine(meanA, meanB) = cosine(sumA, sumB) because
+    cosine ignores the 1/n scaling — so no float accumulates anywhere;
+    products go DECIMAL(38,0)/HUGEINT, two sqrts and one division at
+    the end, and the top-drift dim compares |sa·nb − sb·na| cross-
+    multiplied integers. One posexplode pass, partial-agged to
+    2×64 dimension rows."""
+    from is3107datapipelineproject_spark.operators.sampling import hash_unit
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.when(hash_unit("vec_id", "embdrift") < 0.5, "A").otherwise("B").alias("rel"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "xv"),
+    )
+    s = (
+        e.select("rel", "dim", F.round(F.col("xv") * 1000000).cast("long").alias("xi"))
+        .groupBy("rel", "dim")
+        .agg(F.sum(F.col("xi").cast("decimal(38,0)")).alias("sx"), F.count(F.lit(1)).alias("n"))
+    )
+    a = s.filter(F.col("rel") == "A").select(
+        "dim", F.col("sx").alias("sa"), F.col("n").alias("na")
+    )
+    b = s.filter(F.col("rel") == "B").select(
+        "dim", F.col("sx").alias("sb"), F.col("n").alias("nb")
+    )
+    j = a.join(b, "dim").localCheckpoint(eager=True)
+    agg = j.agg(
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+        F.sum(F.col("sa") * F.col("sb")).alias("dotab"),
+        F.sum(F.col("sa") * F.col("sa")).alias("naa"),
+        F.sum(F.col("sb") * F.col("sb")).alias("nbb"),
+    )
+    top = (
+        j.select(
+            F.col("dim").cast("int").alias("top_drift_dim"),
+            F.abs(F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")).alias("dd"),
+        )
+        .orderBy(F.col("dd").desc(), "top_drift_dim")
+        .limit(1)
+        .drop("dd")
+    )
+    return agg.crossJoin(F.broadcast(top)).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("dotab").cast("double")
+            / (F.sqrt(F.col("naa").cast("double")) * F.sqrt(F.col("nbb").cast("double"))),
+            4,
+        ).alias("mean_cosine"),
+        "top_drift_dim",
+    )

@@ -147,6 +147,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "markov_next_event_accuracy",
     "mmr_rerank",
     "join_cardinality_estimate",
+    "embedding_release_drift",
 )
 
 
