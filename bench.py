@@ -210,6 +210,7 @@ HEADLINE = [
     "mmr_rerank",
     "join_cardinality_estimate",
     "embedding_release_drift",
+    "rrf_fusion",
 ]
 
 
@@ -260,6 +261,19 @@ def main() -> None:
             dt = first
         timings[name] = round(dt, 3)
         total += dt
+        # Block-manager hygiene: checkpoint-heavy queries leave
+        # localCheckpoint RDD blocks behind until the driver GCs the
+        # py4j handles and ContextCleaner reaps them — left alone, the
+        # accumulated blocks inflate LATER queries' times (the r5/r6
+        # "in-session drift": same queries are fast again in a fresh
+        # session). Forcing a driver+JVM GC every 20 queries keeps the
+        # session young without changing what is measured (the GC runs
+        # OUTSIDE the timed spans).
+        if len(timings) % 20 == 0:
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     # The emitted line must fit the driver's bounded tail capture even as
     # the headline set grows (round 4's 84-query line overflowed it and

@@ -3334,3 +3334,75 @@ def q_embedding_release_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_cosine"),
         "top_drift_dim",
     )
+
+
+_RRF_K = 60  # standard RRF damping constant (Cormack et al. 2009)
+
+
+@register(
+    "rrf_fusion",
+    oracle=f"""
+WITH e AS ({SQL_EMB}),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+vec0 AS (
+  SELECT e.vec_id AS doc_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+  FROM e, q WHERE e.vec_id <> 0
+),
+vec AS (
+  SELECT doc_id, CAST(vrank AS INT) AS vec_rank
+  FROM (SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS vrank FROM vec0)
+  WHERE vrank <= 20
+),
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rank
+  FROM ({_bm25_oracle()}) b
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex.lex_rank, vec.vec_rank,
+         round(COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + vec.vec_rank), 0.0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+""",
+    tags=("similarity", "search", "llm"),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    2009): merge the BM25 lexical top-20 and the cosine vector top-20
+    by Σ 1/(60 + rank) — the zero-tuning fusion every hybrid RAG
+    retriever starts with, robust precisely because it consumes only
+    RANKS (no cross-system score calibration). Both arms are the
+    engine's existing primitives (bm25_search's inverted-index probe,
+    cosine_topk's broadcast-query scan); the fusion itself is a
+    full-outer join of two ≤20-row frames, so its cost is the arms'
+    cost and nothing more. Ranks are integers and 1/(60+r) is one
+    fixed-order float expression rounded at 6 — both engines fuse
+    identically."""
+    from is3107datapipelineproject_spark.operators import similarity as S
+    from is3107datapipelineproject_spark.operators import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = X.bm25_search(docs, "text", "doc_id", _BM25_TERMS)
+    lw = Window.orderBy(F.col("score").desc(), "doc_id")  # <= top_n=20 rows
+    lex = lex.select("doc_id", F.row_number().over(lw).cast("int").alias("lex_rank"))
+    vec = (
+        S.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("int").alias("vec_rank"),
+        )
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)

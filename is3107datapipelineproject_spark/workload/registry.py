@@ -148,6 +148,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "mmr_rerank",
     "join_cardinality_estimate",
     "embedding_release_drift",
+    "rrf_fusion",
 )
 
 

@@ -82,6 +82,8 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     # replicate-mean frame is exactly _BOOT_B = 64 rows at any corpus size
     "multiplier_bootstrap_ci": "bootstrap replicate frame: exactly _BOOT_B=32 rows",
     "trend_robust_stats": "distributed_rank bucket-offset prefix: ≤64 rows",
+    # the BM25 arm is already LIMIT top_n=20 before this rank window
+    "rrf_fusion": "lexical-arm rank over the BM25 top-20 frame: ≤20 rows",
 }
 
 _UNPART_WINDOW_RE = re.compile(r"\.Window$")
