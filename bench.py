@@ -211,6 +211,7 @@ HEADLINE = [
     "join_cardinality_estimate",
     "embedding_release_drift",
     "rrf_fusion",
+    "conformal_price_interval",
 ]
 
 

@@ -149,6 +149,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "join_cardinality_estimate",
     "embedding_release_drift",
     "rrf_fusion",
+    "conformal_price_interval",
 )
 
 

@@ -2708,3 +2708,145 @@ def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_overestimate"),
     )
+
+
+@register(
+    "conformal_price_interval",
+    oracle=f"""
+WITH li AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR) AS rk,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+split AS (
+  SELECT rk, x, y, {_sql_frac_w("conf", "rk")} AS u FROM li
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         sum(CAST(x AS HUGEINT) * x) AS sxx, sum(CAST(x AS HUGEINT) * y) AS sxy
+  FROM split WHERE u < 0.5
+),
+coefs AS (
+  SELECT round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS b,
+         round((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE), 6) AS a,
+         n AS n_train
+  FROM m
+),
+res AS (
+  SELECT s.rk, s.u, round(abs(s.y - c.a - c.b * s.x), 4) AS r
+  FROM split s, coefs c WHERE s.u >= 0.5
+),
+calib AS (SELECT rk, r FROM res WHERE u < 0.75),
+ranked AS (
+  SELECT r, row_number() OVER (ORDER BY r, rk) AS rn, count(*) OVER () AS nc
+  FROM calib
+),
+qh AS (
+  SELECT r AS qhat, nc AS n_calib FROM ranked
+  WHERE rn = CAST(ceil((nc + 1) * 0.9) AS BIGINT)
+),
+test AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_test,
+         round(CAST(sum(CASE WHEN res.r <= qh.qhat THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS coverage
+  FROM res, qh WHERE res.u >= 0.75
+)
+SELECT c.n_train, CAST(qh.n_calib AS BIGINT) AS n_calib, t.n_test,
+       round(qh.qhat / 100.0, 4) AS qhat,
+       t.coverage
+FROM coefs c, qh, test t
+""",
+    tags=("warehouse", "stats", "diagnostics"),
+)
+def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the price~quantity
+    regression, with its honesty check: fit closed-form OLS on the 50%
+    hash-train split, take q̂ = the ceil((n+1)·0.9)-th order statistic
+    of absolute residuals on the 25% calibration split (the
+    distribution-free 90% guarantee of split conformal — Vovk; Lei et
+    al. 2018), then MEASURE empirical coverage on the held-out 25% —
+    the number that should land ≈0.90 regardless of how wrong the
+    linear model is. Scale shape: the fit is a 5-moment DECIMAL
+    map-side aggregate; residuals are one scan against broadcast
+    coefficients; the exact residual quantile goes through the
+    two-level distributed_rank (no single-task sort); coverage is one
+    more broadcast-scalar comparison scan. Determinism: coefficients
+    round to 6 BEFORE residuals, residuals round to 4 before ranking,
+    splits are the md5 content-hash convention."""
+    from is3107datapipelineproject_spark.operators.ranking import distributed_rank
+    from is3107datapipelineproject_spark.operators.sampling import hash_unit
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rk"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    split = li.select("rk", "x", "y", hash_unit("rk", "conf").alias("u"))
+    dec = lambda c: c.cast("decimal(38,0)")
+    m = split.filter(F.col("u") < 0.5).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dec(F.col("x")) * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope_raw = (
+        nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    coefs = m.select(
+        F.round(slope_raw, 6).alias("b"),
+        F.round(
+            (F.col("sy").cast("double") - slope_raw * F.col("sx").cast("double")) / nd, 6
+        ).alias("a"),
+        F.col("n").alias("n_train"),
+    )
+    res = (
+        split.filter(F.col("u") >= 0.5)
+        .crossJoin(F.broadcast(coefs))
+        .select(
+            "rk",
+            "u",
+            F.round(F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x")), 4).alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    calib = res.filter(F.col("u") < 0.75).select("rk", "r")
+    ranked = distributed_rank(calib, "r", ["rk"], rank_col="rn", count_col="nc")
+    qh = ranked.filter(
+        F.col("rn") == F.ceil((F.col("nc") + 1) * 0.9).cast("long")
+    ).select(F.col("r").alias("qhat"), F.col("nc").cast("long").alias("n_calib"))
+    test = (
+        res.filter(F.col("u") >= 0.75)
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(
+                F.sum(F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("coverage"),
+        )
+    )
+    return (
+        coefs.select("n_train")
+        .crossJoin(F.broadcast(qh))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_train",
+            "n_calib",
+            "n_test",
+            F.round(F.col("qhat") / 100.0, 4).alias("qhat"),
+            "coverage",
+        )
+    )

@@ -84,6 +84,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "trend_robust_stats": "distributed_rank bucket-offset prefix: ≤64 rows",
     # the BM25 arm is already LIMIT top_n=20 before this rank window
     "rrf_fusion": "lexical-arm rank over the BM25 top-20 frame: ≤20 rows",
+    "conformal_price_interval": "distributed_rank bucket-offset prefix: ≤64 rows",
 }
 
 _UNPART_WINDOW_RE = re.compile(r"\.Window$")
