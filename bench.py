@@ -212,6 +212,7 @@ HEADLINE = [
     "embedding_release_drift",
     "rrf_fusion",
     "conformal_price_interval",
+    "revenue_moments",
 ]
 
 

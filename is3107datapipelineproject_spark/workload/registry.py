@@ -150,6 +150,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "embedding_release_drift",
     "rrf_fusion",
     "conformal_price_interval",
+    "revenue_moments",
 )
 
 

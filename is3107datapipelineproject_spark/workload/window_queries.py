@@ -2850,3 +2850,85 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+@register(
+    "revenue_moments",
+    oracle="""
+WITH s AS (
+  SELECT CAST(round(o_totalprice) AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(cents AS HUGEINT)) AS sc,
+         sum(CAST(x AS HUGEINT)) AS s1,
+         sum(CAST(x AS HUGEINT) * x) AS s2,
+         sum(CAST(x AS HUGEINT) * x * x) AS s3,
+         sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+  FROM s
+),
+d AS (
+  SELECT n,
+         round(CAST(sc AS DOUBLE) / n / 100.0, 4) AS mean_revenue,
+         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+         CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+  FROM m
+)
+SELECT n AS n_orders, mean_revenue,
+       round(sqrt((nd * d2 - d1 * d1) / (nd * nd)), 4) AS stddev_usd,
+       round(sqrt(nd) * (nd * nd * d3 - 3.0 * nd * d2 * d1 + 2.0 * d1 * d1 * d1)
+             / pow(nd * d2 - d1 * d1, 1.5), 4) AS skewness,
+       round(nd * (nd * nd * nd * d4 - 4.0 * nd * nd * d3 * d1 + 6.0 * nd * d2 * d1 * d1 - 3.0 * d1 * d1 * d1 * d1)
+             / pow(nd * d2 - d1 * d1, 2.0) - 3.0, 4) AS kurtosis_excess
+FROM d
+""",
+    tags=("warehouse", "stats"),
+)
+def q_revenue_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment shape statistics of order revenue — stddev,
+    skewness, excess kurtosis — from ONE map-side-combined scan of
+    exact integer power sums (Σx, Σx², Σx³, Σx⁴ over whole-dollar
+    BIGINTs in DECIMAL(38,0)/HUGEINT; dollars, not cents, keep Σx⁴
+    under the 128-bit ceiling at 100 TB row counts). Central moments
+    assemble from the raw sums in one pinned-order double expression
+    per statistic (the n²S₃ − 3nS₂S₁ + 2S₁³ expansions), rounded once
+    — no second mean-subtraction pass over the data, no float
+    accumulates distributively, so the long-tail diagnosis (kurtosis
+    says whether mega-orders dominate variance) costs the same as a
+    count(*)."""
+    s = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice")).cast("long").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    m = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("cents"))).alias("sc"),
+        F.sum(dec(F.col("x"))).alias("s1"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("s2"),
+        F.sum(dec(F.col("x")) * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(dec(F.col("x")) * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    d1, d2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    d3, d4 = F.col("s3").cast("double"), F.col("s4").cast("double")
+    m2 = nd * d2 - d1 * d1
+    return m.select(
+        F.col("n").alias("n_orders"),
+        F.round(F.col("sc").cast("double") / F.col("n") / 100.0, 4).alias("mean_revenue"),
+        F.round(F.sqrt(m2 / (nd * nd)), 4).alias("stddev_usd"),
+        F.round(
+            F.sqrt(nd) * (nd * nd * d3 - 3.0 * nd * d2 * d1 + 2.0 * d1 * d1 * d1)
+            / F.pow(m2, 1.5),
+            4,
+        ).alias("skewness"),
+        F.round(
+            nd
+            * (nd * nd * nd * d4 - 4.0 * nd * nd * d3 * d1 + 6.0 * nd * d2 * d1 * d1 - 3.0 * d1 * d1 * d1 * d1)
+            / F.pow(m2, 2.0)
+            - 3.0,
+            4,
+        ).alias("kurtosis_excess"),
+    )
