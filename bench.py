@@ -213,6 +213,7 @@ HEADLINE = [
     "rrf_fusion",
     "conformal_price_interval",
     "revenue_moments",
+    "deletion_cascade_audit",
 ]
 
 

@@ -153,6 +153,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "rrf_fusion",
     "conformal_price_interval",
     "revenue_moments",
+    "deletion_cascade_audit",
 )
 
 

@@ -2932,3 +2932,63 @@ def q_revenue_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("kurtosis_excess"),
     )
+
+
+@register(
+    "deletion_cascade_audit",
+    oracle=f"""
+WITH del AS (
+  SELECT c_custkey FROM customer
+  WHERE {_sql_frac_w("gdpr", "CAST(c_custkey AS VARCHAR)")} < 0.05
+),
+oa AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM del))
+SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS affected_rows FROM del
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT) FROM oa
+UNION ALL
+SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM oa)
+UNION ALL
+SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+WHERE user_id IN (SELECT c_custkey FROM del)
+""",
+    tags=("warehouse", "dq", "governance"),
+)
+def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit: given a deletion set of customers
+    (here a 5% hash sample standing in for the request list), count the
+    rows each table loses when the deletion CASCADES along the FK
+    chain — customer → their orders → those orders' lineitems, plus the
+    event stream keyed by user — the report a data-governance pipeline
+    produces BEFORE executing a purge (and re-runs after, expecting
+    zeros). Plan shape: a chain of LEFT SEMI joins, each keyed on the
+    previous stage's key set — the deletion set is NOT assumed
+    broadcastable (at 100 TB a real request batch can be millions of
+    subjects; Catalyst broadcasts when stats allow, shuffles when not),
+    and each stage collapses map-side to one count row. The actual
+    purge would reuse plans/layout.py::merge_apply's delete path per
+    table."""
+    from is3107datapipelineproject_spark.operators.sampling import hash_unit
+
+    cust = _t(spark, sf_dir, "customer")
+    delset = cust.filter(hash_unit("c_custkey", "gdpr") < 0.05).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders")
+    oa = orders.join(
+        delset, orders["o_custkey"] == delset["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    li = _t(spark, sf_dir, "lineitem")
+    la = li.join(oa, li["l_orderkey"] == oa["o_orderkey"], "left_semi")
+    ev = _t(spark, sf_dir, "events")
+    ea = ev.join(delset, ev["user_id"] == delset["c_custkey"], "left_semi")
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("affected_rows")).select(
+            F.lit(name).alias("tbl"), "affected_rows"
+        )
+
+    return (
+        cnt(delset, "customer")
+        .unionByName(cnt(oa, "orders"))
+        .unionByName(cnt(la, "lineitem"))
+        .unionByName(cnt(ea, "events"))
+    )
