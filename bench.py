@@ -214,6 +214,7 @@ HEADLINE = [
     "conformal_price_interval",
     "revenue_moments",
     "deletion_cascade_audit",
+    "funnel_dropoff_significance",
 ]
 
 

@@ -154,6 +154,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "conformal_price_interval",
     "revenue_moments",
     "deletion_cascade_audit",
+    "funnel_dropoff_significance",
 )
 
 

@@ -2992,3 +2992,154 @@ def q_deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cnt(la, "lineitem"))
         .unionByName(cnt(ea, "events"))
     )
+
+
+@register(
+    "funnel_dropoff_significance",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id,
+         CASE WHEN {_sql_frac_w("seg", "CAST(user_id AS VARCHAR)")} < 0.5 THEN 'A' ELSE 'B' END AS seg,
+         min(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+c AS (SELECT v.user_id, v.seg, min(e.ts) AS click_ts
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click'
+       AND e.ts > v.view_ts AND e.ts <= v.view_ts + INTERVAL 7 DAY
+      GROUP BY 1, 2),
+p AS (SELECT c.user_id, c.seg, min(e.ts) AS purchase_ts
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.click_ts AND e.ts <= c.click_ts + INTERVAL 7 DAY
+      GROUP BY 1, 2),
+sv AS (SELECT seg, CAST(count(*) AS BIGINT) AS nv FROM v GROUP BY 1),
+sc AS (SELECT seg, CAST(count(*) AS BIGINT) AS nc FROM c GROUP BY 1),
+sp AS (SELECT seg, CAST(count(*) AS BIGINT) AS np FROM p GROUP BY 1),
+agg AS (
+  SELECT sv.seg, sv.nv, COALESCE(sc.nc, 0) AS nc, COALESCE(sp.np, 0) AS np
+  FROM sv LEFT JOIN sc ON sv.seg = sc.seg LEFT JOIN sp ON sv.seg = sp.seg
+),
+w AS (
+  SELECT a.nv AS nva, a.nc AS nca, a.np AS npa, b.nv AS nvb, b.nc AS ncb, b.np AS npb
+  FROM (SELECT * FROM agg WHERE seg = 'A') a, (SELECT * FROM agg WHERE seg = 'B') b
+),
+rows_ AS (
+  SELECT 'view->click' AS transition, nva AS n_a, nca AS x_a, nvb AS n_b, ncb AS x_b FROM w
+  UNION ALL
+  SELECT 'click->purchase', nca, npa, ncb, npb FROM w
+)
+SELECT transition, n_a, x_a, n_b, x_b,
+       round(CAST(x_a AS DOUBLE) / n_a, 4) AS rate_a,
+       round(CAST(x_b AS DOUBLE) / n_b, 4) AS rate_b,
+       CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN NULL
+            ELSE round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) END AS z_stat
+FROM rows_
+""",
+    tags=("events", "funnel", "stats"),
+)
+def q_funnel_dropoff_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per funnel transition between two user
+    segments (the md5 hash split standing in for a treatment
+    assignment): is segment A's view→click or click→purchase conversion
+    rate SIGNIFICANTLY different from B's, or within pooled-variance
+    noise — the decision layer on top of events_funnel that turns raw
+    conversion counts into ship/no-ship calls. The stages are the same
+    first-event interval joins as events_funnel but on a 7-DAY
+    consideration window (this corpus's users convert over days — the
+    30-minute urgency funnel converts nobody, which events_funnel
+    reports honestly as depth 1); per-segment counts LEFT-join so a
+    zero-conversion segment still yields a row, and the degenerate
+    pooled variance (all or none converted) returns NULL rather than
+    dividing by zero under ANSI. Both z statistics assemble from six
+    exact BIGINTs in one pinned-order float expression, rounded once."""
+    from is3107datapipelineproject_spark.operators.sampling import hash_unit
+
+    ev = _t(spark, sf_dir, "events")
+    seg = F.when(hash_unit("user_id", "seg") < 0.5, "A").otherwise("B")
+    week = F.expr("INTERVAL 7 DAY")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", seg.alias("seg"))
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    c = (
+        v.join(
+            clicks,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") > F.col("view_ts"))
+            & (F.col("cts") <= F.col("view_ts") + week),
+        )
+        .groupBy("user_id", "seg")
+        .agg(F.min("cts").alias("click_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    p = (
+        c.join(
+            purchases,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("pts") > F.col("click_ts"))
+            & (F.col("pts") <= F.col("click_ts") + week),
+        )
+        .groupBy("user_id", "seg")
+        .agg(F.min("pts").alias("purchase_ts"))
+    )
+
+    def seg_count(df, name):
+        return df.groupBy("seg").agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    agg = (
+        seg_count(v, "nv")
+        .join(seg_count(c, "nc"), "seg", "left")
+        .join(seg_count(p, "np"), "seg", "left")
+        .select(
+            "seg",
+            "nv",
+            F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("nc"),
+            F.coalesce(F.col("np"), F.lit(0)).cast("long").alias("np"),
+        )
+    )
+    a = agg.filter(F.col("seg") == "A").select(
+        F.col("nv").alias("nva"), F.col("nc").alias("nca"), F.col("np").alias("npa")
+    )
+    b = agg.filter(F.col("seg") == "B").select(
+        F.col("nv").alias("nvb"), F.col("nc").alias("ncb"), F.col("np").alias("npb")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    r1 = w.select(
+        F.lit("view->click").alias("transition"),
+        F.col("nva").alias("n_a"), F.col("nca").alias("x_a"),
+        F.col("nvb").alias("n_b"), F.col("ncb").alias("x_b"),
+    )
+    r2 = w.select(
+        F.lit("click->purchase").alias("transition"),
+        F.col("nca").alias("n_a"), F.col("npa").alias("x_a"),
+        F.col("ncb").alias("n_b"), F.col("npb").alias("x_b"),
+    )
+    rows = r1.unionByName(r2)
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = F.when(
+        ((F.col("x_a") + F.col("x_b")) == 0)
+        | ((F.col("x_a") + F.col("x_b")) == (F.col("n_a") + F.col("n_b"))),
+        F.lit(None).cast("double"),
+    ).otherwise(
+        F.round(
+            (F.col("x_a").cast("double") / F.col("n_a") - F.col("x_b").cast("double") / F.col("n_b"))
+            / F.sqrt(pool * (1.0 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+            4,
+        )
+    )
+    return rows.select(
+        "transition", "n_a", "x_a", "n_b", "x_b",
+        F.round(F.col("x_a").cast("double") / F.col("n_a"), 4).alias("rate_a"),
+        F.round(F.col("x_b").cast("double") / F.col("n_b"), 4).alias("rate_b"),
+        z.alias("z_stat"),
+    )
