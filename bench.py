@@ -215,6 +215,7 @@ HEADLINE = [
     "revenue_moments",
     "deletion_cascade_audit",
     "funnel_dropoff_significance",
+    "subgroup_auc_audit",
 ]
 
 

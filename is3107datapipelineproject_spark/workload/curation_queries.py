@@ -1764,3 +1764,91 @@ def q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", F.col("c").alias("n_pair"), p_kn.alias("p_kn"))
     )
     return p.orderBy(F.col("p_kn").desc(), "w1", "w2").limit(200)
+
+
+@register(
+    "subgroup_auc_audit",
+    oracle=f"""
+WITH {_scored_label_oracle()},
+t10 AS (SELECT doc_id, source FROM documents),
+j10 AS (
+  SELECT t10.source,
+         CAST(round(qc.quality_prob * 10000) AS BIGINT) AS p4,
+         CASE WHEN h9.quality >= 0.55 THEN 1 ELSE 0 END AS lbl
+  FROM qc JOIN h9 USING (doc_id) JOIN t10 USING (doc_id)
+),
+g AS (SELECT source, p4, count(*) AS cnt, sum(lbl) AS pos FROM j10 GROUP BY 1, 2),
+c AS (SELECT source, p4, cnt, pos,
+             sum(cnt) OVER (PARTITION BY source ORDER BY p4
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_cum
+      FROM g),
+s AS (SELECT source,
+             sum(CAST(pos AS HUGEINT) * (2 * (cnt_cum - cnt) + cnt + 1)) AS s2,
+             sum(CAST(pos AS HUGEINT)) AS p,
+             sum(CAST(cnt - pos AS HUGEINT)) AS nneg
+      FROM c GROUP BY 1)
+SELECT source,
+       CAST(p AS BIGINT) AS n_pos,
+       CAST(nneg AS BIGINT) AS n_neg,
+       CASE WHEN p = 0 OR nneg = 0 THEN NULL
+            ELSE round(CAST(s2 - p * (p + 1) AS DOUBLE)
+                       / (2.0 * CAST(p AS DOUBLE) * CAST(nneg AS DOUBLE)), 4) END AS auc
+FROM s
+""",
+    tags=("curation", "diagnostics", "stats", "llm"),
+)
+def q_subgroup_auc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source slice audit of the learned quality filter: the exact
+    tie-corrected ROC AUC computed WITHIN each source — the fairness /
+    slice-regression check that catches a filter which discriminates
+    well globally (quality_auc) while being no better than random on
+    one source's documents (whose data it would then effectively sample
+    at random). Same Mann-Whitney machinery as quality_auc, grouped:
+    per-(source, score) counts are bounded at sources × 10001 rows
+    forever, the running total is a window PARTITIONED by source (each
+    partition's frame is score-bounded, not corpus-bounded), and a
+    single-class slice returns NULL AUC rather than dividing by zero.
+    Doubled rank sums stay integral in DECIMAL(38,0)/HUGEINT."""
+    docs = _t(spark, sf_dir, "documents")
+    qc = C.quality_classifier(docs, "text", "doc_id", threshold=_QC_THRESHOLD)
+    h = docs.select(
+        "doc_id", "source", F.round(X.quality_score("text"), 4).alias("quality")
+    )
+    j = qc.join(h, "doc_id").select(
+        "source",
+        F.round(F.col("quality_prob") * 10000).cast("long").alias("p4"),
+        F.when(F.col("quality") >= 0.55, 1).otherwise(0).cast("long").alias("lbl"),
+    )
+    g = j.groupBy("source", "p4").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("lbl").alias("pos")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("p4")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.withColumn("cnt_cum", F.sum("cnt").over(w))
+    dec = lambda col: col.cast("decimal(38,0)")
+    s = c.groupBy("source").agg(
+        F.sum(
+            dec(F.col("pos"))
+            * (2 * (F.col("cnt_cum") - F.col("cnt")) + F.col("cnt") + 1)
+        ).alias("s2"),
+        F.sum(dec(F.col("pos"))).alias("p"),
+        F.sum(dec(F.col("cnt") - F.col("pos"))).alias("nneg"),
+    )
+    auc = F.when(
+        (F.col("p") == 0) | (F.col("nneg") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.round(
+            (F.col("s2") - F.col("p") * (F.col("p") + 1)).cast("double")
+            / (2.0 * F.col("p").cast("double") * F.col("nneg").cast("double")),
+            4,
+        )
+    )
+    return s.select(
+        "source",
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("nneg").cast("long").alias("n_neg"),
+        auc.alias("auc"),
+    )

@@ -155,6 +155,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "revenue_moments",
     "deletion_cascade_audit",
     "funnel_dropoff_significance",
+    "subgroup_auc_audit",
 )
 
 
