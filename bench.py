@@ -216,6 +216,7 @@ HEADLINE = [
     "deletion_cascade_audit",
     "funnel_dropoff_significance",
     "subgroup_auc_audit",
+    "order_total_reconciliation",
 ]
 
 

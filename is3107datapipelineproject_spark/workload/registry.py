@@ -156,6 +156,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "deletion_cascade_audit",
     "funnel_dropoff_significance",
     "subgroup_auc_audit",
+    "order_total_reconciliation",
 )
 
 

@@ -3143,3 +3143,85 @@ def q_funnel_dropoff_significance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("x_b").cast("double") / F.col("n_b"), 4).alias("rate_b"),
         z.alias("z_stat"),
     )
+
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+WITH l AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+             * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS recomputed_scaled
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS HUGEINT) * 10000 AS stated_scaled,
+         l.recomputed_scaled
+  FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN recomputed_scaled IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lineitems,
+       CAST(sum(CASE WHEN recomputed_scaled IS NOT NULL
+                      AND abs(stated_scaled - recomputed_scaled) > 10000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       round(CAST(max(CASE WHEN recomputed_scaled IS NOT NULL
+                           THEN abs(stated_scaled - recomputed_scaled) END) AS DOUBLE)
+             / 1000000.0, 4) AS max_abs_diff_usd,
+       round(CAST(sum(CASE WHEN recomputed_scaled IS NOT NULL THEN recomputed_scaled END) AS DOUBLE)
+             / CAST(sum(CASE WHEN recomputed_scaled IS NOT NULL THEN stated_scaled END) AS DOUBLE), 4)
+         AS total_ratio
+FROM j
+""",
+    tags=("warehouse", "dq"),
+)
+def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact reconciliation: recompute each order's total from
+    its lineitems (Σ extendedprice·(1−discount)·(1+tax)) and report how
+    far the stated o_totalprice drifts — the financial-close control
+    every warehouse runs between a header table and its detail table
+    (on THIS synthetic corpus it honestly reports that the generator
+    does not enforce the TPC-H price identity: every order mismatches,
+    257-per-15k have no lineitems at all — exactly what the control
+    exists to surface). Arithmetic is integer-EXACT end to end: 2-dp
+    discount/tax become ×100 integers, each line value is
+    cents·(100−d)·(100+t) in DECIMAL(38,0)/HUGEINT, the stated total
+    scales by 10⁴ to the same units, and mismatch means >1 cent of
+    scaled difference — no float ever sums, so both engines agree
+    bit-for-bit. Plan: ONE fact-fact equi-join (lineitem pre-aggregated
+    map-side to per-order partials before the shuffle) collapsing to a
+    single report row."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(38,0)")
+    l = li.groupBy("l_orderkey").agg(
+        F.sum(
+            dec(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            * (100 + F.round(F.col("l_tax") * 100).cast("long"))
+        ).alias("recomputed_scaled")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (dec(F.round(F.col("o_totalprice") * 100).cast("long")) * 10000).alias(
+            "stated_scaled"
+        ),
+    )
+    j = o.join(l, o["o_orderkey"] == l["l_orderkey"], "left")
+    has = F.col("recomputed_scaled").isNotNull()
+    diff = F.abs(F.col("stated_scaled") - F.col("recomputed_scaled"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(has, 1).otherwise(0)).cast("long").alias("n_with_lineitems"),
+        F.sum(F.when(has & (diff > 10000), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatch"),
+        F.round(
+            F.max(F.when(has, diff)).cast("double") / 1000000.0, 4
+        ).alias("max_abs_diff_usd"),
+        F.round(
+            F.sum(F.when(has, F.col("recomputed_scaled"))).cast("double")
+            / F.sum(F.when(has, F.col("stated_scaled"))).cast("double"),
+            4,
+        ).alias("total_ratio"),
+    )
