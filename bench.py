@@ -217,6 +217,7 @@ HEADLINE = [
     "funnel_dropoff_significance",
     "subgroup_auc_audit",
     "order_total_reconciliation",
+    "cohort_ltv_curve",
 ]
 
 

@@ -157,6 +157,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "funnel_dropoff_significance",
     "subgroup_auc_audit",
     "order_total_reconciliation",
+    "cohort_ltv_curve",
 )
 
 

@@ -3225,3 +3225,87 @@ def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("total_ratio"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+f AS (SELECT o_custkey, min(ym) AS c0 FROM o GROUP BY 1),
+sz AS (SELECT c0, CAST(count(*) AS BIGINT) AS n_customers FROM f GROUP BY 1),
+a AS (
+  SELECT f.c0, CAST(o.ym - f.c0 AS INT) AS age_month,
+         CAST(sum(CAST(o.cents AS HUGEINT)) AS HUGEINT) AS rev
+  FROM o JOIN f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT c0, age_month,
+         sum(rev) OVER (PARTITION BY c0 ORDER BY age_month
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM a
+)
+SELECT CAST((c.c0 // 12) * 100 + (c.c0 % 12) + 1 AS INT) AS cohort_ym,
+       c.age_month, sz.n_customers,
+       CAST((c.cum_rev * 10000 + sz.n_customers * 50) // (sz.n_customers * 100) AS DOUBLE)
+         / 10000.0 AS ltv_per_customer
+FROM c JOIN sz ON c.c0 = sz.c0
+""",
+    tags=("warehouse", "window", "timeseries"),
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by FIRST-order
+    month, cumulative revenue per customer by months-since-first-order
+    — the revenue sibling of cohort_retention (which counts activity;
+    this accumulates value), the curve a growth team reads to see
+    whether newer cohorts monetize faster. Scale shape: the fact
+    collapses to (cohort, age) cells — calendar² bounded (≤84×84 cells
+    per 7-year span) no matter the corpus — after one first-order
+    aggregate and one fact-to-cohort equi-join; the cumulative window
+    is PARTITIONED by cohort over ≤#months rows. Month arithmetic is
+    pure integers (y·12+m), revenue is exact cents, one rounded
+    division per output cell."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    f = o.groupBy("o_custkey").agg(F.min("ym").alias("c0"))
+    sz = f.groupBy("c0").agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    a = (
+        o.join(f, "o_custkey")
+        .groupBy("c0", (F.col("ym") - F.col("c0")).cast("int").alias("age_month"))
+        .agg(F.sum(F.col("cents").cast("decimal(38,0)")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("c0")
+        .orderBy("age_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = a.withColumn("cum_rev", F.sum("rev").over(w))
+    return c.join(F.broadcast(sz), "c0").select(
+        (F.floor(F.col("c0") / 12) * 100 + F.col("c0") % 12 + 1)
+        .cast("int")
+        .alias("cohort_ym"),
+        "age_month",
+        "n_customers",
+        # integer HALF-UP rounding to 4 dp: cum_cents/(n·100) has an
+        # EXACT finite decimal representation whenever n is 2^a·5^b, so
+        # float round(_, 4) hits genuine ties and the engines' tie rules
+        # differ — (cum·10⁴ + n·50) div (n·100) decides the tie in
+        # integer arithmetic identically everywhere.
+        (
+            F.floor(
+                (F.col("cum_rev") * 10000 + F.col("n_customers") * 50)
+                / (F.col("n_customers") * 100)
+            ).cast("double")
+            / 10000.0
+        ).alias("ltv_per_customer"),
+    )
