@@ -218,6 +218,7 @@ HEADLINE = [
     "subgroup_auc_audit",
     "order_total_reconciliation",
     "cohort_ltv_curve",
+    "ivf_probe_sweep",
 ]
 
 

@@ -3406,3 +3406,97 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
+def _ivf_sweep_oracle() -> str:
+    parts = []
+    for p in (1, 2, 4):
+        parts.append(f"""
+SELECT {p} AS probes,
+       round(CAST((
+         SELECT count(*)
+         FROM exact x JOIN (
+           SELECT query_id, neighbor_id FROM (
+             SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             FROM (
+               SELECT pr.qid AS query_id, e.vec_id AS neighbor_id,
+                      round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+               FROM (SELECT qid, bucket FROM probe_ranks WHERE prank <= {p}) pr
+               JOIN e ON e.label = pr.bucket
+               JOIN q ON q.qid = pr.qid
+               WHERE e.vec_id <> pr.qid
+             ) s
+           ) WHERE rank <= 5
+         ) i ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+       ) AS DOUBLE) / (SELECT count(*) FROM exact), 4) AS mean_recall_at_5""")
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH e AS ({SQL_EMB}),
+per AS ({SQL_CENTROID_COMPONENTS}),
+cents AS (SELECT bucket, list(c ORDER BY pos) AS centroid FROM per GROUP BY 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+probe_ranks AS (
+  SELECT q.qid, c.bucket,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY round(list_cosine_similarity(c.centroid, q.qv), 4) DESC, c.bucket
+         ) AS prank
+  FROM q, cents c
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT s.*, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+      SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(e.v, q.qv), 4) AS cosine
+      FROM e, q WHERE e.vec_id <> q.qid
+    ) s
+  ) WHERE rank <= 5
+)
+{body}
+"""
+
+
+@register(
+    "ivf_probe_sweep",
+    oracle=_ivf_sweep_oracle(),
+    tags=("similarity", "llm", "stats"),
+)
+def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: mean recall@5 against exact brute force at
+    probes ∈ {1, 2, 4} in one report — the table that picks the
+    recall/cost operating point BEFORE a 100 TB index build, since
+    per-query scan cost is ∝ probes/#buckets of the corpus while recall
+    saturates (ann_recall is the single point probes=2; this is the
+    curve around it). Ground truth is ONE checkpointed brute-force pass
+    over the 50-query sample; each sweep point reuses the engine's own
+    ivf_topk (centroids recomputed per point here — a production sweep
+    would read the persisted index of ann_index_build). Mean recall is
+    an exact hit-count ratio, rounded once."""
+    from is3107datapipelineproject_spark.operators import similarity as S
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    exact = (
+        S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for p in (1, 2, 4):
+        ivf = (
+            S.ivf_topk(emb, queries, "vec_id", "embedding", "label", probes=p, k=5)
+            .select("query_id", "neighbor_id")
+            .withColumn("__hit", F.lit(1))
+        )
+        row = (
+            exact.join(ivf, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.round(
+                    F.count("__hit").cast("double") / F.count(F.lit(1)), 4
+                ).alias("mean_recall_at_5")
+            )
+            .select(F.lit(p).alias("probes"), "mean_recall_at_5")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -158,6 +158,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "subgroup_auc_audit",
     "order_total_reconciliation",
     "cohort_ltv_curve",
+    "ivf_probe_sweep",
 )
 
 
