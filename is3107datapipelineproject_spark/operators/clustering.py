@@ -184,7 +184,10 @@ def assign_top2(
     struct instead of just the argmin, with the identical rounded-d2 /
     smaller-cid tie rule at both ranks, so ``cluster``/``d2_own`` agree
     bit-for-bit with :func:`kmeans_assign` and ``d2_alt`` replays the
-    oracle's rank-2 row."""
+    oracle's rank-2 row. Rows whose second slot stays unfilled (only
+    possible when ``cents`` has a single centroid) are dropped — the
+    same semantics as a rank-2 inner join, so a k=1 codebook cannot
+    silently diverge from the SQL twin."""
     t = _points(df, id_col, vec_col)
     inf = F.lit(float("inf"))
     zero = F.struct(
@@ -217,11 +220,17 @@ def assign_top2(
         )
 
     best = F.aggregate("cents", zero, merge)
-    return t.crossJoin(F.broadcast(_pack_centroids(cents))).select(
-        F.col("vid").alias(id_col),
-        best["c1"].alias("cluster"),
-        best["d1"].alias("d2_own"),
-        best["d2"].alias("d2_alt"),
+    return (
+        t.crossJoin(F.broadcast(_pack_centroids(cents)))
+        .select(
+            F.col("vid").alias(id_col),
+            best["c1"].alias("cluster"),
+            best["d1"].alias("d2_own"),
+            best["d2"].alias("d2_alt"),
+            best["c2"].alias("__c2"),
+        )
+        .filter(F.col("__c2") >= 0)
+        .drop("__c2")
     )
 
 

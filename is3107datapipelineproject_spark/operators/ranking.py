@@ -68,8 +68,20 @@ def distributed_rank(
     cutoffs are taken on its DOUBLE cast, which is monotone, so exotic
     numeric types (DECIMAL) bucket correctly — ties the double cast
     introduces merely co-locate rows, and the in-bucket sort uses the
-    exact original value. Triggers one Spark job for the cutoffs
-    (a production pipeline would persist them with the table stats).
+    exact original value. Triggers two Spark jobs before the main one:
+    the cutoff aggregate and the bucket-count aggregate (a production
+    pipeline would persist both with the table stats). The bucket
+    counts are eagerly ``localCheckpoint``-ed — that is load-bearing
+    twice over: (a) it stops the offsets branch from RE-SCANNING the
+    input and re-evaluating the bucket fold a second time (the
+    self-join would otherwise plan two full file scans), and (b) it
+    breaks the alias lineage under the offsets subtree, without which
+    Catalyst 4.1's InferFiltersFromConstraints substitutes the t-side
+    ``__bucket`` definition (referencing t-side attribute ids) into an
+    inferred isnotnull filter on the offsets side of the self-join —
+    an invalid ``!Filter`` that dies at binding time with
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the first execution in a
+    fresh session.
     """
     vc = F.col(value_col).cast("double")
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -95,7 +107,11 @@ def distributed_rank(
     local_w = Window.partitionBy(*g, "__bucket").orderBy(value_col, *tiebreak_cols)
     t = t.withColumn("__local_rank", F.row_number().over(local_w))
 
-    totals = t.groupBy(*g, "__bucket").agg(F.count(F.lit(1)).alias("__total"))
+    totals = (
+        t.groupBy(*g, "__bucket")
+        .agg(F.count(F.lit(1)).alias("__total"))
+        .localCheckpoint(eager=True)  # see docstring: one scan, no alias leak
+    )
     # Prefix over ≤ n_buckets rows per group — bounded by construction
     # (this is the one sanctioned unpartitioned window when g == []).
     prefix_w = Window.partitionBy(*g).orderBy("__bucket").rowsBetween(
@@ -125,16 +141,35 @@ def distributed_rank(
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """Exact ``ntile(k)`` from a 1-based total-order rank and the
     partition row count: the first ``n mod k`` tiles hold ``n div k + 1``
-    rows, the rest ``n div k`` — the standard fill order. Pure integer
-    arithmetic; requires the rank's ORDER BY to be a total order
-    (include a tiebreak key) or the assignment at tile boundaries is
-    engine-dependent."""
-    s = (n / k).cast("long")  # n div k (n, k non-negative)
+    rows, the rest ``n div k`` — the standard fill order. Exact at ANY
+    row count: quotients are taken as ``floor`` of a DECIMAL(38,6)
+    division (absolute error ≤ 5e-7, never the double round-trip whose
+    error passes 1 beyond 2^53) and then corrected by a ±1 fix-up that
+    re-checks the floor inequalities in exact decimal arithmetic — so
+    the result is ``a div b`` for all longs. (Spark's native ``div`` /
+    IntegralDivide is NOT used: under ANSI it is a can-throw expression
+    and Catalyst 4.1 mis-binds the constraint it infers for it when the
+    quotient feeds a projection above distributed_rank's offsets join —
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution.) Requires the
+    rank's ORDER BY to be a total order (include a tiebreak key) or the
+    assignment at tile boundaries is engine-dependent."""
+    def idiv(a: Column, b: Column) -> Column:
+        # floor(a/b) with decimal quotient, then exact-decimal fix-up.
+        ad, bd = a.cast("decimal(38,0)"), b.cast("decimal(38,0)")
+        q = F.floor(ad / bd).cast("long")
+        qd = q.cast("decimal(38,0)")
+        return (
+            F.when((qd + 1) * bd <= ad, q + 1)
+            .when(qd * bd > ad, q - 1)
+            .otherwise(q)
+        )
+
+    s = idiv(n, F.lit(k))  # n div k (n, k non-negative)
     m = n - s * k  # n mod k
     big = m * (s + 1)  # rows covered by the (s+1)-sized tiles
     return (
-        F.when(rank <= big, ((rank - 1) / (s + 1)).cast("long") + 1)
-        .otherwise(m + ((rank - big - 1) / F.greatest(s, F.lit(1))).cast("long") + 1)
+        F.when(rank <= big, idiv(rank - 1, s + 1) + 1)
+        .otherwise(m + idiv(rank - big - 1, F.greatest(s, F.lit(1))) + 1)
         .cast("int")
     )
 
@@ -178,9 +213,12 @@ def distributed_cumsum(
     )
     for c in sum_cols:
         t = t.withColumn(f"__lc_{c}", F.sum(c).over(local_w))
+    # Eager checkpoint for the same two reasons as distributed_rank's
+    # totals: single input scan + no alias lineage under the offsets
+    # side of the self-join (the InferFiltersFromConstraints mis-bind).
     totals = t.groupBy("__bucket").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
-    )
+    ).localCheckpoint(eager=True)
     prefix_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__bucket",

@@ -284,9 +284,13 @@ def kmv_pair_estimates(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
     (Beyer et al., 2007): for each key pair, threshold = the k-th
     smallest of the MERGED hash multiset; Jaccard-hat = |values below
     the threshold present in BOTH sketches| / k; union-hat =
-    (k−1)·2^28/threshold. Everything up to the two final divisions is
-    integer array algebra over k-sized broadcastable rows — #keys² pair
-    rows of constant-size work, zero corpus access."""
+    (k−1)·2^28/threshold. When the merged sketch is UNDER-FILLED
+    (union < k) the sketches hold the entire union, so the exact count
+    ``|merged|`` is returned instead of the threshold estimator (which
+    is biased low in that regime — KMV gives exactness for free there).
+    Everything up to the two final divisions is integer array algebra
+    over k-sized broadcastable rows — #keys² pair rows of constant-size
+    work, zero corpus access."""
     a = sketches.select(
         F.col("key").alias("key1"), F.col("sketch").alias("s1")
     )
@@ -304,7 +308,11 @@ def kmv_pair_estimates(sketches: DataFrame, k: int = KMV_K) -> DataFrame:
         n_used.cast("int").alias("k_used"),
         F.round(both.cast("double") / n_used.cast("double"), 4).alias("jaccard_est"),
         F.round(
-            (n_used.cast("double") - 1.0) * F.lit(float(1 << 28)) / kth.cast("double"),
+            F.when(n_used < k, n_used.cast("double")).otherwise(
+                (n_used.cast("double") - 1.0)
+                * F.lit(float(1 << 28))
+                / kth.cast("double")
+            ),
             1,
         ).alias("union_est"),
     )

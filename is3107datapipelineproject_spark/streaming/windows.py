@@ -371,6 +371,13 @@ def neardup_ingest_sink(
     minhash_neardup_pairs on the batch if intra-batch dups matter).
     Batch order within a trigger is the micro-batch order, so the
     old/new attribution is deterministic per checkpoint lineage.
+
+    Retry-safe: foreachBatch is at-least-once, so each batch writes its
+    outputs into a ``batch=<id>`` partition subdirectory with OVERWRITE
+    semantics — a replayed micro-batch rewrites its own files instead
+    of appending duplicates — and the corpus read filters to strictly
+    EARLIER batch ids, so a retry never sees its own partial output as
+    corpus.
     """
     from pyspark.errors import AnalysisException
 
@@ -383,7 +390,9 @@ def neardup_ingest_sink(
         spark = batch_df.sparkSession
         nb = band_signature_frame(batch_df, text_col, id_col, k).localCheckpoint(eager=True)
         try:
-            corpus = spark.read.parquet(sig_dir)
+            corpus = spark.read.parquet(sig_dir).filter(
+                F.col("batch") < batch_id
+            ).drop("batch")
         except AnalysisException:  # cold start: first batch IS the corpus
             corpus = None
         if corpus is not None:
@@ -392,8 +401,8 @@ def neardup_ingest_sink(
                 nb.toDF("new_id", "new_hs", "band"),
                 threshold=threshold,
             )
-            pairs.write.mode("append").parquet(pairs_dir)
-        nb.write.mode("append").parquet(sig_dir)
+            pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={int(batch_id)}")
+        nb.write.mode("overwrite").parquet(f"{sig_dir}/batch={int(batch_id)}")
 
     return apply
 
@@ -513,6 +522,14 @@ def prefix_ingest_sink(
     rarest-first — never recall: the streamed pairs equal the batch
     operator's bit-for-bit (asserted in tests), because both tiers'
     filters are lossless and verification is exact.
+
+    Retry-safe (this sink advertises an EXACT contract, so at-least-once
+    replay must not corrupt it): every output lands in a ``batch=<id>``
+    partition subdirectory with OVERWRITE semantics — a replayed
+    micro-batch rewrites its own postings/sets/pairs instead of
+    appending duplicates — and the corpus reads filter to strictly
+    EARLIER batch ids, so a retry never treats its own partial output
+    as pre-existing corpus.
     """
     from pyspark.errors import AnalysisException
 
@@ -530,9 +547,10 @@ def prefix_ingest_sink(
         )
         sets_b = sets_b.localCheckpoint(eager=True)
         postings_b = postings_b.localCheckpoint(eager=True)
+        older = F.col("batch") < batch_id
         try:
-            corpus_postings = spark.read.parquet(postings_dir)
-            corpus_sets = spark.read.parquet(sets_dir)
+            corpus_postings = spark.read.parquet(postings_dir).filter(older).drop("batch")
+            corpus_sets = spark.read.parquet(sets_dir).filter(older).drop("batch")
         except AnalysisException:  # cold start: first batch IS the corpus
             corpus_postings = None
             corpus_sets = None
@@ -540,9 +558,9 @@ def prefix_ingest_sink(
             pairs = _prefix_candidates_verify(
                 corpus_postings, postings_b, corpus_sets, sets_b, tau, threshold
             )
-            pairs.write.mode("append").parquet(pairs_dir)
-        postings_b.write.mode("append").parquet(postings_dir)
-        sets_b.write.mode("append").parquet(sets_dir)
+            pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={int(batch_id)}")
+        postings_b.write.mode("overwrite").parquet(f"{postings_dir}/batch={int(batch_id)}")
+        sets_b.write.mode("overwrite").parquet(f"{sets_dir}/batch={int(batch_id)}")
 
     return apply
 

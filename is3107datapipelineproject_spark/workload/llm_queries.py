@@ -2807,8 +2807,9 @@ SELECT key1 AS source1, key2 AS source2,
        CAST(least(256, len(mg)) AS INT) AS k_used,
        round(CAST(len(list_intersect(list_intersect(mg, s1), s2)) AS DOUBLE)
              / least(256, len(mg)), 4) AS jaccard_est,
-       round((CAST(least(256, len(mg)) AS DOUBLE) - 1.0) * 268435456.0 / mg[-1],
-             1) AS union_est
+       round(CASE WHEN len(mg) < 256 THEN CAST(len(mg) AS DOUBLE)
+                  ELSE (CAST(least(256, len(mg)) AS DOUBLE) - 1.0) * 268435456.0 / mg[-1]
+             END, 1) AS union_est
 FROM m
 """.replace("{toks}", SQL_TOKS),
     tags=("governance", "sketch", "llm"),

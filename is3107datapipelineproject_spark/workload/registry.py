@@ -114,13 +114,13 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "ann_index_build",
     "ivfpq_topk_from_index",
     "incremental_prefix_jaccard",
-    # --- new in round-6 sessions 2-3 (33): positions 51+ are OUTSIDE
+    # --- new in round-6 sessions 2-3 (38): positions 51+ are OUTSIDE
     # this round's 50-slot driver sample window by design (the 42 never-
     # sampled queries above must not be evicted); they are the head of
     # NEXT round's rotation. All locally oracle-green via tools/rehearse
     # AND the fresh-process /tmp driver simulation (260/260 full-registry
-    # pass recorded in round-6 session 3; the 2 added after that pass —
-    # conformal_price_interval, revenue_moments — rehearsed individually).
+    # pass recorded in round-6 session 3; the 8 added after that pass
+    # rehearsed individually).
     "ewma_daily_revenue",
     "autocorr_daily_revenue",
     "cluster_silhouette",

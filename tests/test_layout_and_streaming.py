@@ -627,6 +627,19 @@ def test_neardup_ingest_sink_matches_batch_incremental(spark, tmp_path):
     assert sig.count() == 4 * 6
     assert {r.doc_id for r in sig.select("doc_id").distinct().collect()} == {1, 2, 3, 11, 12, 13}
 
+    # at-least-once replay: re-running batch 1 (same data, same batch_id)
+    # must leave the persisted corpus AND the emitted pairs bit-identical
+    # — the batch=<id> overwrite plus the strictly-earlier corpus filter
+    # make the sink idempotent per batch.
+    neardup_ingest_sink(sig_dir, pairs_dir, threshold=0.7)(
+        spark.createDataFrame(b2, ["doc_id", "text"]), 1
+    )
+    assert {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in spark.read.parquet(pairs_dir).collect()
+    } == want
+    assert spark.read.parquet(sig_dir).count() == 4 * 6
+
 
 def test_hist_ingest_sink_equals_global_histogram(spark, tmp_path):
     """Streamed sketch == batch global: drain two value micro-batches
@@ -738,6 +751,20 @@ def test_prefix_ingest_sink_matches_batch_incremental(spark, tmp_path):
         ).collect()
     }
     assert got == want and (11, 1, 1.0) in got
+
+    # at-least-once replay of batch 1: postings/sets/pairs must all be
+    # bit-identical afterwards (exact-tier contract survives retries).
+    n_postings = spark.read.parquet(postings_dir).count()
+    n_sets = spark.read.parquet(sets_dir).count()
+    prefix_ingest_sink(postings_dir, sets_dir, pairs_dir, threshold=0.7)(
+        spark.createDataFrame(b2, ["doc_id", "text"]), 1
+    )
+    assert {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in spark.read.parquet(pairs_dir).collect()
+    } == want
+    assert spark.read.parquet(postings_dir).count() == n_postings
+    assert spark.read.parquet(sets_dir).count() == n_sets
     # postings: every doc present, and each doc persisted a PREFIX
     # (m - ceil(tau*m) + 1 rows), never its full set
     import math

@@ -79,7 +79,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     # decile key is least(p4 // 1000, 9): the windowed frame is the
     # 10-row decile aggregate at any corpus size.
     "precision_recall_curve": "decile aggregate: ≤10 rows by construction",
-    # replicate-mean frame is exactly _BOOT_B = 64 rows at any corpus size
+    # replicate-mean frame is exactly _BOOT_B = 32 rows at any corpus size
     "multiplier_bootstrap_ci": "bootstrap replicate frame: exactly _BOOT_B=32 rows",
     "trend_robust_stats": "distributed_rank bucket-offset prefix: ≤64 rows",
     # the BM25 arm is already LIMIT top_n=20 before this rank window
