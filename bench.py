@@ -219,6 +219,12 @@ HEADLINE = [
     "order_total_reconciliation",
     "cohort_ltv_curve",
     "ivf_probe_sweep",
+    # round 7: amortized graph twins + incremental ANN index maintenance
+    # + the Interactive-2 nested-schema twin
+    "bfs_from_edges",
+    "ppr_from_edges",
+    "ann_index_append",
+    "dblp_pair_lookup",
 ]
 
 

@@ -148,8 +148,28 @@ def personalized_pagerank(
     edge_norm = (
         checkpoint_edges(edges.join(outw, "src").select("src", "dst", "w", "ow"))
     )
+    return personalized_pagerank_prenorm(edge_norm, seeds, iterations, damping_pct)
 
-    n_nodes = outw.count()
+
+def personalized_pagerank_prenorm(
+    edge_norm: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """:func:`personalized_pagerank` over PRE-NORMALIZED ``(src, dst,
+    w, ow)`` edges — the build-once/query-many entry point (the
+    materialized bucketed edge table of plans/indexes.py has the
+    out-weights baked in, so a query pays only the iterations and the
+    two O(|V|) count aggregates). Same BIGINT fixed-point contract;
+    :func:`personalized_pagerank` delegates here after normalizing.
+
+    The rank side carries the same SHUFFLE_HASH hint as
+    :func:`pagerank_prenorm`, and for the same round-6-measured reason:
+    a parquet-compressed materialized edge table is small enough on
+    disk that Catalyst would otherwise BROADCAST the edges — the
+    O(|E|) side — every iteration."""
+    n_nodes = edge_norm.select("src").distinct().count()
     n_seeds = seeds.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs at least one seed node")
@@ -160,7 +180,7 @@ def personalized_pagerank(
     pr = seeds.select("node", F.lit(SCALE).cast("long").alias("pr"))
     for _ in range(iterations):
         flowed = (
-            edge_norm.join(pr, edge_norm["src"] == pr["node"])
+            edge_norm.join(pr.hint("shuffle_hash"), edge_norm["src"] == pr["node"])
             .groupBy("dst")
             .agg(F.expr("sum((pr * w) div ow)").cast("long").alias("_s"))
             .select(
@@ -243,16 +263,25 @@ def bfs_hops(
     ``checkpoint_every`` (e.g. 5) to spill-checkpoint the frontier
     periodically, bounding lineage exactly as the PageRank rank-vector
     discipline does. Visited stays O(reached nodes).
+
+    Both per-round joins pin SHUFFLE_HASH on the vertex-sized side
+    (frontier / visited): those frames are O(|V|) once the sweep
+    saturates — on a connected graph the hop-1 frontier is already
+    most of the vertex set — so Catalyst's size estimate (tiny at
+    round 0, or tiny-on-disk for a materialized edge table) must not
+    lure it into BroadcastHashJoin; a broadcast frontier is the same
+    inverted contract the pagerank_prenorm pin exists for. With a
+    bucketed edge scan the edge side then never exchanges or sorts.
     """
     edges = edges.select("src", "dst")
     visited = seeds.select("node", F.lit(0).alias("hop"))
     frontier = seeds.select("node")
     for i in range(1, max_hops + 1):
         nxt = (
-            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            edges.join(frontier.withColumnRenamed("node", "src").hint("shuffle_hash"), "src")
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited.select("node").hint("shuffle_hash"), "node", "left_anti")
         )
         if checkpoint_every and i % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(

@@ -104,12 +104,6 @@ def ivfpq_index_tables(
     PARTITIONED by ``cluster`` — the query path filters on a literal
     cluster id, so the scan prunes to that partition's files before a
     single row is read."""
-    from is3107datapipelineproject_spark.operators.clustering import (
-        assign_to_centroids,
-        kmeans_fit,
-    )
-    from is3107datapipelineproject_spark.operators.pq import pq_codebook, pq_encode
-
     p = f"ivfpq_{_tag(sf_dir)}"
     names = {
         "centroids": f"{p}_centroids",
@@ -120,24 +114,123 @@ def ivfpq_index_tables(
         for t in names.values():
             _sweep_stale_location(spark, t)
         emb = load_table(spark, sf_dir, "embeddings")
-        cents = kmeans_fit(emb, "vec_id", "embedding", k=k_coarse, iters=km_iters)
-        cents.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
-            names["centroids"]
-        )
-        cb = pq_codebook(emb, "vec_id", "embedding", m, k)
-        cb.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
-            names["codebook"]
-        )
-        asg = assign_to_centroids(emb, "vec_id", "embedding", spark.table(names["centroids"]))
-        codes = pq_encode(emb, "vec_id", "embedding", m=m, k=k, codebook=cb)
-        (
-            codes.join(asg.select("vec_id", "cluster"), "vec_id")
-            .repartition("cluster")
-            .write.mode("overwrite")
-            .format("parquet")
-            .partitionBy("cluster")
-            .saveAsTable(names["codes"])
-        )
+        _build_ivfpq(spark, emb, names, k_coarse, km_iters, m, k)
+    return names
+
+
+def _build_ivfpq(
+    spark: SparkSession,
+    emb: DataFrame,
+    names: dict[str, str],
+    k_coarse: int,
+    km_iters: int,
+    m: int,
+    k: int,
+) -> None:
+    """Train the coarse centroids + PQ codebook on ``emb`` and encode
+    ``emb`` against them into the three index tables. Training and
+    encoding corpus coincide at build time; later arrivals are encoded
+    against the then-FROZEN model by :func:`ann_index_append`."""
+    from is3107datapipelineproject_spark.operators.clustering import (
+        assign_to_centroids,
+        kmeans_fit,
+    )
+    from is3107datapipelineproject_spark.operators.pq import pq_codebook, pq_encode
+
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=k_coarse, iters=km_iters)
+    cents.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
+        names["centroids"]
+    )
+    cb = pq_codebook(emb, "vec_id", "embedding", m, k)
+    cb.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
+        names["codebook"]
+    )
+    asg = assign_to_centroids(emb, "vec_id", "embedding", spark.table(names["centroids"]))
+    codes = pq_encode(emb, "vec_id", "embedding", m=m, k=k, codebook=cb)
+    (
+        codes.join(asg.select("vec_id", "cluster"), "vec_id")
+        .repartition("cluster")
+        .write.mode("overwrite")
+        .format("parquet")
+        .partitionBy("cluster")
+        .saveAsTable(names["codes"])
+    )
+
+
+def ann_index_append(
+    spark: SparkSession,
+    names: dict[str, str],
+    batch: DataFrame,
+    m: int = 8,
+    k: int = 16,
+) -> None:
+    """Incremental ANN-index maintenance: encode an arrival batch
+    against the FROZEN stored centroids + codebook and APPEND the
+    resulting codes to the cluster-partitioned codes table — the
+    every-ingest path a deployed index runs instead of retraining.
+
+    The model is deliberately frozen (the prefix_ingest_sink lesson,
+    re-applied to vectors): re-running k-means over the grown corpus
+    would move the centroids and silently re-route every PREVIOUSLY
+    stored code — the appended state would depend on ingest batching.
+    With a frozen model the index state is a pure per-row function of
+    the corpus: appending in any batch split produces bit-identical
+    tables to a one-shot encode of the union (asserted in
+    tests/test_indexes.py), and ``ivfpq_topk_from_index`` needs no
+    changes. Retraining is a NEW index version — rebuild via
+    :func:`_build_ivfpq`, exactly as a production ANN service rolls
+    model versions."""
+    from is3107datapipelineproject_spark.operators.clustering import assign_to_centroids
+    from is3107datapipelineproject_spark.operators.pq import pq_encode
+
+    cents = spark.table(names["centroids"])
+    cb = spark.table(names["codebook"])
+    asg = assign_to_centroids(batch, "vec_id", "embedding", cents)
+    codes = pq_encode(batch, "vec_id", "embedding", m=m, k=k, codebook=cb)
+    (
+        codes.join(asg.select("vec_id", "cluster"), "vec_id")
+        .repartition("cluster")
+        .write.mode("append")
+        .format("parquet")
+        .partitionBy("cluster")
+        .saveAsTable(names["codes"])
+    )
+
+
+# Arrival split for the append demo surfaces: every 5th vector (by key
+# modulo — deterministic and SQL-mirrorable) "arrives" after the index
+# was built on the other 80%.
+ANN_APPEND_MOD = 5
+ANN_APPEND_REM = 3
+
+
+def ann_appended_index_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    k_coarse: int = 8,
+    km_iters: int = 2,
+    m: int = 8,
+    k: int = 16,
+) -> dict[str, str]:
+    """Materialize (once) the INCREMENTALLY-MAINTAINED IVF-PQ index:
+    built over the base 80% of the embeddings (vec_id % 5 != 3), then
+    the remaining 20% appended via :func:`ann_index_append` against the
+    frozen model — the persisted outcome of an ingest cycle. Table
+    prefix ``ivfpqa_`` keeps it distinct from the one-shot
+    :func:`ivfpq_index_tables`."""
+    p = f"ivfpqa_{_tag(sf_dir)}"
+    names = {
+        "centroids": f"{p}_centroids",
+        "codebook": f"{p}_codebook",
+        "codes": f"{p}_codes",
+    }
+    if not spark.catalog.tableExists(names["codes"]):
+        for t in names.values():
+            _sweep_stale_location(spark, t)
+        emb = load_table(spark, sf_dir, "embeddings")
+        arrivals_pred = F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_REM
+        _build_ivfpq(spark, emb.filter(~arrivals_pred), names, k_coarse, km_iters, m, k)
+        ann_index_append(spark, names, emb.filter(arrivals_pred), m=m, k=k)
     return names
 
 

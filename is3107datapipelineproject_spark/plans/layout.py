@@ -157,6 +157,94 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _data_files(spark: SparkSession, path: str) -> int:
+    """Count data files under ``path`` (recursive, Hadoop FS — works for
+    any scheme the session can reach), skipping _SUCCESS/metadata."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    it = fs.listFiles(p, True)
+    n = 0
+    while it.hasNext():
+        f = it.next().getPath().getName()
+        if not f.startswith("_") and not f.startswith("."):
+            n += 1
+    return n
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    for r in rows:
+        if r.col_name.strip() == "Location":
+            return r.data_type.strip()
+    raise ValueError(f"no location for table {table}")
+
+
+def compact_table(
+    spark: SparkSession, table: str, partition_cols: Sequence[str]
+) -> tuple[int, int]:
+    """Layout maintenance for the build-once + append-many catalog
+    tables (the IVF-PQ codes table under ann_index_append, any
+    partitioned sink that accretes small files): rewrite the table so
+    each partition directory collapses back to few files, preserving
+    the partition layout — contents are asserted bit-identical pre/post
+    (tests), exactly the hist_compact contract generalized. Returns
+    ``(files_before, files_after)``.
+
+    Like hist_compact, run against a quiesced table: the overwrite is
+    not transactional against a concurrent appender (a lakehouse table
+    format turns this into OPTIMIZE/rewrite-files with snapshot
+    isolation — identical semantics, safe concurrency). The eager
+    localCheckpoint is what makes read-then-overwrite-same-location
+    safe on plain parquet; at 100 TB compaction runs per-partition on
+    the partitions an ingest actually touched, not the whole table."""
+    loc = _table_location(spark, table)
+    before = _data_files(spark, loc)
+    df = spark.table(table).localCheckpoint(eager=True)
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .format("parquet")
+        .partitionBy(*partition_cols)
+        .saveAsTable(table)
+    )
+    return before, _data_files(spark, loc)
+
+
+def compact_stream_dir(
+    spark: SparkSession, path: str, partition_cols: Sequence[str] = ()
+) -> tuple[int, int]:
+    """Compaction for the retry-safe streaming sink directories (the
+    ``batch=<id>`` per-trigger partitions of prefix/neardup/ann ingest):
+    collapse all committed batch partials into ONE ``batch=<max_id>``
+    partition, keeping any secondary partition columns. Merge-on-read
+    results are identical before and after (asserted in tests); the
+    max-committed id is reused so the sinks' strictly-earlier corpus
+    filter stays correct for future batches. Run between triggers
+    against a quiesced stream whose checkpoint has committed
+    ``max_id`` — same caveat as hist_compact. Returns
+    ``(files_before, files_after)``."""
+    before = _data_files(spark, path)
+    df = spark.read.parquet(path)
+    max_batch = df.agg(F.max("batch")).first()[0]
+    compacted = df.drop("batch").localCheckpoint(eager=True)
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+    w = compacted
+    if partition_cols:
+        w = w.repartition(*[F.col(c) for c in partition_cols])
+        w.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            f"{path}/batch={int(max_batch)}"
+        )
+    else:
+        w.coalesce(1).write.mode("overwrite").parquet(f"{path}/batch={int(max_batch)}")
+    return before, _data_files(spark, path)
+
+
 def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S7 (`main_dag.py:248-262`): single-file headered CSV cache — the
     reference's inter-stage handoff format. coalesce(1) is deliberate

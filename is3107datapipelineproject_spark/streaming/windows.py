@@ -565,6 +565,50 @@ def prefix_ingest_sink(
     return apply
 
 
+def ann_ingest_sink(
+    centroids_table: str,
+    codebook_table: str,
+    codes_dir: str,
+    m: int = 8,
+    k: int = 16,
+):
+    """Streaming ANN-index maintenance — the stream twin of
+    plans/indexes.py::ann_index_append: per micro-batch of arriving
+    ``(vec_id, embedding)`` rows, encode against the FROZEN stored
+    centroids + codebook (never retrain — the frozen-model contract
+    that keeps the index state a pure per-row function of the corpus)
+    and append the ``(vec_id, sub, code, cluster)`` codes to
+    ``codes_dir``.
+
+    Retry-safe like the dedup ingest sinks: each batch lands in a
+    ``batch=<id>`` partition subdirectory with OVERWRITE semantics
+    (cluster stays the second-level partition key, so cluster-filter
+    pruning still works on the directory), so an at-least-once replay
+    rewrites its own files instead of duplicating codes. Streamed
+    codes == the batch append's, bit-for-bit (asserted in tests)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from is3107datapipelineproject_spark.operators.clustering import (
+            assign_to_centroids,
+        )
+        from is3107datapipelineproject_spark.operators.pq import pq_encode
+
+        spark = batch_df.sparkSession
+        cents = spark.table(centroids_table)
+        cb = spark.table(codebook_table)
+        asg = assign_to_centroids(batch_df, "vec_id", "embedding", cents)
+        codes = pq_encode(batch_df, "vec_id", "embedding", m=m, k=k, codebook=cb)
+        (
+            codes.join(asg.select("vec_id", "cluster"), "vec_id")
+            .repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{codes_dir}/batch={int(batch_id)}")
+        )
+
+    return apply
+
+
 def nation_window_revenue(
     events: DataFrame,
     customer: DataFrame,

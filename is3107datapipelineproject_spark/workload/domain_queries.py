@@ -174,3 +174,72 @@ def q_dblp_collab_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pubs = _synth_pubs(spark, sf_dir)
     return collab_totals(pubs, "1")
+
+
+def _dblp_pair_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) the co-author pair-count fact the reference
+    STORES as its Cassandra `pair_count` table (docx §CQL DDL:
+    partition key year, clustering (author1, author2)): the nested
+    pipeline's dblp_pair_counts written year-PARTITIONED and sorted by
+    the author pair — Query 2's point lookup then directory-prunes to
+    one year and row-group-skips on the authors, exactly the read
+    profile the reference's query-first layout buys. Same
+    idempotent-per-session / stale-location contract as the
+    plans/indexes.py builders."""
+    from is3107datapipelineproject_spark.domain.publications import dblp_pair_counts
+    from is3107datapipelineproject_spark.plans.indexes import (
+        _sweep_stale_location,
+        _tag,
+    )
+
+    table = f"dblp_pairs_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(table):
+        _sweep_stale_location(spark, table)
+        pc = dblp_pair_counts(_synth_pubs(spark, sf_dir))
+        (
+            pc.repartition("year")
+            .sortWithinPartitions("year", "author1", "author2")
+            .write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("year")
+            .saveAsTable(table)
+        )
+    return table
+
+
+@register(
+    "dblp_pair_lookup",
+    oracle="""
+WITH bridge AS (SELECT DISTINCT l_orderkey, CAST(l_suppkey AS VARCHAR) AS pid FROM lineitem),
+p AS (
+  SELECT year(o.o_orderdate) AS year, a.pid AS a1, b.pid AS a2
+  FROM bridge a JOIN bridge b ON a.l_orderkey = b.l_orderkey AND a.pid < b.pid
+  JOIN orders o ON o.o_orderkey = a.l_orderkey
+)
+SELECT CAST(count(*) AS INT) AS count, CAST(year AS INT) AS year,
+       a1 AS author1, a2 AS author2
+FROM p WHERE year = 1995 AND a1 = '1' AND a2 = '8'
+GROUP BY 2, 3, 4
+""",
+    tags=("domain", "interactive", "pairs", "materialize"),
+)
+def q_dblp_pair_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive-2 (docx §Query 2 CQL DML: SELECT count FROM
+    pair_count WHERE year=? AND author1=? AND author2=?) on the NESTED
+    schema: a compound-key point lookup against the MATERIALIZED
+    year-partitioned pair-count fact (:func:`_dblp_pair_table`) — the
+    reference stores this table in Cassandra and Query 2 reads it, so
+    the faithful port is a stored-table read, not a per-query fact
+    rebuild (×100 probe: 88 s rebuilt vs a pruned point read). The
+    lookup's year literal becomes a planning-time PartitionFilter
+    (plan-asserted in tests/test_indexes.py); the oracle recomputes the
+    pair from raw lineitem/orders — the build-correctness check. The
+    (1995, '1', '8') pair co-occurs at every test SF, so the lookup is
+    non-trivial everywhere. Domain-grade twin of the star-shape
+    `q_point_lookup`; Interactive-1 = dblp_contains_author."""
+    from is3107datapipelineproject_spark.domain.publications import pair_lookup
+
+    table = _dblp_pair_table(spark, sf_dir)
+    return pair_lookup(spark.table(table), 1995, "1", "8").select(
+        "count", F.col("year").cast("int").alias("year"), "author1", "author2"
+    )

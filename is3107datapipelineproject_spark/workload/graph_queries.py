@@ -710,3 +710,42 @@ def q_kcore_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = copurchase_edge_table(spark, sf_dir)
     out = G.kcore(e.select("src", "dst"), k=_KCORE_K, rounds=3)
     return out.select(F.col("node").alias("part_key"), "degree")
+
+
+@register("bfs_from_edges", oracle=_BFS_ORACLE, tags=("graph", "iterative", "materialize"))
+def q_bfs_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """copurchase_bfs_hops' amortized twin over the materialized
+    bucketed edge table (same oracle, same 3-hop frontier expansion):
+    the pair-gen double shuffle — the dominant cost of the rebuild
+    variant, #2 in the round-6 bench — is gone; each round is one
+    frontier⋈edges equi-join reading the src-partitioned scan plus the
+    left-anti visited probe. Seeds come from the table's own min(src)
+    (identical to the rebuild variant's seed by construction)."""
+    from is3107datapipelineproject_spark.plans.indexes import copurchase_edge_table
+
+    e = copurchase_edge_table(spark, sf_dir)
+    seeds = e.agg(F.min("src").alias("node"))
+    out = G.bfs_hops(e.select("src", "dst"), seeds, max_hops=3)
+    return out.select(F.col("node").alias("part_key"), F.col("hop"))
+
+
+@register("ppr_from_edges", oracle=_PPR_ORACLE, tags=("graph", "iterative", "materialize"))
+def q_ppr_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """related_parts_ppr's amortized twin: identical result (same
+    oracle), but the pre-normalized (src, dst, w, ow) arcs come from
+    the materialized bucketed table
+    (operators/graph.py::personalized_pagerank_prenorm), so the query
+    pays only the 3 sparse rank⋈edge iterations plus two O(|V|) count
+    aggregates — never the pair-gen or degree-normalization subtrees.
+    The rank side carries the SHUFFLE_HASH pin (small-on-disk edge
+    tables otherwise flip Catalyst to broadcasting the O(|E|) side —
+    the round-6 pagerank lesson). Seeds = the 2 smallest src keys,
+    identical to the rebuild variant's."""
+    from is3107datapipelineproject_spark.plans.indexes import copurchase_edge_table
+
+    e = copurchase_edge_table(spark, sf_dir)
+    seeds = (
+        e.select("src").distinct().orderBy("src").limit(2).select(F.col("src").alias("node"))
+    )
+    pr = G.personalized_pagerank_prenorm(e.select("src", "dst", "w", "ow"), seeds)
+    return pr.select(F.col("node").alias("part_key"), F.col("pr").alias("ppr_scaled"))

@@ -1761,6 +1761,51 @@ def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
 _KM_CTES, _KM_FINAL = _kmeans_ctes(KMEANS_K, KMEANS_ITERS)
 
 
+def _kmeans_ctes_split(k: int, iters: int, train_where: str) -> tuple[str, str]:
+    """:func:`_kmeans_ctes` with a TRAIN/ASSIGN split: Lloyd trains on
+    the ``train_where`` subset of the embeddings (``e``), the FINAL
+    assignment runs over the full table (``eall``) — mirroring an
+    index built on the base corpus whose frozen centroids later route
+    appended arrivals. Returns (cte_sql, final_assignment_name)."""
+
+    def d2(src: str) -> str:
+        return (
+            f"round(list_sum(list_transform(list_zip({src}.v, i.c),"
+            " x -> (x[1]-x[2])*(x[1]-x[2]))), 6)"
+        )
+
+    def assign(name: str, cents: str, src: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT {src}.vec_id, i.cid, {d2(src)} AS d2,
+           row_number() OVER (PARTITION BY {src}.vec_id ORDER BY {d2(src)} ASC, i.cid ASC) AS rn
+    FROM {src}, {cents} i
+  ) WHERE rn = 1
+)"""
+
+    def update(name: str, asg: str) -> str:
+        return f"""{name}_long AS (
+  SELECT a.cid, u.pos, round(CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS cc
+  FROM {asg} a JOIN (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) u USING (vec_id)
+  GROUP BY 1, 2
+),
+{name} AS (SELECT cid, list(cc ORDER BY pos) AS c FROM {name}_long GROUP BY 1)"""
+
+    parts = [
+        "eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"e AS (SELECT * FROM eall WHERE {train_where})",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v AS c
+  FROM e ORDER BY vec_id LIMIT {k}
+)""",
+    ]
+    for i in range(iters):
+        parts.append(assign(f"a{i}", f"c{i}", "e"))
+        parts.append(update(f"c{i+1}", f"a{i}"))
+    parts.append(assign(f"a{iters}", f"c{iters}", "eall"))
+    return ",\n".join(parts), f"a{iters}"
+
+
 @register(
     "kmeans_assign",
     oracle=f"""
@@ -2736,6 +2781,78 @@ def q_ivfpq_topk_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = _t(spark, sf_dir, "embeddings")
     return ivfpq_topk_from_index(spark, tabs, emb, "vec_id", "embedding", topn=PQ_TOPN)
+
+
+_KMA_CTES, _KMA_FINAL = _kmeans_ctes_split(
+    KMEANS_K, KMEANS_ITERS, "vec_id % 5 <> 3"
+)
+
+
+@register(
+    "ann_index_append",
+    oracle=f"""
+WITH {_KMA_CTES},
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+  FROM e ORDER BY vec_id LIMIT {PQ_K}
+),
+cb AS (
+  SELECT s.sub, seeds.code,
+         seeds.v[(s.sub * {_PQ_SUBD} + 1):(s.sub * {_PQ_SUBD} + {_PQ_SUBD})] AS cw
+  FROM (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub) s, seeds
+),
+enc AS (
+  SELECT vec_id, CAST(sub AS INT) AS sub, code FROM (
+    SELECT eall.vec_id, cb.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY eall.vec_id, cb.sub
+             ORDER BY round(list_sum(list_transform(
+                 list_zip(eall.v[(cb.sub * {_PQ_SUBD} + 1):(cb.sub * {_PQ_SUBD} + {_PQ_SUBD})], cb.cw),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) ASC, cb.code ASC) AS rn
+    FROM eall, cb
+  ) WHERE rn = 1
+)
+SELECT CAST(a.cid AS INT) AS cluster,
+       CAST(sum(CASE WHEN enc.sub = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN enc.sub = 0 AND enc.vec_id % 5 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_appended,
+       CAST(sum(enc.code) AS BIGINT) AS code_sum
+FROM enc JOIN {_KMA_FINAL} a USING (vec_id)
+GROUP BY 1
+""",
+    tags=("similarity", "pq", "materialize", "incremental", "llm"),
+)
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance audit
+    (plans/indexes.py::ann_appended_index_tables): the index is BUILT
+    on the base 80% of the corpus, then the remaining 20% "arrives" and
+    is encoded against the FROZEN centroids/codebook and APPENDED to
+    the cluster-partitioned codes table — real ingest appends, it never
+    retrains (retraining would re-route previously stored codes; a
+    model refresh is a new index version). Returns per-cluster totals
+    (vectors, appended vectors, code checksum) read ONLY from the
+    persisted table; the oracle recomputes train-on-base /
+    encode-everything from the raw embeddings — the build+append
+    correctness check. Appending in any batch split is bit-identical to
+    a one-shot encode of the union under the frozen model (asserted in
+    tests/test_indexes.py, plus the streaming twin in
+    streaming/windows.py::ann_ingest_sink)."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        ANN_APPEND_MOD,
+        ANN_APPEND_REM,
+        ann_appended_index_tables,
+    )
+
+    tabs = ann_appended_index_tables(
+        spark, sf_dir, k_coarse=KMEANS_K, km_iters=KMEANS_ITERS, m=PQ_M, k=PQ_K
+    )
+    codes = spark.table(tabs["codes"])
+    is_sub0 = F.col("sub") == 0
+    is_appended = F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_REM
+    return codes.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.sum(F.when(is_sub0, 1).otherwise(0)).cast("long").alias("n_vectors"),
+        F.sum(F.when(is_sub0 & is_appended, 1).otherwise(0)).cast("long").alias("n_appended"),
+        F.sum("code").cast("long").alias("code_sum"),
+    )
 
 
 @register(

@@ -51,76 +51,20 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # checked core.  Ordering is presentation-only: every query is registered
 # exactly once and the full dict always contains all of them.
 #
-# Round-6 window (exactly 50): positions 1-42 are the 42 queries never
-# driver-sampled in r1-r5 (the round-5 registry outgrew the 50-slot
-# window; union of CORRECTNESS_r01-r05 covers the other 182); then
-# window_ntile_cume + copurchase_pagerank, whose code changed in round 6
-# AFTER their last green sample (distributed rank swap / shuffle_hash
-# hint); then the 6 queries new in round 6. kmeans_assign's round-6
-# refactor (pure code motion into _points/_fit) is deliberately NOT
-# re-queued: ivfpq_topk, in-window at position 16, drives the full
-# kmeans_assign path.
+# STANDING RULE (round-7, per the round-6 verdict): the driver samples
+# the FIRST 50 entries each round, so a round may add at most
+# (50 − #never-sampled-backlog − #edited-this-round) new queries — the
+# registry must never again outgrow the evidence window. Round-7 budget:
+# 38 backlog + 5 re-samples (plans changed this round) leaves ≤7 new.
+#
+# Round-7 window: positions 1-38 are the 38 round-6 session-2/3 queries
+# never driver-sampled in r1-r6 (all locally oracle-green in the round-6
+# full rehearsal); then the 5 queries whose PLANS changed in round 7
+# after their last green row (ntile decimal idiv + distributed-rank
+# totals checkpoint; bfs/ppr shuffle_hash pins); then round-7 additions.
+# Union of CORRECTNESS_r01-r06 covers every other registered query.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # --- never driver-sampled in r1-r5 (42) ---------------------------
-    "activity_streaks",
-    "approx_percentile_tdigest",
-    "association_rules",
-    "bulk_part_suppliers",
-    "chi2_terms",
-    "clustering_coefficient",
-    "copurchase_bfs_hops",
-    "copurchase_communities",
-    "copurchase_kcore",
-    "cusum_changepoint",
-    "discount_revenue",
-    "dq_constraints",
-    "embedding_skyline",
-    "grouping_sets_revenue",
-    "ivfpq_topk",
-    "mixture_allocation",
-    "mode_median_stats",
-    "naive_bayes_confusion",
-    "nested_subsets",
-    "ols_price_by_qty",
-    "part_supplier_variety",
-    "pq_codes",
-    "pq_recall",
-    "pq_topk",
-    "prefix_filter_jaccard",
-    "priority_by_linestatus",
-    "repeated_spans",
-    "revenue_gini",
-    "rfm_segmentation",
-    "scd2_asof_lookup",
-    "scd2_order_priority",
-    "seasonal_decompose_dow",
-    "session_overlap_join",
-    "significant_parts",
-    "skyline_parts",
-    "sole_returned_supplier",
-    "source_overlap",
-    "sql_interface_revenue",
-    "time_weighted_avg",
-    "top_conversion_paths",
-    "vocab_coverage",
-    "window_time_range_avg",
-    # --- changed in round 6 after their last green sample (2) ---------
-    "window_ntile_cume",
-    "copurchase_pagerank",
-    # --- new in round 6 session 1: no external evidence yet (6) -------
-    "edge_table_build",
-    "pagerank_from_edges",
-    "kcore_from_edges",
-    "ann_index_build",
-    "ivfpq_topk_from_index",
-    "incremental_prefix_jaccard",
-    # --- new in round-6 sessions 2-3 (38): positions 51+ are OUTSIDE
-    # this round's 50-slot driver sample window by design (the 42 never-
-    # sampled queries above must not be evicted); they are the head of
-    # NEXT round's rotation. All locally oracle-green via tools/rehearse
-    # AND the fresh-process /tmp driver simulation (260/260 full-registry
-    # pass recorded in round-6 session 3; the 8 added after that pass
-    # rehearsed individually).
+    # --- never driver-sampled in r1-r6 (38) ---------------------------
     "ewma_daily_revenue",
     "autocorr_daily_revenue",
     "cluster_silhouette",
@@ -159,6 +103,17 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "order_total_reconciliation",
     "cohort_ltv_curve",
     "ivf_probe_sweep",
+    # --- plans changed in round 7 after their last green row (5) ------
+    "window_ntile_cume",
+    "rfm_segmentation",
+    "revenue_gini",
+    "copurchase_bfs_hops",
+    "related_parts_ppr",
+    # --- new in round 7: no external evidence yet ----------------------
+    "bfs_from_edges",
+    "ppr_from_edges",
+    "ann_index_append",
+    "dblp_pair_lookup",
 )
 
 

@@ -37,6 +37,29 @@ def test_pagerank_from_edges_plan(spark):
     assert plan.count("ShuffledHashJoin") == 3, "one SHJ per iteration, rank as build side"
 
 
+def test_bfs_from_edges_plan(spark):
+    fn = registry.queries()["bfs_from_edges"]
+    plan = _plan(fn(spark, SF))
+    assert "Bucketed: true" in plan, "edge scan must use the bucketed layout"
+    assert "BroadcastHashJoin" not in plan, (
+        "frontier/visited are O(|V|) once the sweep saturates — never broadcast"
+    )
+    assert "SortMergeJoin" not in plan, "edge side must never per-round sort"
+    # 3 frontier expansions + 3 visited anti-probes, all shuffled-hash.
+    # The printed count exceeds 6 because the lazy visited-union nests
+    # earlier rounds' subtrees (ReuseExchange collapses them at run).
+    assert plan.count("ShuffledHashJoin") >= 6
+
+
+def test_ppr_from_edges_plan(spark):
+    fn = registry.queries()["ppr_from_edges"]
+    plan = _plan(fn(spark, SF))
+    assert "Bucketed: true" in plan, "edge scan must use the bucketed layout"
+    assert "BroadcastHashJoin" not in plan, "edge side must never broadcast"
+    assert "SortMergeJoin" not in plan, "edge side must never per-iteration sort"
+    assert plan.count("ShuffledHashJoin") == 3, "one SHJ per iteration, rank as build side"
+
+
 def test_ivfpq_codes_scan_partition_prunes(spark):
     fn = registry.queries()["ivfpq_topk_from_index"]
     plan = _plan(fn(spark, SF))
@@ -210,3 +233,189 @@ def test_runtime_bloom_filter_join(spark):
             spark.conf.set(k, v)
     assert "might_contain" in plan, "fact side must carry the runtime bloom probe"
     assert "bloom_filter_agg" in plan, "dim side must build the bloom filter"
+
+
+def test_ann_index_append_matches_oneshot_encode(spark):
+    """Append == rebuild under the frozen model: the incrementally
+    maintained codes table (built on the base 80%, arrivals appended)
+    must be bit-identical to a ONE-SHOT encode of the full corpus
+    against the same stored centroids/codebook — the property that
+    makes ingest batching invisible to the index state. Also pins that
+    the model really was trained on the base only."""
+    from is3107datapipelineproject_spark.operators.clustering import (
+        assign_to_centroids,
+        kmeans_fit,
+    )
+    from is3107datapipelineproject_spark.operators.pq import pq_encode
+    from is3107datapipelineproject_spark.plans.indexes import (
+        ANN_APPEND_MOD,
+        ANN_APPEND_REM,
+        ann_appended_index_tables,
+    )
+    from is3107datapipelineproject_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    tabs = ann_appended_index_tables(spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+
+    got = {
+        (r.vec_id, r.sub, r.code, r.cluster)
+        for r in spark.table(tabs["codes"]).collect()
+    }
+    cb = spark.table(tabs["codebook"])
+    cents = spark.table(tabs["centroids"])
+    oneshot = pq_encode(emb, "vec_id", "embedding", m=8, k=16, codebook=cb).join(
+        assign_to_centroids(emb, "vec_id", "embedding", cents).select(
+            "vec_id", "cluster"
+        ),
+        "vec_id",
+    )
+    want = {(r.vec_id, r.sub, r.code, r.cluster) for r in oneshot.collect()}
+    assert got == want and len(got) > 0
+
+    # model frozen at base: centroids equal a fresh fit on the base 80%
+    base = emb.filter(F.col("vec_id") % ANN_APPEND_MOD != ANN_APPEND_REM)
+    want_cents = {
+        (r.cid, tuple(r.centroid))
+        for r in kmeans_fit(base, "vec_id", "embedding", k=8, iters=2).collect()
+    }
+    got_cents = {(r.cid, tuple(r.centroid)) for r in cents.collect()}
+    assert got_cents == want_cents
+
+    # appended rows really are in the table (the 20% arrival slice)
+    n_app = (
+        spark.table(tabs["codes"])
+        .filter((F.col("sub") == 0) & (F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_REM))
+        .count()
+    )
+    assert n_app == emb.filter(F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_REM).count()
+
+
+def test_ann_appended_index_query_prunes(spark):
+    """ivfpq_topk_from_index runs UNCHANGED over the appended index and
+    still partition-prunes the codes scan at planning time."""
+    from is3107datapipelineproject_spark.operators.pq import ivfpq_topk_from_index
+    from is3107datapipelineproject_spark.plans.indexes import ann_appended_index_tables
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    tabs = ann_appended_index_tables(spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    df = ivfpq_topk_from_index(spark, tabs, emb, "vec_id", "embedding", topn=20)
+    plan = _plan(df)
+    m = re.search(r"_codes\[[^\]]*\][^\n]*", plan)
+    assert m and re.search(r"PartitionFilters: \[[^\]]*cluster", m.group(0))
+    assert df.count() == 20
+
+
+def test_ann_ingest_sink_matches_batch_append(spark, tmp_path):
+    """Streamed arrivals == batch append: drain the 20% arrival slice
+    through ann_ingest_sink in two micro-batches; the streamed codes
+    must equal the appended rows of the batch-maintained table
+    bit-for-bit, and an at-least-once replay of a batch must leave the
+    directory unchanged."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        ANN_APPEND_MOD,
+        ANN_APPEND_REM,
+        ann_appended_index_tables,
+    )
+    from is3107datapipelineproject_spark.sources.tables import load_table
+    from is3107datapipelineproject_spark.streaming.windows import ann_ingest_sink
+    from pyspark.sql import functions as F
+
+    tabs = ann_appended_index_tables(spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    arrivals = emb.filter(F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_REM)
+    # split arrivals into two files -> two availableNow micro-batches
+    vec_dir = tmp_path / "ann_arrivals"
+    a1 = arrivals.filter(F.col("vec_id") % 2 == 0)
+    a2 = arrivals.filter(F.col("vec_id") % 2 == 1)
+    a1.coalesce(1).write.parquet(str(vec_dir / "f0.parquet"))
+    a2.coalesce(1).write.parquet(str(vec_dir / "f1.parquet"))
+    codes_dir = str(tmp_path / "ann_codes")
+
+    stream = (
+        spark.readStream.schema(arrivals.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(vec_dir / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            ann_ingest_sink(tabs["centroids"], tabs["codebook"], codes_dir)
+        )
+        .option("checkpointLocation", str(tmp_path / "ann_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.vec_id, r.sub, r.code, r.cluster)
+        for r in spark.read.parquet(codes_dir).collect()
+    }
+    want = {
+        (r.vec_id, r.sub, r.code, r.cluster)
+        for r in spark.table(tabs["codes"])
+        .filter(F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_REM)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # replay batch 1 (same data, same batch_id): directory unchanged
+    ann_ingest_sink(tabs["centroids"], tabs["codebook"], codes_dir)(a2, 1)
+    got2 = {
+        (r.vec_id, r.sub, r.code, r.cluster)
+        for r in spark.read.parquet(codes_dir).collect()
+    }
+    assert got2 == want
+
+
+def test_compact_table_ann_codes(spark):
+    """Layout maintenance: the appended codes table accretes files
+    (base build + every append); compact_table must collapse each
+    cluster partition back to one file with BIT-IDENTICAL contents, and
+    the query path must still partition-prune afterwards."""
+    from is3107datapipelineproject_spark.plans.layout import compact_table
+    from is3107datapipelineproject_spark.plans.indexes import ann_appended_index_tables
+
+    tabs = ann_appended_index_tables(spark, SF)
+    codes = tabs["codes"]
+    before_rows = sorted(
+        (r.vec_id, r.sub, r.code, r.cluster) for r in spark.table(codes).collect()
+    )
+    n_clusters = spark.table(codes).select("cluster").distinct().count()
+    files_before, files_after = compact_table(spark, codes, ["cluster"])
+    assert files_before > n_clusters, "append must have accreted extra files"
+    assert files_after < files_before, "compaction must shrink the file count"
+    assert files_after <= n_clusters + 1
+    after_rows = sorted(
+        (r.vec_id, r.sub, r.code, r.cluster) for r in spark.table(codes).collect()
+    )
+    assert after_rows == before_rows and len(after_rows) > 0
+
+    # query path unchanged: still planning-time cluster pruning
+    from is3107datapipelineproject_spark.operators.pq import ivfpq_topk_from_index
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = ivfpq_topk_from_index(spark, tabs, emb, "vec_id", "embedding", topn=20)
+    plan = _plan(df)
+    m = re.search(r"_codes\[[^\]]*\][^\n]*", plan)
+    assert m and re.search(r"PartitionFilters: \[[^\]]*cluster", m.group(0))
+    assert df.count() == 20
+
+
+def test_dblp_pair_lookup_prunes_year_partition(spark):
+    """Interactive-2 reads the STORED pair fact: the year literal must
+    reach the scan as a planning-time PartitionFilter (the Cassandra
+    partition-key read the reference's layout buys), and the lookup
+    returns the pair row."""
+    fn = registry.queries()["dblp_pair_lookup"]
+    df = fn(spark, SF)
+    plan = _plan(df)
+    m = re.search(r"dblp_pairs_[^\n]*", plan)
+    assert m, "stored pair-fact scan missing from plan"
+    assert re.search(r"PartitionFilters: \[[^\]]*year", m.group(0)), (
+        "year literal must prune at planning time: " + m.group(0)[:200]
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].author1 == "1" and rows[0].author2 == "8"

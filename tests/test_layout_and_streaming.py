@@ -765,6 +765,19 @@ def test_prefix_ingest_sink_matches_batch_incremental(spark, tmp_path):
     } == want
     assert spark.read.parquet(postings_dir).count() == n_postings
     assert spark.read.parquet(sets_dir).count() == n_sets
+
+    # compaction of the quiesced posting log: batch partials collapse to
+    # one batch=<max> partition, merge-on-read contents bit-identical,
+    # file count drops, and the max id keeps the strictly-earlier corpus
+    # filter of future batches correct.
+    from is3107datapipelineproject_spark.plans.layout import compact_stream_dir
+
+    before = sorted(map(tuple, spark.read.parquet(postings_dir).drop("batch").collect()))
+    fb, fa = compact_stream_dir(spark, postings_dir)
+    assert fa < fb, "compaction must shrink the partial log"
+    after_df = spark.read.parquet(postings_dir)
+    assert sorted(map(tuple, after_df.drop("batch").collect())) == before
+    assert {r.batch for r in after_df.select("batch").distinct().collect()} == {1}
     # postings: every doc present, and each doc persisted a PREFIX
     # (m - ceil(tau*m) + 1 rows), never its full set
     import math

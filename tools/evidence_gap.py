@@ -1,0 +1,66 @@
+"""Evidence-coverage diff: which registered queries have never had a
+green driver CORRECTNESS row, and is the rotation window big enough?
+
+The driver samples the FIRST 50 entries of the ordered registry
+(workload/registry.py::_EVIDENCE_PRIORITY) each round and records
+per-query results in CORRECTNESS_r{N}.json. This tool computes, from
+the repo state alone:
+
+- never-sampled  = registered − union of all CORRECTNESS_r*.json keys
+- stale-window   = never-sampled queries NOT in the first-50 window
+  (would stay unsampled next round — the round-5/6 failure mode)
+- red rows       = any sampled query whose LATEST row is not fully green
+
+Run it at the start of a round to build the rotation, and at the end to
+prove the standing rule held (a round may add at most
+50 − #backlog − #edited new queries).
+
+Usage: python tools/evidence_gap.py [repo_root]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+
+def main() -> None:
+    root = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    from is3107datapipelineproject_spark.workload import registry
+
+    ordered = list(registry.queries())
+    window = ordered[:50]
+
+    sampled: dict[str, tuple[int, dict]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        for name, row in json.load(open(path)).items():
+            prev = sampled.get(name)
+            if prev is None or rnd >= prev[0]:
+                sampled[name] = (rnd, row)
+
+    never = [n for n in ordered if n not in sampled]
+    stale = [n for n in never if n not in window]
+    red = {
+        n: row
+        for n, (_, row) in sampled.items()
+        if not (row.get("rows_match") and row.get("schema_match") is not False and row.get("err") is None)
+    }
+
+    print(json.dumps({
+        "registered": len(ordered),
+        "driver_sampled_ever": len([n for n in ordered if n in sampled]),
+        "never_sampled": never,
+        "never_sampled_count": len(never),
+        "never_sampled_outside_window": stale,
+        "latest_red": red,
+        "window_head": window[: len(never) + 5],
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
