@@ -148,7 +148,11 @@ def personalized_pagerank(
     edge_norm = (
         checkpoint_edges(edges.join(outw, "src").select("src", "dst", "w", "ow"))
     )
-    return personalized_pagerank_prenorm(edge_norm, seeds, iterations, damping_pct)
+    # outw is already one row per node — reuse its count instead of a
+    # second distinct pass over the checkpointed edges.
+    return personalized_pagerank_prenorm(
+        edge_norm, seeds, iterations, damping_pct, n_nodes=outw.count()
+    )
 
 
 def personalized_pagerank_prenorm(
@@ -156,6 +160,7 @@ def personalized_pagerank_prenorm(
     seeds: DataFrame,
     iterations: int = 3,
     damping_pct: int = 85,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """:func:`personalized_pagerank` over PRE-NORMALIZED ``(src, dst,
     w, ow)`` edges — the build-once/query-many entry point (the
@@ -168,8 +173,12 @@ def personalized_pagerank_prenorm(
     :func:`pagerank_prenorm`, and for the same round-6-measured reason:
     a parquet-compressed materialized edge table is small enough on
     disk that Catalyst would otherwise BROADCAST the edges — the
-    O(|E|) side — every iteration."""
-    n_nodes = edge_norm.select("src").distinct().count()
+    O(|E|) side — every iteration. ``n_nodes`` (|distinct src|) may be
+    passed when the caller already knows it (the normalizing wrapper
+    reuses its out-weight count; a production index would store it
+    with the table stats)."""
+    if n_nodes is None:
+        n_nodes = edge_norm.select("src").distinct().count()
     n_seeds = seeds.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank needs at least one seed node")

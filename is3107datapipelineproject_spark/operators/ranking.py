@@ -48,6 +48,28 @@ from pyspark.sql import functions as F
 __all__ = ["distributed_cumsum", "distributed_rank", "ntile_from_rank"]
 
 
+def _opaque(c: Column) -> Column:
+    """Value-identity wrapper that flags the expression NONDETERMINISTIC
+    (``shuffle`` of a 1-element array is that array, but carries the
+    flag), so Catalyst derives NO constraints from the alias. Without
+    it, InferFiltersFromConstraints substitutes the t-side ``__bucket``
+    ALIAS DEFINITION (still referencing t-side attribute ids) into a
+    derived ``defn <=> __bucket`` predicate on the DEDUPLICATED offsets
+    branch of the self-join — an invalid ``!Filter`` that dies at
+    binding with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the FIRST
+    execution in a fresh session (Catalyst 4.1; reproduced +
+    regression-tested). Alternatives measured and rejected: eager
+    localCheckpoint of the totals also fixes it (fresh exprIds — no
+    self-join) but serializes the upstream pipeline into its own job
+    (+39% winsorized_revenue_stats, +61% group_exact_percentiles);
+    ``persist()`` does NOT fix it (the cache is matched at physical
+    planning, the logical self-join still dedups); a non-nullable
+    ``coalesce`` wrap kills only the isnotnull variant of the
+    inference. Nondeterministic projections are also never collapsed
+    or re-substituted, so the fold evaluates exactly once per row."""
+    return F.element_at(F.shuffle(F.array(c)), 1)
+
+
 def distributed_rank(
     df: DataFrame,
     value_col: str,
@@ -68,20 +90,13 @@ def distributed_rank(
     cutoffs are taken on its DOUBLE cast, which is monotone, so exotic
     numeric types (DECIMAL) bucket correctly — ties the double cast
     introduces merely co-locate rows, and the in-bucket sort uses the
-    exact original value. Triggers two Spark jobs before the main one:
-    the cutoff aggregate and the bucket-count aggregate (a production
-    pipeline would persist both with the table stats). The bucket
-    counts are eagerly ``localCheckpoint``-ed — that is load-bearing
-    twice over: (a) it stops the offsets branch from RE-SCANNING the
-    input and re-evaluating the bucket fold a second time (the
-    self-join would otherwise plan two full file scans), and (b) it
-    breaks the alias lineage under the offsets subtree, without which
-    Catalyst 4.1's InferFiltersFromConstraints substitutes the t-side
-    ``__bucket`` definition (referencing t-side attribute ids) into an
-    inferred isnotnull filter on the offsets side of the self-join —
-    an invalid ``!Filter`` that dies at binding time with
-    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on the first execution in a
-    fresh session.
+    exact original value. Triggers one Spark job for the cutoffs
+    (a production pipeline would persist them with the table stats).
+
+    The bucket column is wrapped in :func:`_opaque` — load-bearing, see
+    that helper's docstring for the Catalyst 4.1 self-join
+    constraint-substitution bug it guards against and the alternatives
+    measured.
     """
     vc = F.col(value_col).cast("double")
     probs = [i / n_buckets for i in range(1, n_buckets)]
@@ -103,15 +118,11 @@ def distributed_rank(
     else:  # constant column (or empty frame): single bucket
         bucket = F.lit(0)
     g = list(group_cols)
-    t = df.withColumn("__bucket", bucket)
+    t = df.withColumn("__bucket", _opaque(bucket))
     local_w = Window.partitionBy(*g, "__bucket").orderBy(value_col, *tiebreak_cols)
     t = t.withColumn("__local_rank", F.row_number().over(local_w))
 
-    totals = (
-        t.groupBy(*g, "__bucket")
-        .agg(F.count(F.lit(1)).alias("__total"))
-        .localCheckpoint(eager=True)  # see docstring: one scan, no alias leak
-    )
+    totals = t.groupBy(*g, "__bucket").agg(F.count(F.lit(1)).alias("__total"))
     # Prefix over ≤ n_buckets rows per group — bounded by construction
     # (this is the one sanctioned unpartitioned window when g == []).
     prefix_w = Window.partitionBy(*g).orderBy("__bucket").rowsBetween(
@@ -205,7 +216,7 @@ def distributed_cumsum(
         )
     else:
         bucket = F.lit(0)
-    t = df.withColumn("__bucket", bucket)
+    t = df.withColumn("__bucket", _opaque(bucket))
     local_w = (
         Window.partitionBy("__bucket")
         .orderBy(value_col, *tiebreak_cols)
@@ -213,12 +224,9 @@ def distributed_cumsum(
     )
     for c in sum_cols:
         t = t.withColumn(f"__lc_{c}", F.sum(c).over(local_w))
-    # Eager checkpoint for the same two reasons as distributed_rank's
-    # totals: single input scan + no alias lineage under the offsets
-    # side of the self-join (the InferFiltersFromConstraints mis-bind).
     totals = t.groupBy("__bucket").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
-    ).localCheckpoint(eager=True)
+    )
     prefix_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__bucket",
