@@ -225,6 +225,7 @@ HEADLINE = [
     "ppr_from_edges",
     "ann_index_append",
     "dblp_pair_lookup",
+    "pagerank_from_merged_edges",
 ]
 
 

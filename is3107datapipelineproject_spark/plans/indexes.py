@@ -87,6 +87,98 @@ def copurchase_edge_table(
     return spark.table(table)
 
 
+def copurchase_edge_arcs(li: DataFrame) -> DataFrame:
+    """Raw weighted arcs ``(src, dst, w)`` of the co-purchase graph for
+    one slice of lineitem — the ADDITIVE representation: pairs are
+    generated inside single orders, so any partition of the corpus BY
+    ORDER yields arc multisets whose per-(src,dst) weight sums equal
+    the full build's. That additivity is what makes the edge table
+    incrementally maintainable (``edge_table_append``)."""
+    from is3107datapipelineproject_spark.operators.graph import undirected_to_directed
+    from is3107datapipelineproject_spark.operators.pair_counts import pair_counts
+
+    pairs = pair_counts(li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey")
+    return undirected_to_directed(pairs, "member1", "member2", "cnt")
+
+
+# Ingest split for the edge-append demo surfaces: orders with
+# o_orderkey % 7 == 3 "arrive" after the base build. Orders are the
+# pair-generating unit, so an order-grain split keeps every pair group
+# intact — base arcs + delta arcs sum to exactly the full build's arcs.
+EDGE_APPEND_MOD = 7
+EDGE_APPEND_REM = 3
+
+
+def edge_append_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> str:
+    """Materialize (once) the INCREMENTALLY-MAINTAINED co-purchase arc
+    table: raw additive arcs ``(src, dst, w)`` bucketed by ``src``,
+    built from the base ~86% of orders, then the remaining orders'
+    arcs APPENDED as a second bucketed write (``edge_table_append`` —
+    Spark appends to bucketed tables under the same spec, so appended
+    files land in their src buckets and the scan still reports
+    HashPartitioning(src)).
+
+    Unlike the ANN codes table, no model freezing is needed: arc
+    weights are ADDITIVE over order-grain batches, so merge-on-read
+    (``merged_edge_norm``) is exact — the merged graph is bit-identical
+    to a full rebuild, and every from-edges query keeps its
+    full-corpus oracle. The groupBy(src, dst) merge and the groupBy(src)
+    out-weight both run WITHOUT an exchange: HashPartitioning(src) from
+    the bucketed scan satisfies clustering on (src, dst) (src is a
+    subset of the keys) — plan-asserted in tests/test_indexes.py."""
+    table = f"copurchase_arcs_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(table):
+        _sweep_stale_location(spark, table)
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        arriving = F.col("l_orderkey") % EDGE_APPEND_MOD == EDGE_APPEND_REM
+        from is3107datapipelineproject_spark.plans.layout import write_bucketed
+
+        write_bucketed(
+            copurchase_edge_arcs(li.filter(~arriving)), table, "src", n_buckets=n_buckets
+        )
+        edge_table_append(spark, table, li.filter(arriving), n_buckets=n_buckets)
+    return table
+
+
+def edge_table_append(
+    spark: SparkSession, table: str, new_lineitem: DataFrame, n_buckets: int = 16
+) -> None:
+    """Incremental edge-table maintenance: compute the ARRIVING orders'
+    arcs (one pair-gen over the BATCH, never the corpus) and append
+    them into the bucketed arc table under the same bucket spec. The
+    per-ingest cost is proportional to the batch; the accumulated
+    small files are reclaimed by plans/layout.py::compact_table. The
+    batch must be complete orders (the pair-generating unit) — a
+    partial order would under-count its pairs; real ingest satisfies
+    this by batching on order boundaries."""
+    arcs = copurchase_edge_arcs(new_lineitem.select("l_orderkey", "l_partkey"))
+    (
+        arcs.repartition(n_buckets, F.col("src"))
+        .write.mode("append")
+        .bucketBy(n_buckets, "src")
+        .sortBy("src")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def merged_edge_norm(spark: SparkSession, table: str) -> DataFrame:
+    """Merge-on-read of the appended arc table: per-(src, dst) weight
+    sums + recomputed out-weights, both exchange-free on the bucketed
+    scan's HashPartitioning(src). Returns the pre-normalized
+    ``(src, dst, w, ow)`` frame every from-edges operator consumes."""
+    arcs = spark.table(table)
+    merged = arcs.groupBy("src", "dst").agg(F.sum("w").cast("long").alias("w"))
+    outw = merged.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    # SHUFFLE_HASH pin: the out-weight side is O(|V|) — same inverted
+    # contract as broadcasting the rank vector — and BOTH sides already
+    # carry HashPartitioning(src) from the bucketed scan, so the SHJ
+    # plans with zero exchange on either side (plan-asserted).
+    return merged.join(outw.hint("shuffle_hash"), "src").select("src", "dst", "w", "ow")
+
+
 def ivfpq_index_tables(
     spark: SparkSession,
     sf_dir: str,

@@ -749,3 +749,31 @@ def q_ppr_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = G.personalized_pagerank_prenorm(e.select("src", "dst", "w", "ow"), seeds)
     return pr.select(F.col("node").alias("part_key"), F.col("pr").alias("ppr_scaled"))
+
+
+@register(
+    "pagerank_from_merged_edges",
+    oracle=_PAGERANK_ORACLE,
+    tags=("graph", "iterative", "materialize", "incremental"),
+)
+def q_pagerank_from_merged_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph twin of ann_index_append — incremental EDGE-TABLE
+    maintenance closed end-to-end: the bucketed arc table is built from
+    the base ~86% of orders, the remaining orders' arcs are APPENDED
+    (plans/indexes.py::edge_table_append — one pair-gen over the batch,
+    never the corpus), and PageRank runs over the MERGE-ON-READ
+    normalized view (merged_edge_norm: per-(src,dst) weight sums +
+    recomputed out-weights, both exchange-free on the bucketed scan's
+    HashPartitioning(src) since src is a subset of every grouping key).
+    Arc weights are ADDITIVE over order-grain batches, so the merged
+    graph is bit-identical to a full rebuild — this query keeps the
+    SAME full-corpus oracle as copurchase_pagerank, which is exactly
+    the append==rebuild correctness statement, driver-checked."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        edge_append_tables,
+        merged_edge_norm,
+    )
+
+    table = edge_append_tables(spark, sf_dir)
+    pr = G.pagerank_prenorm(merged_edge_norm(spark, table))
+    return pr.select(F.col("node").alias("part_key"), F.col("pr").alias("pr_scaled"))

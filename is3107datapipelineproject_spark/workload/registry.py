@@ -55,7 +55,9 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # the FIRST 50 entries each round, so a round may add at most
 # (50 − #never-sampled-backlog − #edited-this-round) new queries — the
 # registry must never again outgrow the evidence window. Round-7 budget:
-# 38 backlog + 5 re-samples (plans changed this round) leaves ≤7 new.
+# 38 backlog + 5 re-samples (plans changed this round) leaves ≤7 new;
+# 5 were added (window = 48/50, verified by tools/evidence_gap.py:
+# never-sampled 43, all inside the window, 0 red).
 #
 # Round-7 window: positions 1-38 are the 38 round-6 session-2/3 queries
 # never driver-sampled in r1-r6 (all locally oracle-green in the round-6
@@ -114,6 +116,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "ppr_from_edges",
     "ann_index_append",
     "dblp_pair_lookup",
+    "pagerank_from_merged_edges",
 )
 
 

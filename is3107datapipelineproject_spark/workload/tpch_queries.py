@@ -952,6 +952,13 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn(
             metric, ntile_from_rank(F.col("__rn"), F.col("__n"), 4)
         ).drop("__rn", "__n")
+        # Checkpoint BETWEEN rank passes: each distributed_rank opens
+        # with an eager approxQuantile job, and without the barrier
+        # pass k's cutoff job re-derives passes 1..k-1's window+join
+        # lineage from scratch (measured 6.0 s → the checkpointed chain
+        # at sf0.1; each materialization is the O(|customers|) frame,
+        # spillable, linear).
+        scored = scored.localCheckpoint(eager=True)
     return (
         scored.select(
             F.concat(

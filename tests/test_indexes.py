@@ -419,3 +419,51 @@ def test_dblp_pair_lookup_prunes_year_partition(spark):
     )
     rows = df.collect()
     assert len(rows) == 1 and rows[0].author1 == "1" and rows[0].author2 == "8"
+
+
+def test_edge_append_merge_equals_full_rebuild(spark):
+    """Append == rebuild for the incrementally maintained arc table:
+    the merge-on-read normalized view over (base build + appended
+    order batch) must be bit-identical to the one-shot full build —
+    arc weights are additive over order-grain batches. Also pins the
+    scale shape: the (src,dst) merge and the out-weight aggregate run
+    with NO exchange above the bucketed scan."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        copurchase_edge_table,
+        edge_append_tables,
+        merged_edge_norm,
+    )
+
+    table = edge_append_tables(spark, SF)
+    merged = merged_edge_norm(spark, table)
+    got = {(r.src, r.dst, r.w, r.ow) for r in merged.collect()}
+    want = {
+        (r.src, r.dst, r.w, r.ow)
+        for r in copurchase_edge_table(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
+
+    plan = _plan(merged)
+    assert "Bucketed: true" in plan
+    # no SHUFFLE anywhere: HashPartitioning(src) from the bucketed scan
+    # satisfies clustering for both groupBys and the src equi-join (the
+    # O(|V|) out-weight side is SHUFFLE_HASH-pinned, never broadcast)
+    assert "Exchange hashpartitioning" not in plan, plan[:800]
+    assert "BroadcastHashJoin" not in plan, plan[:800]
+
+
+def test_pagerank_from_merged_edges_plan(spark):
+    fn = registry.queries()["pagerank_from_merged_edges"]
+    plan = _plan(fn(spark, SF))
+    assert "Bucketed: true" in plan
+    assert "BroadcastHashJoin" not in plan, "edge/ow sides must never broadcast"
+    assert "SortMergeJoin" not in plan
+    # 1 zero-exchange ow join + 3 rank iterations, all shuffled-hash
+    # (printed count exceeds 4: the lazy rank chain nests earlier
+    # iterations' subtrees; ReuseExchange collapses them at run)
+    assert plan.count("ShuffledHashJoin") >= 4
+    # the only hash exchanges are the O(|V|) rank-vector shuffles —
+    # never the arc scan side
+    import re as _re
+
+    assert not _re.search(r"Exchange hashpartitioning\(src#\d+L, \d+\)[^\n]*\n[^\n]*copurchase_arcs", plan)
