@@ -467,3 +467,30 @@ def test_pagerank_from_merged_edges_plan(spark):
     import re as _re
 
     assert not _re.search(r"Exchange hashpartitioning\(src#\d+L, \d+\)[^\n]*\n[^\n]*copurchase_arcs", plan)
+
+
+def test_compact_arc_table_preserves_merge_and_buckets(spark):
+    """Arc-table compaction: re-summing the appended partials must
+    shrink files AND rows, keep the bucketed layout (the from-edges
+    zero-exchange contract), and leave merged_edge_norm bit-identical."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        compact_arc_table,
+        edge_append_tables,
+        merged_edge_norm,
+    )
+
+    table = edge_append_tables(spark, SF)
+    before_view = {
+        (r.src, r.dst, r.w, r.ow) for r in merged_edge_norm(spark, table).collect()
+    }
+    rows_before = spark.table(table).count()
+    fb, fa = compact_arc_table(spark, table)
+    assert fa < fb, "compaction must shrink the file count"
+    assert spark.table(table).count() < rows_before, "partials must re-sum"
+    after = merged_edge_norm(spark, table)
+    assert {
+        (r.src, r.dst, r.w, r.ow) for r in after.collect()
+    } == before_view
+    plan = _plan(after)
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
