@@ -108,3 +108,68 @@ def test_distributed_cumsum_constant_column(spark):
     got = distributed_cumsum(df, "v", ["a"], tiebreak_cols=["id"], n_buckets=8)
     rows = {r.id: r.a_cum for r in got.collect()}
     assert rows == {i: 2 * (i + 1) for i in range(50)}
+
+
+def test_ntile_from_rank_exact_beyond_double_range(spark):
+    """The decimal-floor + fix-up division must stay exact where the
+    old double round-trip drifts: ranks/counts past 2^53, awkward
+    near-boundary quotients, tiny k remainders. Compare against Python
+    integer arithmetic on literal columns."""
+    from is3107datapipelineproject_spark.operators.ranking import ntile_from_rank
+
+    def py_ntile(rank: int, n: int, k: int) -> int:
+        s, m = divmod(n, k)
+        big = m * (s + 1)
+        if rank <= big:
+            return (rank - 1) // (s + 1) + 1
+        return m + (rank - big - 1) // max(s, 1) + 1
+
+    cases = []
+    for n in [1, 3, 4, 7, 10**6 + 3, (1 << 53) + 5, (1 << 60) + 7]:
+        for rank in {1, 2, n // 3 + 1, n // 2, n - 1 if n > 1 else 1, n}:
+            for k in (4, 7):
+                cases.append((rank, n, k))
+    df = spark.createDataFrame(
+        [(r, n, k) for (r, n, k) in cases], "rank LONG, n LONG, k INT"
+    )
+    got4 = df.filter(F.col("k") == 4).select(
+        "rank", "n", ntile_from_rank(F.col("rank"), F.col("n"), 4).alias("t")
+    )
+    got7 = df.filter(F.col("k") == 7).select(
+        "rank", "n", ntile_from_rank(F.col("rank"), F.col("n"), 7).alias("t")
+    )
+    for k, got in ((4, got4), (7, got7)):
+        for row in got.collect():
+            assert row.t == py_ntile(row.rank, row.n, k), (row.rank, row.n, k)
+
+
+def test_distributed_rank_first_execution_fresh_session():
+    """Regression pin for the Catalyst 4.1 self-join
+    constraint-substitution crash (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND):
+    it only fires on the FIRST execution in a fresh session, which the
+    shared-session suite can never see — so drive a grouped
+    distributed_rank as the very first action of a SUBPROCESS session.
+    Guards the _opaque barrier in operators/ranking.py."""
+    import subprocess
+    import sys
+
+    code = """
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.sql.ansi.enabled", "true")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from is3107datapipelineproject_spark.operators.ranking import distributed_rank
+df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+    "o_orderpriority", F.year("o_orderdate").cast("int").alias("o_year"),
+    "o_orderkey", "o_totalprice")
+out = distributed_rank(df, "o_totalprice", ["o_orderkey"],
+                       group_cols=["o_orderpriority", "o_year"])
+print("FIRST_EXEC_ROWS", out.count())
+spark.stop()
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=300
+    )
+    assert "FIRST_EXEC_ROWS 1500" in res.stdout, res.stderr[-2000:]
