@@ -127,10 +127,19 @@ def edge_append_tables(
     full-corpus oracle. The groupBy(src, dst) merge and the groupBy(src)
     out-weight both run WITHOUT an exchange: HashPartitioning(src) from
     the bucketed scan satisfies clustering on (src, dst) (src is a
-    subset of the keys) — plan-asserted in tests/test_indexes.py."""
+    subset of the keys) — plan-asserted in tests/test_indexes.py.
+
+    Idempotence guard: the build is TWO writes (base + append), so the
+    guard is a separate marker table written LAST — guarding on the arc
+    table itself would latch a base-only state if the append failed
+    mid-build (the completion-marker invariant ivfpq_index_tables gets
+    for free by writing its codes table last)."""
     table = f"copurchase_arcs_{_tag(sf_dir)}"
-    if not spark.catalog.tableExists(table):
-        _sweep_stale_location(spark, table)
+    marker = f"{table}_ready"
+    if not spark.catalog.tableExists(marker):
+        for t in (table, marker):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")  # clear a half-built prior attempt
+            _sweep_stale_location(spark, t)
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         arriving = F.col("l_orderkey") % EDGE_APPEND_MOD == EDGE_APPEND_REM
         from is3107datapipelineproject_spark.plans.layout import write_bucketed
@@ -139,6 +148,7 @@ def edge_append_tables(
             copurchase_edge_arcs(li.filter(~arriving)), table, "src", n_buckets=n_buckets
         )
         edge_table_append(spark, table, li.filter(arriving), n_buckets=n_buckets)
+        spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
     return table
 
 
@@ -149,10 +159,16 @@ def edge_table_append(
     arcs (one pair-gen over the BATCH, never the corpus) and append
     them into the bucketed arc table under the same bucket spec. The
     per-ingest cost is proportional to the batch; the accumulated
-    small files are reclaimed by plans/layout.py::compact_table. The
+    small files are reclaimed by :func:`compact_arc_table`. The
     batch must be complete orders (the pair-generating unit) — a
     partial order would under-count its pairs; real ingest satisfies
-    this by batching on order boundaries."""
+    this by batching on order boundaries.
+
+    NOT replay-idempotent: a blind re-append of the same batch
+    double-counts its arcs. Drive retryable ingest through a
+    foreachBatch sink with the ``batch=<id>`` overwrite pattern
+    (streaming/windows.py) or dedupe batch ids at the orchestrator;
+    this function is the one-shot building block."""
     arcs = copurchase_edge_arcs(new_lineitem.select("l_orderkey", "l_partkey"))
     (
         arcs.repartition(n_buckets, F.col("src"))
@@ -304,7 +320,13 @@ def ann_index_append(
     tests/test_indexes.py), and ``ivfpq_topk_from_index`` needs no
     changes. Retraining is a NEW index version — rebuild via
     :func:`_build_ivfpq`, exactly as a production ANN service rolls
-    model versions."""
+    model versions.
+
+    NOT replay-idempotent: re-appending the same batch duplicates its
+    codes. Retryable ingest goes through
+    streaming/windows.py::ann_ingest_sink (per-batch overwrite), or the
+    orchestrator dedupes batch ids; this is the one-shot building
+    block."""
     from is3107datapipelineproject_spark.operators.clustering import assign_to_centroids
     from is3107datapipelineproject_spark.operators.pq import pq_encode
 
@@ -342,20 +364,29 @@ def ann_appended_index_tables(
     the remaining 20% appended via :func:`ann_index_append` against the
     frozen model — the persisted outcome of an ingest cycle. Table
     prefix ``ivfpqa_`` keeps it distinct from the one-shot
-    :func:`ivfpq_index_tables`."""
-    p = f"ivfpqa_{_tag(sf_dir)}"
+    :func:`ivfpq_index_tables`; the model parameters are part of the
+    name, so callers with different (k_coarse, iters, m, k) can never
+    silently share one cached index.
+
+    Idempotence guard: build + append is multi-write, so completion is
+    a marker table written LAST — guarding on the codes table would
+    latch a base-only index if the append failed mid-build."""
+    p = f"ivfpqa_{_tag(sf_dir)}_c{k_coarse}i{km_iters}m{m}k{k}"
     names = {
         "centroids": f"{p}_centroids",
         "codebook": f"{p}_codebook",
         "codes": f"{p}_codes",
     }
-    if not spark.catalog.tableExists(names["codes"]):
-        for t in names.values():
+    marker = f"{p}_ready"
+    if not spark.catalog.tableExists(marker):
+        for t in (*names.values(), marker):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")  # clear a half-built prior attempt
             _sweep_stale_location(spark, t)
         emb = load_table(spark, sf_dir, "embeddings")
         arrivals_pred = F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_REM
         _build_ivfpq(spark, emb.filter(~arrivals_pred), names, k_coarse, km_iters, m, k)
         ann_index_append(spark, names, emb.filter(arrivals_pred), m=m, k=k)
+        spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
     return names
 
 

@@ -157,12 +157,19 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _data_files(spark: SparkSession, path: str) -> int:
-    """Count data files under ``path`` (recursive, Hadoop FS — works for
-    any scheme the session can reach), skipping _SUCCESS/metadata."""
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Resolve ``path`` and its Hadoop FileSystem through the session's
+    configuration (works for any scheme the session can reach) — the
+    one place the jvm Path/getFileSystem incantation lives."""
     jvm = spark.sparkContext._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return p, p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+
+def _data_files(spark: SparkSession, path: str) -> int:
+    """Count data files under ``path`` (recursive), skipping
+    _SUCCESS/metadata."""
+    p, fs = _hadoop_fs(spark, path)
     if not fs.exists(p):
         return 0
     it = fs.listFiles(p, True)
@@ -225,23 +232,37 @@ def compact_stream_dir(
     filter stays correct for future batches. Run between triggers
     against a quiesced stream whose checkpoint has committed
     ``max_id`` — same caveat as hist_compact. Returns
-    ``(files_before, files_after)``."""
+    ``(files_before, files_after)``.
+
+    Crash safety: the compacted data is FULLY WRITTEN to a temp sibling
+    directory before the original is deleted and the temp renamed into
+    place — at no instant is the persisted corpus held only in process
+    memory (a delete-then-rewrite-from-checkpoint would lose the sinks'
+    exact-contract state to a driver crash in the window). A crash
+    between delete and rename leaves the complete data at
+    ``<path>.compact_tmp`` — recover by renaming it to ``<path>``."""
     before = _data_files(spark, path)
     df = spark.read.parquet(path)
     max_batch = df.agg(F.max("batch")).first()[0]
-    compacted = df.drop("batch").localCheckpoint(eager=True)
-    jvm = spark.sparkContext._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    fs.delete(p, True)
-    w = compacted
+    compacted = df.drop("batch")
+    tmp = f"{path}.compact_tmp"
+    tmp_batch = f"{tmp}/batch={int(max_batch)}"
     if partition_cols:
-        w = w.repartition(*[F.col(c) for c in partition_cols])
-        w.write.mode("overwrite").partitionBy(*partition_cols).parquet(
-            f"{path}/batch={int(max_batch)}"
+        (
+            compacted.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(tmp_batch)
         )
     else:
-        w.coalesce(1).write.mode("overwrite").parquet(f"{path}/batch={int(max_batch)}")
+        compacted.coalesce(1).write.mode("overwrite").parquet(tmp_batch)
+    p, fs = _hadoop_fs(spark, path)
+    tp, _ = _hadoop_fs(spark, tmp)
+    fs.delete(p, True)
+    if not fs.rename(tp, p):
+        raise IOError(
+            f"compaction rename failed; complete data is at {tmp} — rename it to {path}"
+        )
     return before, _data_files(spark, path)
 
 

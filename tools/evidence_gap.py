@@ -48,7 +48,12 @@ def main() -> None:
     red = {
         n: row
         for n, (_, row) in sampled.items()
-        if not (row.get("rows_match") and row.get("schema_match") is not False and row.get("err") is None)
+        if not (
+            row.get("rows_match")
+            and row.get("schema_match") is not False
+            and row.get("hash_match") is not False  # content mismatch IS red
+            and row.get("err") is None
+        )
     }
 
     print(json.dumps({
