@@ -221,7 +221,10 @@ def compact_table(
 
 
 def compact_stream_dir(
-    spark: SparkSession, path: str, partition_cols: Sequence[str] = ()
+    spark: SparkSession,
+    path: str,
+    partition_cols: Sequence[str] = (),
+    pre_merge=None,
 ) -> tuple[int, int]:
     """Compaction for the retry-safe streaming sink directories (the
     ``batch=<id>`` per-trigger partitions of prefix/neardup/ann ingest):
@@ -240,11 +243,19 @@ def compact_stream_dir(
     memory (a delete-then-rewrite-from-checkpoint would lose the sinks'
     exact-contract state to a driver crash in the window). A crash
     between delete and rename leaves the complete data at
-    ``<path>.compact_tmp`` — recover by renaming it to ``<path>``."""
+    ``<path>.compact_tmp`` — recover by renaming it to ``<path>``.
+
+    ``pre_merge`` (optional ``DataFrame -> DataFrame``) runs on the
+    batch-stripped union before the rewrite, for sinks whose partials
+    also RE-SUM on compaction (hist_compact passes the per-bin re-sum;
+    it must be merge-on-read-invariant or the compaction changes
+    results)."""
     before = _data_files(spark, path)
     df = spark.read.parquet(path)
     max_batch = df.agg(F.max("batch")).first()[0]
     compacted = df.drop("batch")
+    if pre_merge is not None:
+        compacted = pre_merge(compacted)
     tmp = f"{path}.compact_tmp"
     tmp_batch = f"{tmp}/batch={int(max_batch)}"
     if partition_cols:

@@ -410,41 +410,52 @@ def neardup_ingest_sink(
 def hist_ingest_sink(sketch_dir: str, value_col: str, width: float = 100.0):
     """Streaming maintenance of the mergeable quantile sketch
     (operators/sketches.py): per micro-batch, build the batch's
-    fixed-boundary histogram and APPEND it as a partial — the classic
-    store-partials / merge-on-read sketch pattern. No read-modify-write
-    of the sketch table (append-only, so concurrent triggers and
-    retries stay safe), and per-ingest cost is the batch scan plus a
-    ≤(range/width)-row write. Read the current sketch with
-    :func:`hist_read`; offline compaction is a plain overwrite of the
-    re-summed table. Fixed boundaries make the merge associative, so
-    the streamed sketch equals the batch-built global histogram
-    bit-for-bit at every trigger (asserted in tests)."""
+    fixed-boundary histogram and persist it as a partial — the classic
+    store-partials / merge-on-read sketch pattern. Per-ingest cost is
+    the batch scan plus a ≤(range/width)-row write. Read the current
+    sketch with :func:`hist_read`; compact with :func:`hist_compact`.
+    Fixed boundaries make the merge associative, so the streamed sketch
+    equals the batch-built global histogram bit-for-bit at every
+    trigger (asserted in tests).
+
+    Retry-safe like the dedup/ANN sinks: each partial lands in a
+    ``batch=<id>`` partition subdirectory with OVERWRITE semantics, so
+    an at-least-once replay rewrites its own partial instead of
+    double-counting the batch's values in the merged sketch."""
     from is3107datapipelineproject_spark.operators.sketches import hist_build
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        hist_build(batch_df, value_col, width).write.mode("append").parquet(sketch_dir)
+        hist_build(batch_df, value_col, width).write.mode("overwrite").parquet(
+            f"{sketch_dir}/batch={int(batch_id)}"
+        )
 
     return apply
 
 
 def hist_read(spark, sketch_dir: str) -> DataFrame:
-    """Merge the appended histogram partials back into one sketch
+    """Merge the stored histogram partials back into one sketch
     (union + re-sum over ≤ #partials × range/width rows)."""
     parts = spark.read.parquet(sketch_dir)
     return parts.groupBy("bin").agg(F.sum("bin_cnt").cast("long").alias("bin_cnt"))
 
 
 def hist_compact(spark, sketch_dir: str) -> int:
-    """Offline compaction of the append-only sketch log: re-sum the
-    partials into ONE row per bin and overwrite the table, so
-    merge-on-read cost stops growing with trigger count. The merged
-    sketch is identical before and after (fixed boundaries make the
-    re-sum associative — asserted in tests); run it between triggers or
-    against a quiesced table, since the overwrite is not transactional
-    against a concurrent appender. Returns the compacted row count."""
-    compacted = hist_read(spark, sketch_dir).localCheckpoint(eager=True)
-    compacted.write.mode("overwrite").parquet(sketch_dir)
-    return compacted.count()
+    """Offline compaction of the partial log: re-sum the partials into
+    ONE row per bin under a single ``batch=<max_committed>`` partition
+    (plans/layout.py::compact_stream_dir — temp-sibling swap, so the
+    sketch is never held only in process memory; the max id keeps
+    replayed-batch semantics correct), so merge-on-read cost stops
+    growing with trigger count. The merged sketch is identical before
+    and after (fixed boundaries make the re-sum associative — asserted
+    in tests); run against a quiesced stream. Returns the compacted
+    row count."""
+    from is3107datapipelineproject_spark.plans.layout import compact_stream_dir
+
+    def _resum(df: DataFrame) -> DataFrame:
+        return df.groupBy("bin").agg(F.sum("bin_cnt").cast("long").alias("bin_cnt"))
+
+    compact_stream_dir(spark, sketch_dir, pre_merge=_resum)
+    return spark.read.parquet(sketch_dir).count()
 
 
 def dq_monitor_sink(report_dir: str, checks_factory):
@@ -457,19 +468,23 @@ def dq_monitor_sink(report_dir: str, checks_factory):
     closure ships no Column objects to the workers).
 
     Merge-on-read contract (same as hist_ingest_sink): per-check totals
-    over the full stream = SUM of the appended partials, asserted equal
-    to the batch battery over the same data in tests. Append-only means
-    no read-modify-write races between triggers."""
+    over the full stream = SUM of the stored partials, asserted equal
+    to the batch battery over the same data in tests.
+
+    Retry-safe: each batch's report lands in a ``batch_id=<id>``
+    partition subdirectory with OVERWRITE semantics (the id comes back
+    as the partition column on read), so an at-least-once replay
+    rewrites its own rows instead of double-counting the batch in the
+    totals."""
     from is3107datapipelineproject_spark.operators.quality import row_checks
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         out = row_checks(batch_df, checks_factory()).select(
-            F.lit(int(batch_id)).alias("batch_id"),
-            "check",
-            "total",
-            "violations",
+            "check", "total", "violations"
         )
-        out.coalesce(1).write.mode("append").parquet(report_dir)
+        out.coalesce(1).write.mode("overwrite").parquet(
+            f"{report_dir}/batch_id={int(batch_id)}"
+        )
 
     return apply
 

@@ -676,6 +676,13 @@ def test_hist_ingest_sink_equals_global_histogram(spark, tmp_path):
     qb = {r["q"]: r["est_upper"] for r in hist_quantiles(global_sk, [0.5, 0.9]).collect()}
     assert qa == qb
 
+    # at-least-once replay: rewriting batch 1's partial (same data,
+    # same id) must leave the merged sketch unchanged — the batch=<id>
+    # overwrite makes the partial log idempotent per batch.
+    pre_replay = sorted(map(tuple, streamed.collect()))
+    hist_ingest_sink(sketch_dir, "v")(spark.createDataFrame(b2, ["k", "v"]), 1)
+    assert sorted(map(tuple, hist_read(spark, sketch_dir).collect())) == pre_replay
+
     # compaction: the partial log (2 triggers of partials) collapses to
     # one row per bin; the merged sketch is bit-identical post-compaction
     from is3107datapipelineproject_spark.streaming.windows import hist_compact

@@ -96,3 +96,15 @@ def test_dq_monitor_stream_equals_batch(spark):
     }
     assert streamed == batch
     assert streamed["type_known"][2] is True  # sanity: domain check passes
+
+    # at-least-once replay: writing the same batch id twice must count
+    # it ONCE — the batch_id=<id> overwrite makes the log idempotent.
+    replay_dir = tempfile.mkdtemp(prefix="dq_replay_")
+    sink = dq_monitor_sink(replay_dir, _checks_factory)
+    sink(batch_df, 0)
+    sink(batch_df, 0)
+    replayed = {
+        r["check"]: (r["total"], r["violations"], r["passed"])
+        for r in dq_monitor_totals(spark, replay_dir).collect()
+    }
+    assert replayed == batch
