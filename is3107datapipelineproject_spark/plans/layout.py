@@ -258,6 +258,13 @@ def compact_stream_dir(
         compacted = pre_merge(compacted)
     tmp = f"{path}.compact_tmp"
     tmp_batch = f"{tmp}/batch={int(max_batch)}"
+    # A stale tmp from a PREVIOUSLY crashed compaction may hold another
+    # batch id's subdir; renaming it in alongside the fresh write would
+    # duplicate data — clear the whole tmp first. (Safe: the original
+    # dir still holds everything at this point.)
+    tp, tfs = _hadoop_fs(spark, tmp)
+    if tfs.exists(tp):
+        tfs.delete(tp, True)
     if partition_cols:
         (
             compacted.repartition(*[F.col(c) for c in partition_cols])
@@ -268,7 +275,6 @@ def compact_stream_dir(
     else:
         compacted.coalesce(1).write.mode("overwrite").parquet(tmp_batch)
     p, fs = _hadoop_fs(spark, path)
-    tp, _ = _hadoop_fs(spark, tmp)
     fs.delete(p, True)
     if not fs.rename(tp, p):
         raise IOError(

@@ -830,3 +830,22 @@ def test_stream_equals_batch_static_enrich(spark, tmp_path):
     }
     want = {(r.window_start, r.n_name): (r.cnt, r.revenue) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_compact_stream_dir_clears_stale_tmp(spark, tmp_path):
+    """A crashed prior compaction leaves <path>.compact_tmp behind; the
+    next compaction must clear it rather than renaming its stale batch
+    subdirs in alongside the fresh write (which would duplicate data)."""
+    from is3107datapipelineproject_spark.plans.layout import compact_stream_dir
+
+    d = str(tmp_path / "log")
+    spark.createDataFrame([(1, 10)], ["k", "v"]).write.parquet(f"{d}/batch=0")
+    spark.createDataFrame([(2, 20)], ["k", "v"]).write.parquet(f"{d}/batch=1")
+    # stale tmp from a "crashed" earlier compaction holding OTHER data
+    spark.createDataFrame([(9, 90)], ["k", "v"]).write.parquet(
+        f"{d}.compact_tmp/batch=0"
+    )
+    compact_stream_dir(spark, d)
+    rows = {(r.k, r.v) for r in spark.read.parquet(d).select("k", "v").collect()}
+    assert rows == {(1, 10), (2, 20)}, rows
+    assert {r.batch for r in spark.read.parquet(d).select("batch").distinct().collect()} == {1}
