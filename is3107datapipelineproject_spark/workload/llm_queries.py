@@ -1720,30 +1720,39 @@ SEMDEDUP_THR = 0.3  # demo threshold; synthetic embeddings are well-spread
 SEMDEDUP_CAP = 64  # hot-cluster cap: low enough that sf>=0.01 exercises BOTH paths
 
 
-def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
-    """Unrolled Lloyd iteration CTE chain mirroring
-    operators.clustering.kmeans_assign step-for-step (decimal-exact
-    centroid means, d2 rounded to 6 before the argmin, ties to the
-    smaller cluster id). Returns (cte_sql, final_assignment_name)."""
-    d2 = "round(list_sum(list_transform(list_zip(e.v, i.c), x -> (x[1]-x[2])*(x[1]-x[2]))), 6)"
-
-    def assign(name: str, cents: str) -> str:
-        return f"""{name} AS (
+def _km_assign(name: str, cents: str, src: str) -> str:
+    """Shared nearest-centroid CTE (d2 rounded to 6 before the argmin,
+    ties to the smaller cluster id) — used by both the plain and the
+    train/assign-split k-means oracle chains so the Lloyd semantics can
+    never drift between them."""
+    d2 = (
+        f"round(list_sum(list_transform(list_zip({src}.v, i.c),"
+        " x -> (x[1]-x[2])*(x[1]-x[2]))), 6)"
+    )
+    return f"""{name} AS (
   SELECT vec_id, cid, d2 FROM (
-    SELECT e.vec_id, i.cid, {d2} AS d2,
-           row_number() OVER (PARTITION BY e.vec_id ORDER BY {d2} ASC, i.cid ASC) AS rn
-    FROM e, {cents} i
+    SELECT {src}.vec_id, i.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY {src}.vec_id ORDER BY {d2} ASC, i.cid ASC) AS rn
+    FROM {src}, {cents} i
   ) WHERE rn = 1
 )"""
 
-    def update(name: str, asg: str) -> str:
-        return f"""{name}_long AS (
+
+def _km_update(name: str, asg: str) -> str:
+    """Shared decimal-exact centroid-mean CTE (training rows = ``e``)."""
+    return f"""{name}_long AS (
   SELECT a.cid, u.pos, round(CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS cc
   FROM {asg} a JOIN (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) u USING (vec_id)
   GROUP BY 1, 2
 ),
 {name} AS (SELECT cid, list(cc ORDER BY pos) AS c FROM {name}_long GROUP BY 1)"""
 
+
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """Unrolled Lloyd iteration CTE chain mirroring
+    operators.clustering.kmeans_assign step-for-step (decimal-exact
+    centroid means, d2 rounded to 6 before the argmin, ties to the
+    smaller cluster id). Returns (cte_sql, final_assignment_name)."""
     parts = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"""c0 AS (
@@ -1752,9 +1761,9 @@ def _kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
 )""",
     ]
     for i in range(iters):
-        parts.append(assign(f"a{i}", f"c{i}"))
-        parts.append(update(f"c{i+1}", f"a{i}"))
-    parts.append(assign(f"a{iters}", f"c{iters}"))
+        parts.append(_km_assign(f"a{i}", f"c{i}", "e"))
+        parts.append(_km_update(f"c{i+1}", f"a{i}"))
+    parts.append(_km_assign(f"a{iters}", f"c{iters}", "e"))
     return ",\n".join(parts), f"a{iters}"
 
 
@@ -1766,31 +1775,9 @@ def _kmeans_ctes_split(k: int, iters: int, train_where: str) -> tuple[str, str]:
     the ``train_where`` subset of the embeddings (``e``), the FINAL
     assignment runs over the full table (``eall``) — mirroring an
     index built on the base corpus whose frozen centroids later route
-    appended arrivals. Returns (cte_sql, final_assignment_name)."""
-
-    def d2(src: str) -> str:
-        return (
-            f"round(list_sum(list_transform(list_zip({src}.v, i.c),"
-            " x -> (x[1]-x[2])*(x[1]-x[2]))), 6)"
-        )
-
-    def assign(name: str, cents: str, src: str) -> str:
-        return f"""{name} AS (
-  SELECT vec_id, cid, d2 FROM (
-    SELECT {src}.vec_id, i.cid, {d2(src)} AS d2,
-           row_number() OVER (PARTITION BY {src}.vec_id ORDER BY {d2(src)} ASC, i.cid ASC) AS rn
-    FROM {src}, {cents} i
-  ) WHERE rn = 1
-)"""
-
-    def update(name: str, asg: str) -> str:
-        return f"""{name}_long AS (
-  SELECT a.cid, u.pos, round(CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS cc
-  FROM {asg} a JOIN (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) u USING (vec_id)
-  GROUP BY 1, 2
-),
-{name} AS (SELECT cid, list(cc ORDER BY pos) AS c FROM {name}_long GROUP BY 1)"""
-
+    appended arrivals. Returns (cte_sql, final_assignment_name).
+    Shares :func:`_km_assign` / :func:`_km_update` with the plain
+    chain, so a Lloyd-semantics fix applies to both oracles at once."""
     parts = [
         "eall AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"e AS (SELECT * FROM eall WHERE {train_where})",
@@ -1800,9 +1787,9 @@ def _kmeans_ctes_split(k: int, iters: int, train_where: str) -> tuple[str, str]:
 )""",
     ]
     for i in range(iters):
-        parts.append(assign(f"a{i}", f"c{i}", "e"))
-        parts.append(update(f"c{i+1}", f"a{i}"))
-    parts.append(assign(f"a{iters}", f"c{iters}", "eall"))
+        parts.append(_km_assign(f"a{i}", f"c{i}", "e"))
+        parts.append(_km_update(f"c{i+1}", f"a{i}"))
+    parts.append(_km_assign(f"a{iters}", f"c{iters}", "eall"))
     return ",\n".join(parts), f"a{iters}"
 
 
