@@ -229,6 +229,33 @@ HEADLINE = [
 ]
 
 
+# Tier map for subtotal reporting (round-8 verdict item): the headline
+# mixes two cost classes on purpose — "build" queries pay a full
+# artifact (re)build per run BY DESIGN (their oracles verify the whole
+# build: the rebuild-tier graph queries re-derive the pair-gen edge
+# table every time; the *_build/_append queries materialize catalog
+# tables), while "amortized" queries are the production steady-state
+# paths. Splitting the subtotals keeps round-over-round comparisons
+# from charging the rebuild tier's deliberate cost against the
+# steady-state trend. Membership here only affects REPORTING.
+BUILD_TIER = {
+    # full-rebuild-per-query graph family (amortized twins: *_from_edges)
+    "copurchase_pagerank",
+    "copurchase_kcore",
+    "copurchase_bfs_hops",
+    "copurchase_triangles",
+    "copurchase_communities",
+    "related_parts_ppr",
+    "clustering_coefficient",
+    # build-once artifact materializers (guarded: steady-state cost once
+    # built, but their first run in a fresh warehouse pays the build)
+    "edge_table_build",
+    "ann_index_build",
+    "ann_index_append",
+    "fact_bucket_build",
+}
+
+
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
@@ -296,6 +323,11 @@ def main() -> None:
     # compact separators, and the inline per-query dict capped at the
     # slowest N — the complete detail goes to BENCH_DETAIL.json beside
     # this script (committed per round, so nothing is lost).
+    build_total = sum(v for k, v in timings.items() if k in BUILD_TIER)
+    tiers = {
+        "build": round(build_total, 2),
+        "amortized": round(total - build_total, 2),
+    }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
@@ -305,6 +337,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": _sf_of(sf_dir),
                 "n_queries": len(timings),
+                "tiers": tiers,
                 "queries": timings,
             },
             fh,
@@ -322,6 +355,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": _sf_of(sf_dir),
                 "n_queries": len(timings),
+                "tiers": tiers,
                 "detail": "BENCH_DETAIL.json",
                 "queries": {k: round(v, 2) for k, v in slowest.items()},
             },

@@ -184,10 +184,16 @@ def assign_top2(
     struct instead of just the argmin, with the identical rounded-d2 /
     smaller-cid tie rule at both ranks, so ``cluster``/``d2_own`` agree
     bit-for-bit with :func:`kmeans_assign` and ``d2_alt`` replays the
-    oracle's rank-2 row. Rows whose second slot stays unfilled (only
-    possible when ``cents`` has a single centroid) are dropped — the
-    same semantics as a rank-2 inner join, so a k=1 codebook cannot
-    silently diverge from the SQL twin."""
+    oracle's rank-2 row. A codebook with fewer than two centroids has
+    no rank-2 distance anywhere — every row's second slot would stay
+    unfilled and the operator would silently return an EMPTY frame, so
+    it raises ValueError instead (an all-rows drop is not a sane
+    answer to "give me the two nearest")."""
+    if cents.limit(2).count() < 2:
+        raise ValueError(
+            "assign_top2 needs a codebook with >= 2 centroids; a single-centroid "
+            "codebook has no second-nearest distance (use assign_to_centroids)"
+        )
     t = _points(df, id_col, vec_col)
     inf = F.lit(float("inf"))
     zero = F.struct(

@@ -153,7 +153,11 @@ def edge_append_tables(
 
 
 def edge_table_append(
-    spark: SparkSession, table: str, new_lineitem: DataFrame, n_buckets: int = 16
+    spark: SparkSession,
+    table: str,
+    new_lineitem: DataFrame,
+    n_buckets: int = 16,
+    compact_max_files: int | None = 64,
 ) -> None:
     """Incremental edge-table maintenance: compute the ARRIVING orders'
     arcs (one pair-gen over the BATCH, never the corpus) and append
@@ -168,7 +172,15 @@ def edge_table_append(
     double-counts its arcs. Drive retryable ingest through a
     foreachBatch sink with the ``batch=<id>`` overwrite pattern
     (streaming/windows.py) or dedupe batch ids at the orchestrator;
-    this function is the one-shot building block."""
+    this function is the one-shot building block.
+
+    Self-compacting: after the append, the layout.py::should_compact
+    policy probe (file count > ``compact_max_files`` AND small mean
+    file size) decides whether to run :func:`compact_arc_table` now —
+    so an append BURST cannot silently degrade every downstream
+    from-edges query into the 175-vs-45-s merge-on-read regime before
+    anyone notices (pass ``compact_max_files=None`` to opt out, e.g.
+    when an orchestrator owns the compaction schedule)."""
     arcs = copurchase_edge_arcs(new_lineitem.select("l_orderkey", "l_partkey"))
     (
         arcs.repartition(n_buckets, F.col("src"))
@@ -178,6 +190,14 @@ def edge_table_append(
         .format("parquet")
         .saveAsTable(table)
     )
+    if compact_max_files is not None:
+        from is3107datapipelineproject_spark.plans.layout import (
+            _table_location,
+            should_compact,
+        )
+
+        if should_compact(spark, _table_location(spark, table), max_files=compact_max_files):
+            compact_arc_table(spark, table, n_buckets=n_buckets)
 
 
 def compact_arc_table(
@@ -209,7 +229,19 @@ def compact_arc_table(
         .agg(F.sum("w").cast("long").alias("w"))
         .localCheckpoint(eager=True)  # read-then-overwrite-same-table safety
     )
+    # The in-place overwrite is not crash-atomic: if it dies mid-write the
+    # table is partial while the *_ready marker would still latch it as
+    # complete for the rest of the session. Drop the marker FIRST and
+    # rewrite it only after the overwrite succeeds, so a failed compaction
+    # routes the next edge_append_tables call into its rebuild path
+    # instead of serving the broken table.
+    marker = f"{table}_ready"
+    had_marker = spark.catalog.tableExists(marker)
+    if had_marker:
+        spark.sql(f"DROP TABLE IF EXISTS {marker}")
     write_bucketed(merged, table, "src", n_buckets=n_buckets)
+    if had_marker:
+        spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
     return before, _data_files(spark, loc)
 
 
@@ -304,6 +336,7 @@ def ann_index_append(
     batch: DataFrame,
     m: int = 8,
     k: int = 16,
+    compact_max_files: int | None = 64,
 ) -> None:
     """Incremental ANN-index maintenance: encode an arrival batch
     against the FROZEN stored centroids + codebook and APPEND the
@@ -326,7 +359,14 @@ def ann_index_append(
     codes. Retryable ingest goes through
     streaming/windows.py::ann_ingest_sink (per-batch overwrite), or the
     orchestrator dedupes batch ids; this is the one-shot building
-    block."""
+    block.
+
+    Self-compacting like edge_table_append: after the append, the
+    layout.py::should_compact policy probe decides whether to rewrite
+    the codes table (compact_table, keeping the ``cluster`` partition
+    layout the query path prunes on). Codes are a pure per-row function
+    of the corpus under the frozen model, so compaction is
+    result-invariant by construction."""
     from is3107datapipelineproject_spark.operators.clustering import assign_to_centroids
     from is3107datapipelineproject_spark.operators.pq import pq_encode
 
@@ -342,6 +382,17 @@ def ann_index_append(
         .partitionBy("cluster")
         .saveAsTable(names["codes"])
     )
+    if compact_max_files is not None:
+        from is3107datapipelineproject_spark.plans.layout import (
+            _table_location,
+            compact_table,
+            should_compact,
+        )
+
+        if should_compact(
+            spark, _table_location(spark, names["codes"]), max_files=compact_max_files
+        ):
+            compact_table(spark, names["codes"], partition_cols=("cluster",))
 
 
 # Arrival split for the append demo surfaces: every 5th vector (by key

@@ -189,6 +189,49 @@ def _table_location(spark: SparkSession, table: str) -> str:
     raise ValueError(f"no location for table {table}")
 
 
+def layout_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(data_file_count, total_data_bytes) under ``path``, recursive,
+    skipping _SUCCESS/metadata — the two numbers a compaction policy
+    needs, read from directory listings only (no data scan)."""
+    p, fs = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return 0, 0
+    it = fs.listFiles(p, True)
+    n, total = 0, 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            n += 1
+            total += st.getLen()
+    return n, total
+
+
+def should_compact(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 64,
+    min_avg_bytes: int = 8 << 20,
+) -> bool:
+    """Compaction POLICY probe — decides WHEN the compaction mechanisms
+    (compact_table / compact_arc_table / compact_stream_dir) should run,
+    so append builders can self-trigger instead of relying on an
+    operator remembering (merge-on-read after an append burst measured
+    175 s vs 45 s compacted at ×100 — SCALING part 18).
+
+    Fires when BOTH hold over ``path``'s data files:
+    - more than ``max_files`` files (merge-on-read cost grows with file
+      count: footer reads, scan tasks, and the per-file open dominate), and
+    - mean file size below ``min_avg_bytes`` (a healthy big table
+      legitimately has many LARGE files; only many small files are
+      append-burst debris worth rewriting).
+
+    Listing-only: O(files) namenode metadata, no data read — cheap
+    enough to run after every append."""
+    n, total = layout_stats(spark, path)
+    return n > max_files and (total / n) < min_avg_bytes
+
+
 def compact_table(
     spark: SparkSession, table: str, partition_cols: Sequence[str]
 ) -> tuple[int, int]:
@@ -220,11 +263,28 @@ def compact_table(
     return before, _data_files(spark, loc)
 
 
+def committed_stream_batches(spark: SparkSession, checkpoint_dir: str) -> set[int]:
+    """Batch ids the streaming checkpoint has COMMITTED (the
+    ``commits/<id>`` files Structured Streaming writes after a
+    micro-batch's sink work is durable). A batch partition on disk
+    whose id is absent here may be REPLAYED on stream restart."""
+    p, fs = _hadoop_fs(spark, f"{checkpoint_dir}/commits")
+    if not fs.exists(p):
+        return set()
+    out: set[int] = set()
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.isdigit():
+            out.add(int(name))
+    return out
+
+
 def compact_stream_dir(
     spark: SparkSession,
     path: str,
     partition_cols: Sequence[str] = (),
     pre_merge=None,
+    checkpoint_dir: str | None = None,
 ) -> tuple[int, int]:
     """Compaction for the retry-safe streaming sink directories (the
     ``batch=<id>`` per-trigger partitions of prefix/neardup/ann ingest):
@@ -237,27 +297,58 @@ def compact_stream_dir(
     ``max_id`` — same caveat as hist_compact. Returns
     ``(files_before, files_after)``.
 
+    Pass ``checkpoint_dir`` (the stream's checkpointLocation) to ENFORCE
+    the committed-``max_id`` requirement instead of trusting the caller:
+    if the on-disk max batch is absent from the checkpoint's commits
+    log, compaction fails fast. Without the check, a restart could
+    replay batch ``max_id`` after compaction and the sink's per-batch
+    ``batch=<max_id>`` overwrite would silently replace the ENTIRE
+    compacted corpus with that one batch's partial.
+
     Crash safety: the compacted data is FULLY WRITTEN to a temp sibling
-    directory before the original is deleted and the temp renamed into
-    place — at no instant is the persisted corpus held only in process
-    memory (a delete-then-rewrite-from-checkpoint would lose the sinks'
-    exact-contract state to a driver crash in the window). A crash
-    between delete and rename leaves the complete data at
-    ``<path>.compact_tmp`` — recover by renaming it to ``<path>``.
+    directory, then swapped in rename-aside order —
+    ``path → path.compact_old``, ``tmp → path``, delete old — so a
+    complete corpus copy exists AT ``path`` or at a sibling at every
+    instant, and no crash point leaves ``path`` missing without a
+    recoverable sibling. compact_stream_dir auto-recovers a stale
+    ``.compact_old`` whose swap crashed midway; the ingest sinks
+    (streaming/windows.py) fail loudly — never cold-start — when a
+    sibling exists while ``path`` is missing.
 
     ``pre_merge`` (optional ``DataFrame -> DataFrame``) runs on the
     batch-stripped union before the rewrite, for sinks whose partials
     also RE-SUM on compaction (hist_compact passes the per-bin re-sum;
     it must be merge-on-read-invariant or the compaction changes
     results)."""
+    p, fs = _hadoop_fs(spark, path)
+    old = f"{path}.compact_old"
+    op, _ = _hadoop_fs(spark, old)
+    if fs.exists(op):
+        if fs.exists(p):
+            # Prior swap completed but crashed before deleting the aside
+            # copy — it is superseded, reclaim it.
+            fs.delete(op, True)
+        else:
+            # Prior swap crashed between the two renames: the aside copy
+            # IS the corpus. Restore it and compact from there.
+            if not fs.rename(op, p):
+                raise IOError(f"recovery rename {old} -> {path} failed")
     before = _data_files(spark, path)
     df = spark.read.parquet(path)
-    max_batch = df.agg(F.max("batch")).first()[0]
+    max_batch = int(df.agg(F.max("batch")).first()[0])
+    if checkpoint_dir is not None:
+        committed = committed_stream_batches(spark, checkpoint_dir)
+        if max_batch not in committed:
+            raise RuntimeError(
+                f"refusing to compact {path}: on-disk batch={max_batch} is not in "
+                f"{checkpoint_dir}/commits (committed: {sorted(committed)[-3:] if committed else []}); "
+                "a restart would replay it and its per-batch overwrite would wipe the compacted corpus"
+            )
     compacted = df.drop("batch")
     if pre_merge is not None:
         compacted = pre_merge(compacted)
     tmp = f"{path}.compact_tmp"
-    tmp_batch = f"{tmp}/batch={int(max_batch)}"
+    tmp_batch = f"{tmp}/batch={max_batch}"
     # A stale tmp from a PREVIOUSLY crashed compaction may hold another
     # batch id's subdir; renaming it in alongside the fresh write would
     # duplicate data — clear the whole tmp first. (Safe: the original
@@ -274,13 +365,35 @@ def compact_stream_dir(
         )
     else:
         compacted.coalesce(1).write.mode("overwrite").parquet(tmp_batch)
-    p, fs = _hadoop_fs(spark, path)
-    fs.delete(p, True)
+    # Rename-aside swap: a full corpus copy survives every crash point.
+    if not fs.rename(p, op):
+        raise IOError(f"aside rename {path} -> {old} failed; corpus untouched at {path}")
     if not fs.rename(tp, p):
         raise IOError(
-            f"compaction rename failed; complete data is at {tmp} — rename it to {path}"
+            f"swap rename failed; complete data is at {old} (original) and {tmp} "
+            f"(compacted) — rename either to {path}"
         )
+    fs.delete(op, True)
     return before, _data_files(spark, path)
+
+
+def assert_stream_dir_healthy(spark: SparkSession, path: str) -> None:
+    """Cold-start guard for the ingest sinks: a MISSING corpus dir is a
+    legitimate first-batch state ONLY if no crashed compaction left a
+    ``.compact_tmp`` / ``.compact_old`` sibling behind. Treating that
+    state as a cold start would silently continue with an empty corpus;
+    fail loudly instead and name the recovery rename."""
+    p, fs = _hadoop_fs(spark, path)
+    if fs.exists(p):
+        return
+    for suffix in (".compact_old", ".compact_tmp"):
+        sp, _ = _hadoop_fs(spark, path + suffix)
+        if fs.exists(sp):
+            raise RuntimeError(
+                f"{path} is missing but {path}{suffix} exists — a compaction "
+                f"crashed mid-swap; rename {path}{suffix} to {path} to recover "
+                "instead of cold-starting with an empty corpus"
+            )
 
 
 def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:

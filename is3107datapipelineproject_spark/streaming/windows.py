@@ -394,6 +394,13 @@ def neardup_ingest_sink(
                 F.col("batch") < batch_id
             ).drop("batch")
         except AnalysisException:  # cold start: first batch IS the corpus
+            from is3107datapipelineproject_spark.plans.layout import (
+                assert_stream_dir_healthy,
+            )
+
+            # ... unless a crashed compaction left a sibling copy behind,
+            # in which case cold-starting would silently drop the corpus.
+            assert_stream_dir_healthy(spark, sig_dir)
             corpus = None
         if corpus is not None:
             pairs = incremental_neardup_from_bands(
@@ -567,6 +574,12 @@ def prefix_ingest_sink(
             corpus_postings = spark.read.parquet(postings_dir).filter(older).drop("batch")
             corpus_sets = spark.read.parquet(sets_dir).filter(older).drop("batch")
         except AnalysisException:  # cold start: first batch IS the corpus
+            from is3107datapipelineproject_spark.plans.layout import (
+                assert_stream_dir_healthy,
+            )
+
+            assert_stream_dir_healthy(spark, postings_dir)
+            assert_stream_dir_healthy(spark, sets_dir)
             corpus_postings = None
             corpus_sets = None
         if corpus_postings is not None:

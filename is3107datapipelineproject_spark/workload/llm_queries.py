@@ -3338,7 +3338,12 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("query_id", "neighbor_id", F.lit(k).alias("step"))
         )
-        selected = selected.unionByName(pick)
+        # Checkpoint per greedy round: without this, round k's anti-join
+        # and argmax-window re-derive rounds 1..k-1's whole subtree and the
+        # plan grows multiplicatively with _MMR_K (242 exchanges / 121
+        # sort-merge joins at K=5). Same inter-pass lesson as the rfm
+        # multi-rank chain. The frame is bounded by queries x K rows.
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected.join(cand, ["query_id", "neighbor_id"]).select(
         "query_id", F.col("step").cast("int").alias("step"), "neighbor_id", "cosine"
     )

@@ -54,69 +54,74 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # STANDING RULE (round-7, per the round-6 verdict): the driver samples
 # the FIRST 50 entries each round, so a round may add at most
 # (50 − #never-sampled-backlog − #edited-this-round) new queries — the
-# registry must never again outgrow the evidence window. Round-7 budget:
-# 38 backlog + 5 re-samples (plans changed this round) leaves ≤7 new;
-# 5 were added (window = 48/50, verified by tools/evidence_gap.py:
-# never-sampled 43, all inside the window, 0 red).
+# registry must never again outgrow the evidence window.
 #
-# Round-7 window: positions 1-38 are the 38 round-6 session-2/3 queries
-# never driver-sampled in r1-r6 (all locally oracle-green in the round-6
-# full rehearsal); then the 5 queries whose PLANS changed in round 7
-# after their last green row (ntile decimal idiv + distributed-rank
-# totals checkpoint; bfs/ppr shuffle_hash pins); then round-7 additions.
-# Union of CORRECTNESS_r01-r06 covers every other registered query.
+# AGE-ROTATION RULE (round-8, per the round-7 verdict): with the
+# never-sampled backlog at zero, the window rotates by verification AGE —
+# (1) queries whose plans/code paths were EDITED since their last green
+# row lead (their old evidence is stale), then (2) all other queries
+# ordered by last-driver-verified round ASCENDING, ties alphabetical,
+# truncated to the 50-slot window. `tools/evidence_gap.py --rotation`
+# computes the ordering mechanically from CORRECTNESS_r*.json; regenerate
+# the list below each round. Round-8 window: 4 edited (mmr_rerank
+# checkpoint fix; ann_index_append/edge_table_append self-compaction
+# wiring) + the 46 oldest rows (all of r1, all of r2, and the r3 head) —
+# the remaining r3/r4 tail rotates into r9/r10.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # --- never driver-sampled in r1-r6 (38) ---------------------------
-    "ewma_daily_revenue",
-    "autocorr_daily_revenue",
-    "cluster_silhouette",
-    "multimodal_exact_dedup",
-    "fact_bucket_build",
-    "bucketed_join_revenue",
-    "zorder_events_box",
-    "bpe_learn_merges",
-    "ks_test_priority_revenue",
-    "kmv_source_overlap",
-    "dpp_modern_era_revenue",
-    "ols_price_qty_discount",
-    "bloom_join_brand_qty",
-    "bpe_token_fertility",
-    "time_to_convert_quantiles",
-    "classifier_calibration",
-    "winsorized_revenue_stats",
-    "quality_auc",
-    "precision_recall_curve",
-    "multiplier_bootstrap_ci",
-    "kneser_ney_bigram",
-    "fk_integrity_audit",
-    "trend_robust_stats",
-    "group_exact_percentiles",
-    "stream_static_enrich",
-    "markov_next_event_accuracy",
+    # --- plans/code paths edited in round 8 -> re-sample first (4) ---
     "mmr_rerank",
-    "join_cardinality_estimate",
-    "embedding_release_drift",
-    "rrf_fusion",
-    "conformal_price_interval",
-    "revenue_moments",
-    "deletion_cascade_audit",
-    "funnel_dropoff_significance",
-    "subgroup_auc_audit",
-    "order_total_reconciliation",
-    "cohort_ltv_curve",
-    "ivf_probe_sweep",
-    # --- plans changed in round 7 after their last green row (5) ------
-    "window_ntile_cume",
-    "rfm_segmentation",
-    "revenue_gini",
-    "copurchase_bfs_hops",
-    "related_parts_ppr",
-    # --- new in round 7: no external evidence yet ----------------------
-    "bfs_from_edges",
-    "ppr_from_edges",
     "ann_index_append",
-    "dblp_pair_lookup",
     "pagerank_from_merged_edges",
+    "edge_table_build",
+    # --- last driver-verified in r1 (oldest first) ---
+    "author_ordinal",
+    "events_tumbling_window",
+    "except_by_key",
+    "f_category",
+    "f_coalesce",
+    "f_date_format",
+    "f_from_json",
+    "f_map_values",
+    "f_struct",
+    "f_to_date",
+    "f_zip_authors",
+    "incremental_merge",
+    "limit_n",
+    "q3_collab_totals",
+    "q4_collab_year",
+    "sort_by_key",
+    "union_all",
+    # --- last driver-verified in r2 (oldest first) ---
+    "agg_count_by_year",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_sum_by_author",
+    "antijoin_deleted",
+    "antijoin_new",
+    "distinct_pubs",
+    "filter_eq",
+    "filter_in",
+    "filter_map_contains",
+    "pair_counts",
+    "q1_nth_author",
+    "q2_nth_author",
+    "q_point_lookup",
+    "scan_csv",
+    "scan_or_empty",
+    "semijoin_members",
+    "volume_metrics",
+    # --- last driver-verified in r3 (oldest first) ---
+    "ann_recall",
+    "centroid_outliers",
+    "chunk_documents",
+    "corpus_dedup_keep",
+    "corpus_dedup_keep_best",
+    "corpus_shards",
+    "cosine_topk_bucketed",
+    "curation_pipeline",
+    "decontaminate",
+    "doc_fingerprint",
+    "doc_term_matrix",
 )
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from is3107datapipelineproject_spark.workload import registry
 
 SF = "/root/testdata/sf0.001"
@@ -494,3 +496,81 @@ def test_compact_arc_table_preserves_merge_and_buckets(spark):
     plan = _plan(after)
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_should_compact_policy_probe(spark, tmp_path):
+    """should_compact fires only on many-SMALL-files layouts: few files
+    -> False regardless of size; many small files -> True; many files
+    with a big mean size -> False (healthy large table)."""
+    from is3107datapipelineproject_spark.plans.layout import layout_stats, should_compact
+
+    d = str(tmp_path / "probe")
+    spark.range(100).coalesce(1).write.parquet(d)
+    assert not should_compact(spark, d, max_files=4)
+    for i in range(6):
+        spark.range(i, i + 1).coalesce(1).write.mode("append").parquet(d)
+    n, total = layout_stats(spark, d)
+    assert n > 4 and total > 0
+    assert should_compact(spark, d, max_files=4)
+    # same file count, but pretend files are big: mean-size floor vetoes
+    assert not should_compact(spark, d, max_files=4, min_avg_bytes=1)
+    assert not should_compact(spark, str(tmp_path / "missing"), max_files=0)
+
+
+def test_append_burst_self_triggers_arc_compaction(spark):
+    """Compaction POLICY (not just mechanism): an append burst through
+    edge_table_append must self-trigger compact_arc_table once the
+    file-count threshold is crossed, restoring the amortized layout
+    (bounded small files, re-summed rows) with merged_edge_norm
+    bit-identical and the zero-exchange bucketed plan intact — the
+    guard against the x100 merge-on-read 175s-vs-45s regime."""
+    from is3107datapipelineproject_spark.plans.layout import (
+        _table_location,
+        should_compact,
+        write_bucketed,
+    )
+    from is3107datapipelineproject_spark.plans.indexes import (
+        copurchase_edge_arcs,
+        edge_table_append,
+        merged_edge_norm,
+    )
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    table = "arc_policy_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    base = li.filter(F.col("l_orderkey") % 4 == 0)
+    write_bucketed(copurchase_edge_arcs(base), table, "src", n_buckets=8)
+    loc = _table_location(spark, table)
+
+    # burst: 3 appends at a threshold the 2nd crosses; each append adds
+    # up to 8 bucket files on top of the base 8
+    for rem in (1, 2, 3):
+        edge_table_append(
+            spark, table, li.filter(F.col("l_orderkey") % 4 == rem),
+            n_buckets=8, compact_max_files=12,
+        )
+    # the policy must have fired: a no-policy burst would sit at ~32
+    # files of partials, above the threshold
+    assert not should_compact(spark, loc, max_files=12)
+    from is3107datapipelineproject_spark.plans.layout import layout_stats
+
+    n_files, _ = layout_stats(spark, loc)
+    assert n_files <= 12 + 8, f"compaction never fired: {n_files} files"
+
+    # amortized shape + exactness restored: merged view == full rebuild,
+    # rows re-summed (no per-batch partials left), plan zero-exchange
+    merged = merged_edge_norm(spark, table)
+    full = copurchase_edge_arcs(li).groupBy("src", "dst").agg(
+        F.sum("w").cast("long").alias("w")
+    )
+    fow = full.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    expect = {
+        (r.src, r.dst, r.w, r.ow)
+        for r in full.join(fow, "src").select("src", "dst", "w", "ow").collect()
+    }
+    assert {(r.src, r.dst, r.w, r.ow) for r in merged.collect()} == expect
+    plan = _plan(merged)
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

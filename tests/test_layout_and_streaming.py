@@ -849,3 +849,82 @@ def test_compact_stream_dir_clears_stale_tmp(spark, tmp_path):
     rows = {(r.k, r.v) for r in spark.read.parquet(d).select("k", "v").collect()}
     assert rows == {(1, 10), (2, 20)}, rows
     assert {r.batch for r in spark.read.parquet(d).select("batch").distinct().collect()} == {1}
+
+
+def test_compact_stream_dir_commit_gate(spark, tmp_path):
+    """Passing checkpoint_dir ENFORCES the quiesced-committed contract:
+    if the max on-disk batch is absent from the checkpoint's commits
+    log, compaction must refuse (a restart would replay that batch and
+    its per-batch overwrite would wipe the compacted corpus)."""
+    import pytest
+
+    from is3107datapipelineproject_spark.plans.layout import compact_stream_dir
+
+    d = str(tmp_path / "log")
+    ckpt = tmp_path / "ckpt"
+    spark.createDataFrame([(1, 10)], ["k", "v"]).write.parquet(f"{d}/batch=0")
+    spark.createDataFrame([(2, 20)], ["k", "v"]).write.parquet(f"{d}/batch=1")
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("v1\n{}")
+    with pytest.raises(RuntimeError, match="not in"):
+        compact_stream_dir(spark, d, checkpoint_dir=str(ckpt))
+    # corpus untouched by the refusal
+    assert spark.read.parquet(d).count() == 2
+    (ckpt / "commits" / "1").write_text("v1\n{}")
+    fb, fa = compact_stream_dir(spark, d, checkpoint_dir=str(ckpt))
+    assert fa <= fb
+    assert {r.batch for r in spark.read.parquet(d).select("batch").distinct().collect()} == {1}
+
+
+def test_compact_stream_dir_rename_aside_recovery(spark, tmp_path):
+    """The swap is rename-aside: a crash between the two renames leaves
+    the full corpus at <path>.compact_old, and the next compaction run
+    must restore it and proceed; a completed swap that crashed before
+    deleting the aside copy must reclaim it (not merge it back in)."""
+    from is3107datapipelineproject_spark.plans.layout import compact_stream_dir
+
+    # crash state A: path missing, .compact_old holds the corpus
+    d = str(tmp_path / "logA")
+    spark.createDataFrame([(1, 10)], ["k", "v"]).write.parquet(f"{d}.compact_old/batch=0")
+    spark.createDataFrame([(2, 20)], ["k", "v"]).write.mode("append").parquet(
+        f"{d}.compact_old/batch=1"
+    )
+    compact_stream_dir(spark, d)
+    rows = {(r.k, r.v) for r in spark.read.parquet(d).select("k", "v").collect()}
+    assert rows == {(1, 10), (2, 20)}
+
+    # crash state B: swap completed, stale .compact_old left behind —
+    # superseded copy is reclaimed, contents unchanged
+    import os
+
+    d2 = str(tmp_path / "logB")
+    spark.createDataFrame([(3, 30)], ["k", "v"]).write.parquet(f"{d2}/batch=0")
+    spark.createDataFrame([(9, 99)], ["k", "v"]).write.parquet(f"{d2}.compact_old/batch=0")
+    compact_stream_dir(spark, d2)
+    assert not os.path.exists(f"{d2}.compact_old")
+    assert not os.path.exists(f"{d2}.compact_tmp")
+    rows2 = {(r.k, r.v) for r in spark.read.parquet(d2).select("k", "v").collect()}
+    assert rows2 == {(3, 30)}
+
+
+def test_sinks_fail_loudly_on_orphaned_compaction(spark, tmp_path):
+    """A missing corpus dir with a .compact_tmp/.compact_old sibling is
+    a crashed compaction, NOT a cold start: the ingest sinks must raise
+    (continuing would silently rebuild an empty corpus) and
+    assert_stream_dir_healthy names the recovery."""
+    import pytest
+
+    from is3107datapipelineproject_spark.plans.layout import assert_stream_dir_healthy
+    from is3107datapipelineproject_spark.streaming.windows import neardup_ingest_sink
+
+    sig_dir = str(tmp_path / "sigs")
+    spark.createDataFrame([(1, 1)], ["a", "b"]).write.parquet(f"{sig_dir}.compact_tmp/batch=0")
+    with pytest.raises(RuntimeError, match="compact"):
+        assert_stream_dir_healthy(spark, sig_dir)
+    batch = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    with pytest.raises(RuntimeError, match="compact"):
+        neardup_ingest_sink(sig_dir, str(tmp_path / "pairs"))(batch, 5)
+    # healthy states: dir exists, or truly-cold (no siblings) -> no raise
+    assert_stream_dir_healthy(spark, str(tmp_path / "never_written"))
+    spark.createDataFrame([(1, 1)], ["a", "b"]).write.parquet(sig_dir)
+    assert_stream_dir_healthy(spark, sig_dir)

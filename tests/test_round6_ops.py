@@ -137,3 +137,19 @@ def test_assign_top2_consistent_with_assignment(spark):
         c2, down, dalt = a2[vid]
         assert c2 == c and down == d
         assert dalt >= down
+
+
+def test_assign_top2_rejects_single_centroid_codebook(spark):
+    """k=1 has no second-nearest distance anywhere; silently returning
+    an empty frame was an API footgun — it must raise instead."""
+    import pytest
+
+    from is3107datapipelineproject_spark.operators.clustering import (
+        assign_top2,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=1, iters=1)
+    with pytest.raises(ValueError, match="2 centroids"):
+        assign_top2(emb, "vec_id", "embedding", cents)

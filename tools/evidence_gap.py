@@ -15,7 +15,15 @@ Run it at the start of a round to build the rotation, and at the end to
 prove the standing rule held (a round may add at most
 50 − #backlog − #edited new queries).
 
-Usage: python tools/evidence_gap.py [repo_root]
+With ``--rotation [edited,names,...]`` it instead emits the AGE-ROTATED
+window (the round-8 standing rule): queries named as edited lead, then
+every query ordered by last-green driver round ASCENDING (ties
+alphabetical), truncated to 50 — paste-ready for
+registry._EVIDENCE_PRIORITY. It also reports the per-round age
+histogram so the "no green row older than N rounds" freshness claim is
+checkable at a glance.
+
+Usage: python tools/evidence_gap.py [repo_root] [--rotation q1,q2,...]
 """
 
 from __future__ import annotations
@@ -28,7 +36,18 @@ import sys
 
 
 def main() -> None:
-    root = sys.argv[1] if len(sys.argv) > 1 else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = sys.argv[1:]
+    edited: list[str] = []
+    rotation = False
+    if "--rotation" in args:
+        i = args.index("--rotation")
+        rotation = True
+        if i + 1 < len(args):
+            edited = [q for q in args[i + 1].split(",") if q]
+            args = args[:i] + args[i + 2 :]
+        else:
+            args = args[:i]
+    root = args[0] if args else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, root)
     from is3107datapipelineproject_spark.workload import registry
 
@@ -55,6 +74,28 @@ def main() -> None:
             and row.get("err") is None
         )
     }
+
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        for name, row in json.load(open(path)).items():
+            if row.get("rows_match") and row.get("err") is None:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    if rotation:
+        rest = sorted(
+            (n for n in ordered if n not in edited),
+            key=lambda n: (last_green.get(n, 0), n),
+        )
+        window50 = [n for n in edited if n in ordered] + rest[: 50 - len(edited)]
+        hist: dict[int, int] = {}
+        for n in ordered:
+            hist[last_green.get(n, 0)] = hist.get(last_green.get(n, 0), 0) + 1
+        print(json.dumps({
+            "age_histogram_by_last_green_round": {str(k): v for k, v in sorted(hist.items())},
+            "rotated_window": window50,
+        }, indent=2))
+        return
 
     print(json.dumps({
         "registered": len(ordered),
