@@ -226,6 +226,11 @@ HEADLINE = [
     "ann_index_append",
     "dblp_pair_lookup",
     "pagerank_from_merged_edges",
+    # round 8: PassJoin edit-distance dedup tier, sliding distinct
+    # (WAU), median/MAD robust outliers
+    "title_edit_neardup",
+    "rolling_active_users",
+    "robust_zscore_days",
 ]
 
 

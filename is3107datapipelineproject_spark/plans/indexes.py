@@ -87,6 +87,36 @@ def copurchase_edge_table(
     return spark.table(table)
 
 
+def renormalize_edge_table(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> str:
+    """Refresh the PRE-NORMALIZED edge table from the (compacted) arc
+    table — the second half of post-burst maintenance. The round-8 ×100
+    probe showed compaction ALONE cannot restore the amortized query
+    cost: pagerank_from_merged_edges re-derives its lazy merge-on-read
+    view inside every rank iteration, so even fully-merged arcs pay the
+    two O(|E|) aggregates ×3 (173 s pre-compact → 144 s post-compact,
+    never the from-edges 45 s). The production loop is therefore
+    append → compact_arc_table → THIS (one exchange-free aggregate pass
+    off the bucketed arcs + a bucketed write — no pair-gen), after which
+    the from-edges queries run at their amortized cost again. Refreshed
+    contents are bit-identical to a from-scratch copurchase_edge_table
+    build (arc additivity; asserted in tests). Stage-and-swap like
+    compact_arc_table: the frame is corpus-sized, never checkpointed."""
+    arc_table = edge_append_tables(spark, sf_dir, n_buckets=n_buckets)
+    from is3107datapipelineproject_spark.plans.layout import write_bucketed
+
+    table = f"copurchase_edges_{_tag(sf_dir)}"
+    staged = f"{table}__renorm"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    _sweep_stale_location(spark, staged)
+    write_bucketed(merged_edge_norm(spark, arc_table), staged, "src", n_buckets=n_buckets)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _sweep_stale_location(spark, table)
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    return table
+
+
 def copurchase_edge_arcs(li: DataFrame) -> DataFrame:
     """Raw weighted arcs ``(src, dst, w)`` of the co-purchase graph for
     one slice of lineitem — the ADDITIVE representation: pairs are
@@ -147,9 +177,49 @@ def edge_append_tables(
         write_bucketed(
             copurchase_edge_arcs(li.filter(~arriving)), table, "src", n_buckets=n_buckets
         )
-        edge_table_append(spark, table, li.filter(arriving), n_buckets=n_buckets)
+        # compaction policy OFF for the build's own append: this surface
+        # EXISTS to exercise the merge-on-read state (its consumers'
+        # plans and the driver oracle verify exactly that), so the demo
+        # append must survive uncompacted. The meta baseline recorded
+        # below covers the whole built state, so production appends on
+        # top of it use the growth policy normally.
+        edge_table_append(
+            spark, table, li.filter(arriving), n_buckets=n_buckets,
+            compact_max_files=None, compact_delta_frac=None,
+        )
         spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
+        record_arc_compact_meta(spark, table)
     return table
+
+
+def _arc_meta_table(table: str) -> str:
+    return f"{table}_compactmeta"
+
+
+def record_arc_compact_meta(spark: SparkSession, table: str) -> None:
+    """Record the arc table's current on-disk byte size as the
+    compaction baseline (one-row table — the arc sibling of the *_ready
+    marker). The growth policy in edge_table_append compares future
+    sizes against it."""
+    from is3107datapipelineproject_spark.plans.layout import _table_location, layout_stats
+
+    _, total = layout_stats(spark, _table_location(spark, table))
+    meta = _arc_meta_table(table)
+    if not spark.catalog.tableExists(meta):
+        _sweep_stale_location(spark, meta)  # fresh session, stale warehouse dir
+    spark.createDataFrame([(int(total),)], "bytes bigint").coalesce(1).write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(meta)
+
+
+def arc_compacted_bytes(spark: SparkSession, table: str) -> int | None:
+    """Byte size of the arc table at its last compaction (or build), or
+    None if never recorded."""
+    meta = _arc_meta_table(table)
+    if not spark.catalog.tableExists(meta):
+        return None
+    row = spark.table(meta).first()
+    return int(row.bytes) if row is not None else None
 
 
 def edge_table_append(
@@ -158,6 +228,7 @@ def edge_table_append(
     new_lineitem: DataFrame,
     n_buckets: int = 16,
     compact_max_files: int | None = 64,
+    compact_delta_frac: float | None = 0.2,
 ) -> None:
     """Incremental edge-table maintenance: compute the ARRIVING orders'
     arcs (one pair-gen over the BATCH, never the corpus) and append
@@ -174,13 +245,23 @@ def edge_table_append(
     (streaming/windows.py) or dedupe batch ids at the orchestrator;
     this function is the one-shot building block.
 
-    Self-compacting: after the append, the layout.py::should_compact
-    policy probe (file count > ``compact_max_files`` AND small mean
-    file size) decides whether to run :func:`compact_arc_table` now —
-    so an append BURST cannot silently degrade every downstream
-    from-edges query into the 175-vs-45-s merge-on-read regime before
-    anyone notices (pass ``compact_max_files=None`` to opt out, e.g.
-    when an orchestrator owns the compaction schedule)."""
+    Self-compacting, two triggers (either fires compact_arc_table):
+
+    - GROWTH (the one that matters at scale): when the table has grown
+      more than ``compact_delta_frac`` beyond the byte size recorded at
+      its last compaction (``record_arc_compact_meta``). Merge-on-read
+      cost is driven by unmerged ROWS, not file count — at ×100 a ~20%
+      append burst of perfectly LARGE files degraded
+      pagerank_from_merged_edges 45 s → 175 s, which a small-files
+      heuristic can never see. Size-tiered compaction, exactly the
+      policy class LSM stores use.
+    - SMALL-FILES hygiene: layout.py::should_compact (file count >
+      ``compact_max_files`` AND small mean size) for the many-tiny-
+      appends regime, and the fallback when no meta baseline exists.
+
+    Pass None for either to opt out (e.g. when an orchestrator owns
+    the compaction schedule, or for demo surfaces that must preserve
+    the merge-on-read state)."""
     arcs = copurchase_edge_arcs(new_lineitem.select("l_orderkey", "l_partkey"))
     (
         arcs.repartition(n_buckets, F.col("src"))
@@ -190,14 +271,25 @@ def edge_table_append(
         .format("parquet")
         .saveAsTable(table)
     )
-    if compact_max_files is not None:
-        from is3107datapipelineproject_spark.plans.layout import (
-            _table_location,
-            should_compact,
-        )
+    if compact_max_files is None and compact_delta_frac is None:
+        return
+    from is3107datapipelineproject_spark.plans.layout import (
+        _table_location,
+        layout_stats,
+        should_compact,
+    )
 
-        if should_compact(spark, _table_location(spark, table), max_files=compact_max_files):
-            compact_arc_table(spark, table, n_buckets=n_buckets)
+    loc = _table_location(spark, table)
+    trigger = False
+    if compact_delta_frac is not None:
+        base = arc_compacted_bytes(spark, table)
+        if base is not None and base > 0:
+            _, total = layout_stats(spark, loc)
+            trigger = (total - base) > compact_delta_frac * base
+    if not trigger and compact_max_files is not None:
+        trigger = should_compact(spark, loc, max_files=compact_max_files)
+    if trigger:
+        compact_arc_table(spark, table, n_buckets=n_buckets)
 
 
 def compact_arc_table(
@@ -223,26 +315,40 @@ def compact_arc_table(
 
     loc = _table_location(spark, table)
     before = _data_files(spark, loc)
+    # Stage-and-swap, NOT read-checkpoint-overwrite: an eager
+    # localCheckpoint of the merged arcs pins every row as deserialized
+    # RDD blocks in the driver/executor heap — measured OOM at the ×100
+    # corpus (round 8) — and in-place overwrite destroys the only copy if
+    # the write dies. Writing the merge to a sibling table streams it
+    # executor-side (bounded memory at any scale) and keeps the original
+    # intact until the swap.
     merged = (
         spark.table(table)
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("long").alias("w"))
-        .localCheckpoint(eager=True)  # read-then-overwrite-same-table safety
     )
-    # The in-place overwrite is not crash-atomic: if it dies mid-write the
-    # table is partial while the *_ready marker would still latch it as
+    staged = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    _sweep_stale_location(spark, staged)
+    write_bucketed(merged, staged, "src", n_buckets=n_buckets)
+    # The swap is not crash-atomic: if it dies between DROP and RENAME the
+    # table is missing while the *_ready marker would still latch it as
     # complete for the rest of the session. Drop the marker FIRST and
-    # rewrite it only after the overwrite succeeds, so a failed compaction
+    # rewrite it only after the swap succeeds, so a failed compaction
     # routes the next edge_append_tables call into its rebuild path
-    # instead of serving the broken table.
+    # instead of serving the broken table. (Recovery from the gap state:
+    # the complete merge sits at <table>__compacting.)
     marker = f"{table}_ready"
     had_marker = spark.catalog.tableExists(marker)
     if had_marker:
         spark.sql(f"DROP TABLE IF EXISTS {marker}")
-    write_bucketed(merged, table, "src", n_buckets=n_buckets)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _sweep_stale_location(spark, table)
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    record_arc_compact_meta(spark, table)  # new growth-policy baseline
     if had_marker:
         spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
-    return before, _data_files(spark, loc)
+    return before, _data_files(spark, _table_location(spark, table))
 
 
 def merged_edge_norm(spark: SparkSession, table: str) -> DataFrame:

@@ -3610,3 +3610,76 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "title_edit_neardup",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS tid, substr(text, 1, 32) AS tt FROM documents WHERE n_chars >= 40
+),
+corpus AS (
+  SELECT tid, tt FROM base
+  UNION ALL
+  SELECT tid + 10000000, substr(tt, 1, 6) || 'z' || substr(tt, 8) FROM base WHERE tid % 31 = 5
+  UNION ALL
+  SELECT tid + 20000000, substr(tt, 1, 19) || substr(tt, 21) FROM base WHERE tid % 31 = 17
+),
+idx AS (
+  SELECT tid, 1 AS chunk, 16 AS clen, substr(tt, 1, 16) AS sub FROM corpus
+  UNION ALL
+  SELECT tid, 2, CAST(length(tt) - 16 AS INT), substr(tt, 17) FROM corpus
+),
+probe AS (
+  SELECT tid AS pid, 1 AS chunk, 16 AS clen, substr(tt, 1, 16) AS sub FROM corpus
+  UNION ALL SELECT tid, 2, 15, substr(tt, 16, 15) FROM corpus
+  UNION ALL SELECT tid, 2, 15, substr(tt, 17, 15) FROM corpus
+  UNION ALL SELECT tid, 2, 15, substr(tt, 18, 15) FROM corpus
+  UNION ALL SELECT tid, 2, 16, substr(tt, 16, 16) FROM corpus
+  UNION ALL SELECT tid, 2, 16, substr(tt, 17, 16) FROM corpus
+  UNION ALL SELECT tid, 2, 16, substr(tt, 18, 16) FROM corpus
+),
+cand AS (
+  SELECT DISTINCT least(i.tid, p.pid) AS a, greatest(i.tid, p.pid) AS b
+  FROM idx i
+  JOIN probe p ON i.chunk = p.chunk AND i.clen = p.clen AND i.sub = p.sub
+  WHERE i.tid <> p.pid AND length(p.sub) = p.clen
+)
+SELECT c.a, c.b, CAST(levenshtein(x.tt, y.tt) AS INT) AS lev
+FROM cand c JOIN corpus x ON x.tid = c.a JOIN corpus y ON y.tid = c.b
+WHERE levenshtein(x.tt, y.tt) <= 1
+""",
+    tags=("dedup", "llm"),
+)
+def q_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (lev ≤ 1) title dedup via the PassJoin partition
+    scheme (Li, Deng & Feng, ICDE 2011; operators/dedup.py::
+    edit_neardup_pairs) — the character-level tier of the dedup matrix:
+    MinHash/PPJoin are blind to single-character edits inside tokens
+    (one typo changes a whole shingle), while PassJoin finds exactly
+    the lev≤1 pairs with an equi-join on 9 substring keys per title —
+    no all-pairs stage, no UDF (the verify is the codegen
+    ``levenshtein`` builtin). The synthetic corpus has no organic
+    single-edit title twins, so the query PLANTS them (the pii_scrub
+    convention): every 31st doc contributes a one-substitution variant
+    (+1e7 id) and every 31st-offset-17 a one-deletion variant (+2e7 id)
+    — both expressions replayed verbatim in the oracle, exercising the
+    substitution AND the length-changing shift paths of the pigeonhole."""
+    from is3107datapipelineproject_spark.operators.dedup import edit_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 40)
+    base = docs.select(
+        F.col("doc_id").alias("tid"), F.substring("text", 1, 32).alias("tt")
+    )
+    va = base.filter(F.col("tid") % 31 == 5).select(
+        (F.col("tid") + 10000000).alias("tid"),
+        F.concat(
+            F.substring("tt", 1, 6), F.lit("z"), F.substring("tt", 8, 1 << 30)
+        ).alias("tt"),
+    )
+    vb = base.filter(F.col("tid") % 31 == 17).select(
+        (F.col("tid") + 20000000).alias("tid"),
+        F.concat(F.substring("tt", 1, 19), F.substring("tt", 21, 1 << 30)).alias("tt"),
+    )
+    corpus = base.unionByName(va).unionByName(vb)
+    return edit_neardup_pairs(corpus, "tid", "tt")

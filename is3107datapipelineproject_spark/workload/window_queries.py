@@ -3309,3 +3309,124 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("ltv_per_customer"),
     )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS eday, user_id
+  FROM events
+),
+x AS (
+  SELECT eday + o AS day, user_id
+  FROM ud, (SELECT unnest(generate_series(0, 6)) AS o) offs
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_users_7d
+FROM x GROUP BY 1
+""",
+    tags=("events", "timeseries", "window"),
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the WAU curve) —
+    the sliding-window COUNT DISTINCT every product pipeline runs and
+    the op a frame window CANNOT express (count distinct isn't
+    associative over frames). Restated scale-first: dedup to (user,
+    day) FIRST (one hash aggregate — collapses the fact table to at
+    most |users|×|days| rows), THEN explode each survivor into the 7
+    window-end days it contributes to, then a two-phase distinct count
+    keyed (day, user). The 7× row expansion happens on the DEDUPED
+    frame, never the raw events — at 100 TB the expansion input is
+    bounded by the key space, not event volume. Day = epoch-day BIGINT
+    (the :1442 trailing-window convention); trailing days past the
+    corpus max stay in the result (both engines emit the identical
+    spine). The cumulative sibling is running_distinct_users; the
+    per-day z-score sibling is daily_anomaly_zscore."""
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select(F.unix_date(F.to_date("ts")).cast("long").alias("eday"), "user_id")
+        .distinct()
+    )
+    x = ud.select(
+        "eday", "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o")
+    ).select((F.col("eday") + F.col("o")).alias("day"), "user_id")
+    return x.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("active_users_7d")
+    )
+
+
+@register(
+    "robust_zscore_days",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT d, cents, row_number() OVER (ORDER BY cents, d) AS rk,
+         count(*) OVER () AS n
+  FROM daily
+),
+med AS (SELECT cents AS m FROM r WHERE rk = (n + 1) // 2),
+dev AS (SELECT daily.d, daily.cents, abs(daily.cents - med.m) AS ad, med.m FROM daily, med),
+r2 AS (SELECT ad, row_number() OVER (ORDER BY ad) AS rk, count(*) OVER () AS n FROM dev),
+mad AS (SELECT ad AS s FROM r2 WHERE rk = (n + 1) // 2)
+SELECT dev.d, dev.cents,
+       round(0.6745 * CAST(dev.cents - dev.m AS DOUBLE)
+             / CAST(greatest(mad.s, 1) AS DOUBLE), 4) AS rz,
+       abs(round(0.6745 * CAST(dev.cents - dev.m AS DOUBLE)
+             / CAST(greatest(mad.s, 1) AS DOUBLE), 4)) > 3.5 AS is_outlier
+FROM dev, mad
+""",
+    tags=("warehouse", "timeseries", "diagnostics"),
+)
+def q_robust_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z-score over daily revenue (Iglewicz–Hoaglin
+    modified z, |0.6745·(x−med)/MAD| > 3.5) — the outlier detector whose
+    center and spread the outliers themselves cannot corrupt, unlike
+    daily_anomaly_zscore's mean/σ (one fat-finger day inflates σ and
+    masks itself). Exactness: daily revenue as integer cents; median
+    and MAD are LOWER medians picked by integer rank ((n+1) div 2,
+    ordered (cents, d) / (ad)) — no cross-engine float averaging of
+    middle pairs; the z expression converts to double once, identically
+    ordered both sides, and rounds to 4 before the threshold compare.
+    Plan: the fact collapses map-side to the #days calendar frame; both
+    rank windows run over that bounded spine (the cusum_changepoint
+    boundedness argument), and the two scalar pick-offs broadcast back."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.date_trunc("day", "o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c1"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c1").cast("long").alias("cents"))
+    )
+    w = Window.orderBy("cents", "d")
+    wn = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    r = daily.select(
+        "d", "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r.filter(F.col("rk") == F.expr("(n + 1) DIV 2")).select(F.col("cents").alias("m"))
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "d", "cents", "m", F.abs(F.col("cents") - F.col("m")).alias("ad")
+    )
+    w2 = Window.orderBy("ad")
+    r2 = dev.select(
+        "ad",
+        F.row_number().over(w2).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = r2.filter(F.col("rk") == F.expr("(n + 1) DIV 2")).select(F.col("ad").alias("s"))
+    rz = F.round(
+        F.lit(0.6745) * (F.col("cents") - F.col("m")).cast("double")
+        / F.greatest(F.col("s"), F.lit(1)).cast("double"),
+        4,
+    )
+    return dev.crossJoin(F.broadcast(mad)).select(
+        "d", "cents", rz.alias("rz"), (F.abs(rz) > 3.5).alias("is_outlier")
+    )

@@ -574,3 +574,79 @@ def test_append_burst_self_triggers_arc_compaction(spark):
     assert "Bucketed: true" in plan
     assert "Exchange hashpartitioning" not in plan
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_growth_policy_triggers_arc_compaction(spark):
+    """The size-growth ("partial-row") compaction trigger: once a meta
+    baseline exists, an append growing the table past compact_delta_frac
+    must self-compact EVEN WHEN every file is large — the x100
+    merge-on-read regime (45s -> 175s after a ~20% burst of big files)
+    that a small-files heuristic can never see."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        arc_compacted_bytes,
+        copurchase_edge_arcs,
+        edge_table_append,
+        record_arc_compact_meta,
+    )
+    from is3107datapipelineproject_spark.plans.layout import write_bucketed
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    table = "arc_growth_policy_test"
+    for t in (table, f"{table}_compactmeta", f"{table}__compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    base = li.filter(F.col("l_orderkey") % 2 == 0)
+    write_bucketed(copurchase_edge_arcs(base), table, "src", n_buckets=8)
+    record_arc_compact_meta(spark, table)
+    base_bytes = arc_compacted_bytes(spark, table)
+    assert base_bytes and base_bytes > 0
+
+    # ~100% growth >> 20% threshold; file policy disabled so only the
+    # growth trigger can fire
+    edge_table_append(
+        spark, table, li.filter(F.col("l_orderkey") % 2 == 1),
+        n_buckets=8, compact_max_files=None, compact_delta_frac=0.2,
+    )
+    # compaction ran: rows are fully merged (one per (src,dst)) and the
+    # baseline was re-recorded at the compacted size
+    total = spark.table(table).count()
+    distinct = spark.table(table).select("src", "dst").distinct().count()
+    assert total == distinct > 0, "append partials were not re-summed"
+    assert arc_compacted_bytes(spark, table) != base_bytes
+    # exactness: merged table == one-shot full build
+    full = copurchase_edge_arcs(li).groupBy("src", "dst").agg(
+        F.sum("w").cast("long").alias("w")
+    )
+    assert {(r.src, r.dst, r.w) for r in spark.table(table).collect()} == {
+        (r.src, r.dst, r.w) for r in full.collect()
+    }
+    for t in (table, f"{table}_compactmeta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_renormalize_edge_table_matches_scratch_build(spark):
+    """Post-burst maintenance second half: refreshing the pre-normalized
+    edge table FROM the arc table must be bit-identical to a from-scratch
+    copurchase_edge_table build (arc additivity), must keep the bucketed
+    zero-exchange layout, and the from-edges consumers run unchanged."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        _tag,
+        copurchase_edge_table,
+        renormalize_edge_table,
+    )
+
+    want = {
+        (r.src, r.dst, r.w, r.ow)
+        for r in copurchase_edge_table(spark, SF).collect()
+    }
+    table = renormalize_edge_table(spark, SF)
+    assert table == f"copurchase_edges_{_tag(SF)}"
+    got = {(r.src, r.dst, r.w, r.ow) for r in spark.table(table).collect()}
+    assert got == want and len(got) > 0
+    plan = _plan(spark.table(table).groupBy("src").agg(F.sum("w").alias("s")))
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
+    # the registered from-edges query still plans its zero-exchange shape
+    fn = registry.queries()["pagerank_from_edges"]
+    p2 = _plan(fn(spark, SF))
+    assert "Bucketed: true" in p2 and "SortMergeJoin" not in p2

@@ -55,6 +55,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     # century no matter the corpus size.
     "cusum_changepoint": "daily event spine: #days rows",
     "running_distinct_users": "daily event spine: #days rows",
+    "robust_zscore_days": "median/MAD ranks over the #days calendar spine",
     "seasonal_decompose_dow": "daily spine + 7-row day-of-week frame",
     # histogram / sketch compactions: frame = distinct buckets/bins.
     "perplexity_buckets": "cumulative histogram over 4-dp surprisal bins",
