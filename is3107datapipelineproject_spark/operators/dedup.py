@@ -1123,11 +1123,24 @@ def _prefix_candidates_verify(
     )
 
 
-def edit_neardup_pairs(df: DataFrame, id_col: str, title_col: str) -> DataFrame:
-    """Exact edit-distance (≤1) similarity self-join via the PassJoin
-    partition scheme (Li, Deng & Feng, ICDE 2011) — the edit-distance
-    tier of the dedup matrix, beside the set-overlap tiers (MinHash /
-    PPJoin prefix filter) which are blind to character-level edits.
+def edit_neardup_pairs(
+    df: DataFrame, id_col: str, title_col: str, hot_key_cap: int = 4096
+) -> DataFrame:
+    """Exact edit-distance (lev = 1) similarity self-join over DISTINCT
+    titles via the PassJoin partition scheme (Li, Deng & Feng, ICDE
+    2011) — the edit-distance tier of the dedup matrix, beside the
+    set-overlap tiers (MinHash / PPJoin prefix filter) which are blind
+    to character-level edits.
+
+    EXACT duplicates collapse first: identical titles group to one
+    representative (min id, group size kept). That is not an
+    optimization but the tier contract — identical titles are the
+    exact_dedup tier's output (group membership, linear), and a pair
+    list over them is inherently quadratic: the round-8 ×100 probe hit
+    a corpus of 5,000-member identical-title groups whose TRUE pair
+    expansion is 1.25 B rows (OOM by construction, for any algorithm).
+    After the collapse the edit tier's output is pairs of DISTINCT
+    titles, which only a pathological corpus makes quadratic.
 
     Pigeonhole: split every title s into chunk1 = s[1..16] and
     chunk2 = s[17..]. One edit touches one chunk, so for any pair with
@@ -1140,13 +1153,23 @@ def edit_neardup_pairs(df: DataFrame, id_col: str, title_col: str) -> DataFrame:
     UDF). Lossless for titles of length ≥ 31: every true pair shares a
     key by the argument above; shorter strings belong to exact_dedup.
 
-    At 100 TB the key join shuffles ~9 rows per title on high-entropy
-    16-char substrings (near-unique ⇒ tiny buckets); a pathological
-    shared-prefix corpus concentrates keys exactly like a hot LSH band
-    and would get the same hot-bucket cap treatment as
-    minhash_neardup. Returns ``(a, b, lev)`` with a < b, distinct."""
+    At 100 TB the key join shuffles ~9 rows per DISTINCT title on
+    high-entropy 16-char substrings (near-unique ⇒ tiny buckets). A
+    corpus where more than ``hot_key_cap`` distinct titles share one
+    chunk key (mass boilerplate openings) raises with guidance instead
+    of silently going quadratic — the minhash hot-bucket convention;
+    the exact escalation is common-prefix stripping (lev(xu,xv) =
+    lev(u,v)) and a recursive pass over the tails. Returns
+    ``(a, b, lev, na, nb)``: representative (min) ids of the two
+    distinct titles, their edit distance (always 1 — identical titles
+    collapsed), and each title's exact-duplicate group size."""
     L1 = 16
-    t = df.select(F.col(id_col).alias("tid"), F.col(title_col).alias("tt"))
+    t = (
+        df.select(F.col(id_col).alias("tid"), F.col(title_col).alias("tt"))
+        .groupBy("tt")
+        .agg(F.min("tid").alias("tid"), F.count(F.lit(1)).cast("long").alias("grp"))
+        .select("tid", "tt", "grp")
+    )
     idx = t.select(
         "tid",
         F.explode(
@@ -1185,6 +1208,25 @@ def edit_neardup_pairs(df: DataFrame, id_col: str, title_col: str) -> DataFrame:
         F.col("tid").alias("pid"), F.col("k.chunk").alias("chunk"),
         F.col("k.clen").alias("clen"), F.col("k.sub").alias("sub"),
     )
+    # hot-key guard (the no-silent-cliff convention): a chunk key shared
+    # by more than hot_key_cap DISTINCT titles would make the candidate
+    # join quadratic in that group — raise with the escalation path
+    # instead. One tiny aggregate over the 2-keys-per-title index frame.
+    hot = (
+        idx.groupBy("chunk", "clen", "sub")
+        .count()
+        .filter(F.col("count") > hot_key_cap)
+        .select("sub")
+        .limit(1)
+        .collect()
+    )
+    if hot:
+        raise ValueError(
+            f"edit_neardup_pairs: >{hot_key_cap} distinct titles share the chunk "
+            f"key {hot[0].sub!r} — the candidate join would go quadratic. "
+            "Strip the shared boilerplate prefix first (lev(xu,xv)=lev(u,v)) "
+            "or raise hot_key_cap deliberately."
+        )
     # a probe substring truncated by the string end can never correspond
     # to a true-pair key (the shift math keeps required substrings in
     # range), so mismatched lengths just fail the equi-join
@@ -1196,12 +1238,12 @@ def edit_neardup_pairs(df: DataFrame, id_col: str, title_col: str) -> DataFrame:
         )
         .distinct()
     )
-    ta = t.select(F.col("tid").alias("a"), F.col("tt").alias("__ta"))
-    tb = t.select(F.col("tid").alias("b"), F.col("tt").alias("__tb"))
+    ta = t.select(F.col("tid").alias("a"), F.col("tt").alias("__ta"), F.col("grp").alias("na"))
+    tb = t.select(F.col("tid").alias("b"), F.col("tt").alias("__tb"), F.col("grp").alias("nb"))
     return (
         cand.join(ta, "a")
         .join(tb, "b")
         .withColumn("lev", F.levenshtein("__ta", "__tb").cast("int"))
         .filter(F.col("lev") <= 1)
-        .select("a", "b", "lev")
+        .select("a", "b", "lev", "na", "nb")
     )

@@ -3625,19 +3625,22 @@ corpus AS (
   UNION ALL
   SELECT tid + 20000000, substr(tt, 1, 19) || substr(tt, 21) FROM base WHERE tid % 31 = 17
 ),
+g AS (
+  SELECT min(tid) AS tid, tt, CAST(count(*) AS BIGINT) AS grp FROM corpus GROUP BY tt
+),
 idx AS (
-  SELECT tid, 1 AS chunk, 16 AS clen, substr(tt, 1, 16) AS sub FROM corpus
+  SELECT tid, 1 AS chunk, 16 AS clen, substr(tt, 1, 16) AS sub FROM g
   UNION ALL
-  SELECT tid, 2, CAST(length(tt) - 16 AS INT), substr(tt, 17) FROM corpus
+  SELECT tid, 2, CAST(length(tt) - 16 AS INT), substr(tt, 17) FROM g
 ),
 probe AS (
-  SELECT tid AS pid, 1 AS chunk, 16 AS clen, substr(tt, 1, 16) AS sub FROM corpus
-  UNION ALL SELECT tid, 2, 15, substr(tt, 16, 15) FROM corpus
-  UNION ALL SELECT tid, 2, 15, substr(tt, 17, 15) FROM corpus
-  UNION ALL SELECT tid, 2, 15, substr(tt, 18, 15) FROM corpus
-  UNION ALL SELECT tid, 2, 16, substr(tt, 16, 16) FROM corpus
-  UNION ALL SELECT tid, 2, 16, substr(tt, 17, 16) FROM corpus
-  UNION ALL SELECT tid, 2, 16, substr(tt, 18, 16) FROM corpus
+  SELECT tid AS pid, 1 AS chunk, 16 AS clen, substr(tt, 1, 16) AS sub FROM g
+  UNION ALL SELECT tid, 2, 15, substr(tt, 16, 15) FROM g
+  UNION ALL SELECT tid, 2, 15, substr(tt, 17, 15) FROM g
+  UNION ALL SELECT tid, 2, 15, substr(tt, 18, 15) FROM g
+  UNION ALL SELECT tid, 2, 16, substr(tt, 16, 16) FROM g
+  UNION ALL SELECT tid, 2, 16, substr(tt, 17, 16) FROM g
+  UNION ALL SELECT tid, 2, 16, substr(tt, 18, 16) FROM g
 ),
 cand AS (
   SELECT DISTINCT least(i.tid, p.pid) AS a, greatest(i.tid, p.pid) AS b
@@ -3645,8 +3648,9 @@ cand AS (
   JOIN probe p ON i.chunk = p.chunk AND i.clen = p.clen AND i.sub = p.sub
   WHERE i.tid <> p.pid AND length(p.sub) = p.clen
 )
-SELECT c.a, c.b, CAST(levenshtein(x.tt, y.tt) AS INT) AS lev
-FROM cand c JOIN corpus x ON x.tid = c.a JOIN corpus y ON y.tid = c.b
+SELECT c.a, c.b, CAST(levenshtein(x.tt, y.tt) AS INT) AS lev,
+       x.grp AS na, y.grp AS nb
+FROM cand c JOIN g x ON x.tid = c.a JOIN g y ON y.tid = c.b
 WHERE levenshtein(x.tt, y.tt) <= 1
 """,
     tags=("dedup", "llm"),
@@ -3657,14 +3661,19 @@ def q_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edit_neardup_pairs) — the character-level tier of the dedup matrix:
     MinHash/PPJoin are blind to single-character edits inside tokens
     (one typo changes a whole shingle), while PassJoin finds exactly
-    the lev≤1 pairs with an equi-join on 9 substring keys per title —
-    no all-pairs stage, no UDF (the verify is the codegen
-    ``levenshtein`` builtin). The synthetic corpus has no organic
-    single-edit title twins, so the query PLANTS them (the pii_scrub
-    convention): every 31st doc contributes a one-substitution variant
-    (+1e7 id) and every 31st-offset-17 a one-deletion variant (+2e7 id)
-    — both expressions replayed verbatim in the oracle, exercising the
-    substitution AND the length-changing shift paths of the pigeonhole."""
+    the lev≤1 pairs with an equi-join on 9 substring keys per DISTINCT
+    title — no all-pairs stage, no UDF (the verify is the codegen
+    ``levenshtein`` builtin). Identical titles collapse to a min-id
+    representative with a group size FIRST (exact duplicates are the
+    exact_dedup tier's job; a pair list over a b-member identical
+    group is inherently C(b,2) — the ×100 probe's corpus would emit
+    1.25 B true pairs without the collapse). The synthetic corpus has
+    no organic single-edit title twins, so the query PLANTS them (the
+    pii_scrub convention): every 31st doc contributes a
+    one-substitution variant (+1e7 id) and every 31st-offset-17 a
+    one-deletion variant (+2e7 id) — both expressions replayed
+    verbatim in the oracle, exercising the substitution AND the
+    length-changing shift paths of the pigeonhole."""
     from is3107datapipelineproject_spark.operators.dedup import edit_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 40)
