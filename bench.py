@@ -231,6 +231,8 @@ HEADLINE = [
     "title_edit_neardup",
     "rolling_active_users",
     "robust_zscore_days",
+    "relational_division",
+    "user_active_time",
 ]
 
 

@@ -65,9 +65,9 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # computes the ordering mechanically from CORRECTNESS_r*.json; regenerate
 # the list below each round. Round-8 window: 4 edited (mmr_rerank
 # checkpoint fix; ann_index_append/edge_table_append self-compaction
-# wiring) + 3 new (title_edit_neardup, rolling_active_users,
-# robust_zscore_days — budget: 50 − 0 backlog − 4 edited = 46 allowed,
-# 3 used) + the 43 oldest rows (all of r1, all of r2, and the r3 head) —
+# wiring) + 5 new (title_edit_neardup, rolling_active_users,
+# robust_zscore_days, relational_division, user_active_time — budget:
+# 50 − 0 backlog − 4 edited = 46 allowed, 5 used) + the 41 oldest rows (all of r1, all of r2, and the r3 head) —
 # the remaining r3/r4 tail rotates into r9/r10.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # --- plans/code paths edited in round 8 -> re-sample first (4) ---
@@ -75,10 +75,12 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "ann_index_append",
     "pagerank_from_merged_edges",
     "edge_table_build",
-    # --- new in round 8: no external evidence yet (3) ---
+    # --- new in round 8: no external evidence yet (5) ---
     "title_edit_neardup",
     "rolling_active_users",
     "robust_zscore_days",
+    "relational_division",
+    "user_active_time",
     # --- last driver-verified in r1 (oldest first) ---
     "author_ordinal",
     "events_tumbling_window",
@@ -123,8 +125,6 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "corpus_dedup_keep",
     "corpus_dedup_keep_best",
     "corpus_shards",
-    "cosine_topk_bucketed",
-    "curation_pipeline",
 )
 
 

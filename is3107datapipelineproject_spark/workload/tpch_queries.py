@@ -1285,3 +1285,38 @@ def q_bloom_join_brand_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+
+
+@register(
+    "relational_division",
+    oracle="""
+WITH n AS (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS c FROM orders),
+cp AS (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_priorities
+FROM cp GROUP BY o_custkey
+HAVING count(*) = (SELECT c FROM n)
+""",
+    tags=("tpch", "join"),
+)
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION ("for all" semantics): customers who have
+    placed orders in EVERY order-priority class — the one classic
+    relational-algebra operator SQL has no keyword for, and the only
+    §2-family shape the registry lacked. Implemented count-matching,
+    not double-NOT-EXISTS: dedup the (customer, priority) pairs (one
+    hash aggregate), count per customer, keep counts equal to the
+    GLOBAL distinct-divisor count (1-row broadcast). Linear in the
+    dividend at any scale — the textbook double-anti-join re-scans the
+    fact per divisor row and the divisor-cross-join materializes
+    |customers|×|divisor|; both are strictly worse plans for identical
+    semantics. Divisor size comes FROM the data, so the query stays
+    correct as classes appear/disappear."""
+    o = _t(spark, sf_dir, "orders")
+    n = o.select(F.count_distinct("o_orderpriority").cast("long").alias("c"))
+    cp = o.select("o_custkey", "o_orderpriority").distinct()
+    agg = cp.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_priorities")
+    )
+    return agg.join(
+        F.broadcast(n), agg["n_priorities"] == n["c"]
+    ).select("o_custkey", "n_priorities")

@@ -3430,3 +3430,57 @@ def q_robust_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dev.crossJoin(F.broadcast(mad)).select(
         "d", "cents", rz.alias("rz"), (F.abs(rz) > 3.5).alias("is_outlier")
     )
+
+
+@register(
+    "user_active_time",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+  FROM events
+),
+sw AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM iv
+)
+SELECT user_id,
+       CAST(sum(greatest(e - greatest(s, coalesce(pe, s)), 0)) AS BIGINT) AS active_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sw GROUP BY user_id
+""",
+    tags=("events", "window", "timeseries"),
+)
+def q_user_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union length per user: each event opens a 30-minute
+    activity interval; overlaps must count ONCE (naive sum over
+    n events is 30·n minutes regardless of clustering — wrong the
+    moment two events are close). The classic sweep, distributed: sort
+    within each user partition, running max of interval ends
+    (frame UNBOUNDED PRECEDING..1 PRECEDING), each row contributes
+    greatest(0, e − greatest(s, prev_max_end)) — clipped to the
+    uncovered part only. All integer microseconds (unix_micros /
+    epoch_us), no float time math; ties (duplicate timestamps) are
+    harmless to the cummax. Scale: one partitioned window, state =
+    one cummax per user partition — the same per-key-linear shape as
+    events_session_window, never an interval self-join."""
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000)).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sw = iv.withColumn("pe", F.max("e").over(w))
+    contrib = F.greatest(
+        F.col("e") - F.greatest(F.col("s"), F.coalesce(F.col("pe"), F.col("s"))),
+        F.lit(0),
+    )
+    return sw.groupBy("user_id").agg(
+        F.sum(contrib).cast("long").alias("active_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
