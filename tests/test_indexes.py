@@ -650,3 +650,49 @@ def test_renormalize_edge_table_matches_scratch_build(spark):
     fn = registry.queries()["pagerank_from_edges"]
     p2 = _plan(fn(spark, SF))
     assert "Bucketed: true" in p2 and "SortMergeJoin" not in p2
+
+
+def test_ann_append_small_files_policy_triggers_compaction(spark):
+    """The codes-table sibling of the arc growth test: repeated small
+    appends through ann_index_append with a low file threshold must
+    self-trigger compact_table, collapsing each cluster partition back
+    to few files with bit-identical contents (codes are a pure per-row
+    function of the corpus under the frozen model)."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        ann_appended_index_tables,
+        ann_index_append,
+    )
+    from is3107datapipelineproject_spark.plans.layout import (
+        _table_location,
+        layout_stats,
+        should_compact,
+    )
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    tabs = ann_appended_index_tables(spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    before = sorted(
+        (r.vec_id, r.sub, r.code, r.cluster) for r in spark.table(tabs["codes"]).collect()
+    )
+    loc = _table_location(spark, tabs["codes"])
+    # burst of tiny re-encodes of a disjoint id range (offset so rows are
+    # new, not replayed), threshold low enough that the policy must fire
+    base_max = spark.table(tabs["codes"]).agg(F.max("vec_id")).first()[0]
+    extra = []
+    for i in range(3):
+        batch = emb.limit(4).select(
+            (F.col("vec_id") + (base_max + 1 + i * 10)).alias("vec_id"), "embedding"
+        )
+        extra.append({(r.vec_id + base_max + 1 + i * 10) for r in emb.limit(4).collect()})
+        ann_index_append(spark, tabs, batch, compact_max_files=8)
+    assert not should_compact(spark, loc, max_files=8), "policy never fired"
+    n_files, _ = layout_stats(spark, loc)
+    n_clusters = spark.table(tabs["codes"]).select("cluster").distinct().count()
+    assert n_files <= n_clusters + 8, f"still {n_files} files for {n_clusters} clusters"
+    # original codes unchanged by append+compaction
+    after = sorted(
+        (r.vec_id, r.sub, r.code, r.cluster)
+        for r in spark.table(tabs["codes"]).collect()
+        if r.vec_id <= base_max
+    )
+    assert after == before
