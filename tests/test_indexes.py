@@ -696,3 +696,63 @@ def test_ann_append_small_files_policy_triggers_compaction(spark):
         if r.vec_id <= base_max
     )
     assert after == before
+
+
+def test_growth_trigger_refreshes_edges_twin(spark):
+    """Full maintenance loop, automatic: when the growth policy fires
+    compact_arc_table on a copurchase arc table whose pre-normalized
+    edges twin is materialized, the twin must be refreshed from the
+    compacted arcs in the same trigger — the from-edges consumers see
+    the appended orders without any scheduler step."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        _tag,
+        copurchase_edge_arcs,
+        copurchase_edge_table,
+        edge_append_tables,
+        edge_table_append,
+        record_arc_compact_meta,
+    )
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    arc = edge_append_tables(spark, SF)
+    edges = f"copurchase_edges_{_tag(SF)}"
+    copurchase_edge_table(spark, SF)  # materialize the twin (full corpus)
+    # make the twin stale: rebuild it from HALF the corpus so a refresh
+    # is observable
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    half = li.filter(F.col("l_orderkey") % 2 == 0)
+    from is3107datapipelineproject_spark.plans.indexes import _refresh_edges_from_arcs
+    from is3107datapipelineproject_spark.plans.layout import write_bucketed
+
+    spark.sql(f"DROP TABLE IF EXISTS {edges}")
+    write_bucketed(
+        copurchase_edge_arcs(half)
+        .groupBy("src", "dst").agg(F.sum("w").cast("long").alias("w"))
+        .withColumn("ow", F.lit(0).cast("long")),
+        edges, "src", n_buckets=16,
+    )
+    stale_rows = spark.table(edges).count()
+    # force the growth trigger: tiny baseline, then an append
+    record_arc_compact_meta(spark, arc)
+    spark.createDataFrame([(1,)], "bytes bigint").coalesce(1).write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{arc}_compactmeta")
+    edge_table_append(
+        spark, arc, li.filter(F.col("l_orderkey") % 97 == 5),
+        compact_max_files=None, compact_delta_frac=0.2,
+    )
+    # twin refreshed: full-corpus pre-normalized contents, not the stale half
+    refreshed = {(r.src, r.dst, r.w, r.ow) for r in spark.table(edges).collect()}
+    full_arcs = copurchase_edge_arcs(li).unionByName(
+        copurchase_edge_arcs(li.filter(F.col("l_orderkey") % 97 == 5))
+    )
+    merged = full_arcs.groupBy("src", "dst").agg(F.sum("w").cast("long").alias("w"))
+    ow = merged.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    want = {
+        (r.src, r.dst, r.w, r.ow)
+        for r in merged.join(ow, "src").select("src", "dst", "w", "ow").collect()
+    }
+    assert refreshed == want and len(refreshed) != stale_rows
+    # restore the canonical artifacts for other tests: rebuild arc + edges
+    for t in (arc, f"{arc}_ready", f"{arc}_compactmeta", edges):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
