@@ -1146,14 +1146,15 @@ def edit_neardup_pairs(
     chunk2 = s[17..]. One edit touches one chunk, so for any pair with
     lev ≤ 1 the OTHER chunk of s occurs verbatim in t — chunk1 at
     position 1, or chunk2 at position 17+δ, δ = len(t)−len(s) ∈
-    {−1,0,+1}. Each title therefore emits 2 index keys and 7 probe keys
-    ((chunk, length, substring) tuples); candidates are an equi-join on
+    {−1,0,+1}. Each title therefore emits 2 index keys and 4 probe keys
+    ((chunk, length, substring) tuples, the chunk2 probes length-coupled
+    to the three possible partner lengths); candidates are an equi-join on
     those keys — never an all-pairs product — and survivors are
     verified with the exact ``levenshtein`` builtin (JVM codegen, no
     UDF). Lossless for titles of length ≥ 31: every true pair shares a
     key by the argument above; shorter strings belong to exact_dedup.
 
-    At 100 TB the key join shuffles ~9 rows per DISTINCT title on
+    At 100 TB the key join shuffles ~6 rows per DISTINCT title on
     high-entropy 16-char substrings (near-unique ⇒ tiny buckets). A
     corpus where more than ``hot_key_cap`` distinct titles share one
     chunk key (mass boilerplate openings) raises with guidance instead
@@ -1164,11 +1165,18 @@ def edit_neardup_pairs(
     distinct titles, their edit distance (always 1 — identical titles
     collapsed), and each title's exact-duplicate group size."""
     L1 = 16
+    # persist (spillable), not localCheckpoint: the distinct-title frame
+    # feeds FIVE consumers (hot-key probe, index keys, probe keys, both
+    # verify sides) and would otherwise re-derive the corpus scan +
+    # dedup per consumer; it is key-space-sized, so pinning it as heap
+    # blocks is the exact mistake the arc compaction made — cache with
+    # disk spill instead.
     t = (
         df.select(F.col(id_col).alias("tid"), F.col(title_col).alias("tt"))
         .groupBy("tt")
         .agg(F.min("tid").alias("tid"), F.count(F.lit(1)).cast("long").alias("grp"))
         .select("tid", "tt", "grp")
+        .persist()
     )
     idx = t.select(
         "tid",
@@ -1187,23 +1195,31 @@ def edit_neardup_pairs(
             )
         ).alias("k"),
     ).select("tid", "k.chunk", "k.clen", "k.sub")
-    probe_specs = [(1, L1, 1)] + [
-        (2, ln, st) for ln in (L1 - 1, L1) for st in (L1, L1 + 1, L1 + 2)
+    # Probe keys are COUPLED to the partner's length: for a true pair,
+    # δ = len(t) − len(s) ∈ {−1, 0, +1}, s's chunk2 (length len(s) − 16
+    # = len(t) − δ − 16) appears in t at start 17 + δ. One key per δ —
+    # deriving the length from the probe's own length keeps the scheme
+    # lossless for ANY title length ≥ 31 (a fixed {15,16} length grid
+    # silently misses partners longer than 32 chars).
+    probe_structs = [
+        F.struct(
+            F.lit(1).alias("chunk"),
+            F.lit(L1).alias("clen"),
+            F.substring("tt", 1, L1).alias("sub"),
+        )
     ]
+    for d in (-1, 0, 1):
+        clen = (F.length("tt") - F.lit(d + L1)).cast("int")
+        probe_structs.append(
+            F.struct(
+                F.lit(2).alias("chunk"),
+                clen.alias("clen"),
+                F.col("tt").substr(F.lit(L1 + 1 + d), clen).alias("sub"),
+            )
+        )
     probe = t.select(
         "tid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.lit(ln).alias("clen"),
-                        F.substring("tt", st, ln).alias("sub"),
-                    )
-                    for c, ln, st in probe_specs
-                ]
-            )
-        ).alias("k"),
+        F.explode(F.array(*probe_structs)).alias("k"),
     ).select(
         F.col("tid").alias("pid"), F.col("k.chunk").alias("chunk"),
         F.col("k.clen").alias("clen"), F.col("k.sub").alias("sub"),

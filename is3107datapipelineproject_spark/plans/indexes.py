@@ -363,9 +363,15 @@ def compact_arc_table(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     _sweep_stale_location(spark, table)
     spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
-    record_arc_compact_meta(spark, table)  # new growth-policy baseline
+    # Marker FIRST, meta second: once the swap succeeded the table is
+    # fully healthy, so re-latch it before any non-essential write — a
+    # failure in the meta write must not leave a healthy compacted table
+    # unlatched (the rebuild path would DROP it and silently discard
+    # every production-appended arc). A stale meta merely makes the next
+    # append re-trigger compaction; a lost marker loses data.
     if had_marker:
         spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
+    record_arc_compact_meta(spark, table)  # new growth-policy baseline
     return before, _data_files(spark, _table_location(spark, table))
 
 

@@ -181,6 +181,20 @@ def _data_files(spark: SparkSession, path: str) -> int:
     return n
 
 
+def _sweep_stale_table_location(spark: SparkSession, table: str) -> None:
+    """A NEW session's in-memory catalog is empty, but the warehouse
+    directory of a previous session's managed table survives on disk —
+    and saveAsTable refuses to CREATE over a non-empty location
+    (LOCATION_ALREADY_EXISTS). When the catalog does not know the table
+    but its default-database location exists, remove it (layout twin of
+    plans/indexes.py::_sweep_stale_location — lives here too so layout
+    never imports from indexes)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    p, fs = _hadoop_fs(spark, f"{wh}/{table.lower()}")
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def _table_location(spark: SparkSession, table: str) -> str:
     rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     for r in rows:
@@ -243,24 +257,41 @@ def compact_table(
     (tests), exactly the hist_compact contract generalized. Returns
     ``(files_before, files_after)``.
 
-    Like hist_compact, run against a quiesced table: the overwrite is
-    not transactional against a concurrent appender (a lakehouse table
+    Like hist_compact, run against a quiesced table: the swap is not
+    transactional against a concurrent appender (a lakehouse table
     format turns this into OPTIMIZE/rewrite-files with snapshot
-    isolation — identical semantics, safe concurrency). The eager
-    localCheckpoint is what makes read-then-overwrite-same-location
-    safe on plain parquet; at 100 TB compaction runs per-partition on
-    the partitions an ingest actually touched, not the whole table."""
+    isolation — identical semantics, safe concurrency). Stage-and-swap,
+    NOT checkpoint-then-overwrite: an eager localCheckpoint pins the
+    whole table as deserialized heap blocks (the ×100 arc-compaction
+    OOM) and an in-place overwrite destroys the only copy if the write
+    dies — the rewrite streams to a sibling table and swaps via catalog
+    RENAME, so the original survives every crash point (a failure
+    leaves the complete rewrite at ``<table>__compacting``). At 100 TB
+    compaction runs per-partition on the partitions an ingest actually
+    touched, not the whole table."""
     loc = _table_location(spark, table)
     before = _data_files(spark, loc)
-    df = spark.table(table).localCheckpoint(eager=True)
+    staged = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    _sweep_stale_table_location(spark, staged)
     (
-        df.repartition(*[F.col(c) for c in partition_cols])
+        spark.table(table)
+        .repartition(*[F.col(c) for c in partition_cols])
         .write.mode("overwrite")
         .format("parquet")
         .partitionBy(*partition_cols)
-        .saveAsTable(table)
+        .saveAsTable(staged)
     )
-    return before, _data_files(spark, loc)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _sweep_stale_table_location(spark, table)
+    spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    if partition_cols:
+        # RENAME moves the root directory but the catalog keeps each
+        # PARTITION's absolute location pointing at the old staged path —
+        # the renamed table reads empty until the partition metadata is
+        # re-derived from the moved directory.
+        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
+    return before, _data_files(spark, _table_location(spark, table))
 
 
 def committed_stream_batches(spark: SparkSession, checkpoint_dir: str) -> set[int]:

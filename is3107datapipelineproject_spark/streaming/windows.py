@@ -432,6 +432,16 @@ def hist_ingest_sink(sketch_dir: str, value_col: str, width: float = 100.0):
     from is3107datapipelineproject_spark.operators.sketches import hist_build
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from is3107datapipelineproject_spark.plans.layout import (
+            assert_stream_dir_healthy,
+        )
+
+        # Write-only sink, so no corpus-read exception can catch the
+        # crashed-compaction state: without this guard, rewriting
+        # batch=<id> into a MISSING dir whose .compact_old sibling holds
+        # the corpus makes the next compaction's "both exist" recovery
+        # reclaim (delete) the sibling — the corpus would be gone.
+        assert_stream_dir_healthy(batch_df.sparkSession, sketch_dir)
         hist_build(batch_df, value_col, width).write.mode("overwrite").parquet(
             f"{sketch_dir}/batch={int(batch_id)}"
         )
@@ -486,6 +496,11 @@ def dq_monitor_sink(report_dir: str, checks_factory):
     from is3107datapipelineproject_spark.operators.quality import row_checks
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from is3107datapipelineproject_spark.plans.layout import (
+            assert_stream_dir_healthy,
+        )
+
+        assert_stream_dir_healthy(batch_df.sparkSession, report_dir)
         out = row_checks(batch_df, checks_factory()).select(
             "check", "total", "violations"
         )
@@ -620,8 +635,14 @@ def ann_ingest_sink(
             assign_to_centroids,
         )
         from is3107datapipelineproject_spark.operators.pq import pq_encode
+        from is3107datapipelineproject_spark.plans.layout import (
+            assert_stream_dir_healthy,
+        )
 
         spark = batch_df.sparkSession
+        # write-only sink: guard the crashed-compaction state explicitly
+        # (no corpus read here to raise on the missing dir)
+        assert_stream_dir_healthy(spark, codes_dir)
         cents = spark.table(centroids_table)
         cb = spark.table(codebook_table)
         asg = assign_to_centroids(batch_df, "vec_id", "embedding", cents)

@@ -3635,12 +3635,9 @@ idx AS (
 ),
 probe AS (
   SELECT tid AS pid, 1 AS chunk, 16 AS clen, substr(tt, 1, 16) AS sub FROM g
-  UNION ALL SELECT tid, 2, 15, substr(tt, 16, 15) FROM g
-  UNION ALL SELECT tid, 2, 15, substr(tt, 17, 15) FROM g
-  UNION ALL SELECT tid, 2, 15, substr(tt, 18, 15) FROM g
-  UNION ALL SELECT tid, 2, 16, substr(tt, 16, 16) FROM g
-  UNION ALL SELECT tid, 2, 16, substr(tt, 17, 16) FROM g
-  UNION ALL SELECT tid, 2, 16, substr(tt, 18, 16) FROM g
+  UNION ALL SELECT tid, 2, CAST(length(tt) - 15 AS INT), substr(tt, 16, length(tt) - 15) FROM g
+  UNION ALL SELECT tid, 2, CAST(length(tt) - 16 AS INT), substr(tt, 17, length(tt) - 16) FROM g
+  UNION ALL SELECT tid, 2, CAST(length(tt) - 17 AS INT), substr(tt, 18, length(tt) - 17) FROM g
 ),
 cand AS (
   SELECT DISTINCT least(i.tid, p.pid) AS a, greatest(i.tid, p.pid) AS b

@@ -678,14 +678,21 @@ def test_ann_append_small_files_policy_triggers_compaction(spark):
     # burst of tiny re-encodes of a disjoint id range (offset so rows are
     # new, not replayed), threshold low enough that the policy must fire
     base_max = spark.table(tabs["codes"]).agg(F.max("vec_id")).first()[0]
-    extra = []
+    appended_ids: set[int] = set()
     for i in range(3):
-        batch = emb.limit(4).select(
+        batch = emb.orderBy("vec_id").limit(4).select(
             (F.col("vec_id") + (base_max + 1 + i * 10)).alias("vec_id"), "embedding"
         )
-        extra.append({(r.vec_id + base_max + 1 + i * 10) for r in emb.limit(4).collect()})
+        appended_ids |= {r.vec_id for r in batch.select("vec_id").collect()}
         ann_index_append(spark, tabs, batch, compact_max_files=8)
     assert not should_compact(spark, loc, max_files=8), "policy never fired"
+    # the appended rows actually landed AND survived the compaction
+    got_ids = {
+        r.vec_id
+        for r in spark.table(tabs["codes"]).filter(F.col("vec_id") > base_max)
+        .select("vec_id").distinct().collect()
+    }
+    assert got_ids == appended_ids and len(appended_ids) == 12
     n_files, _ = layout_stats(spark, loc)
     n_clusters = spark.table(tabs["codes"]).select("cluster").distinct().count()
     assert n_files <= n_clusters + 8, f"still {n_files} files for {n_clusters} clusters"

@@ -153,3 +153,27 @@ def test_assign_top2_rejects_single_centroid_codebook(spark):
     cents = kmeans_fit(emb, "vec_id", "embedding", k=1, iters=1)
     with pytest.raises(ValueError, match="2 centroids"):
         assign_top2(emb, "vec_id", "embedding", cents)
+
+
+def test_edit_neardup_lossless_beyond_32_chars(spark):
+    """The probe keys must be length-coupled, not a fixed {15,16} grid:
+    lev<=1 pairs among 40-char titles (substitution, insertion,
+    deletion) and across 39/40/41-char lengths must all be found, plus
+    identical titles must collapse to one representative with grp=2."""
+    from is3107datapipelineproject_spark.operators.dedup import edit_neardup_pairs
+
+    base = "the quick brown fox jumps over the dog!"  # 40 chars
+    rows = [
+        (1, base),
+        (2, base[:20] + "Z" + base[21:]),   # substitution (len 40)
+        (3, base[:33] + "Z" + base[33:]),   # insertion in chunk2 (len 41)
+        (4, base[:5] + base[6:]),           # deletion in chunk1 (len 39)
+        (5, base),                          # exact duplicate of 1
+        (6, "a completely unrelated title of size 40"),
+    ]
+    df = spark.createDataFrame(rows, ["tid", "tt"])
+    out = {(r.a, r.b): (r.lev, r.na, r.nb) for r in
+           edit_neardup_pairs(df, "tid", "tt").collect()}
+    assert set(out) == {(1, 2), (1, 3), (1, 4)}, out
+    assert all(v[0] == 1 for v in out.values())
+    assert out[(1, 2)][1] == 2, "identical titles 1 and 5 must collapse with grp=2"

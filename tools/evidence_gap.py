@@ -83,11 +83,17 @@ def main() -> None:
                 last_green[name] = max(last_green.get(name, 0), rnd)
 
     if rotation:
+        unknown = [n for n in edited if n not in ordered]
+        if unknown:
+            raise SystemExit(
+                f"--rotation: not registered: {unknown} — a misspelled edited "
+                "name would silently shrink the 50-slot window"
+            )
         rest = sorted(
             (n for n in ordered if n not in edited),
             key=lambda n: (last_green.get(n, 0), n),
         )
-        window50 = [n for n in edited if n in ordered] + rest[: 50 - len(edited)]
+        window50 = edited + rest[: 50 - len(edited)]
         hist: dict[int, int] = {}
         for n in ordered:
             hist[last_green.get(n, 0)] = hist.get(last_green.get(n, 0), 0) + 1
