@@ -1123,14 +1123,92 @@ def _prefix_candidates_verify(
     )
 
 
+_EDIT_L1 = 16  # PassJoin chunk1 width; long tier is lossless for len >= _EDIT_SHORT_MAX
+_EDIT_SHORT_MAX = 31  # titles this short route through the symmetric-deletion tier
+
+
+def _edit_distinct_titles(df: DataFrame, id_col: str, title_col: str) -> DataFrame:
+    """Collapse exact-duplicate titles to ``(tid=min id, tt, grp)`` —
+    the shared pre-step of both edit-tier entry points."""
+    return (
+        df.select(F.col(id_col).alias("tid"), F.col(title_col).alias("tt"))
+        .groupBy("tt")
+        .agg(F.min("tid").alias("tid"), F.count(F.lit(1)).cast("long").alias("grp"))
+        .select("tid", "tt", "grp")
+    )
+
+
+def _symdelete_keys(t: DataFrame, id_out: str) -> DataFrame:
+    """Symmetric-deletion keys (FastSS — Bocek et al. 2007; the SymSpell
+    scheme) for the SHORT-title tier: every title emits itself plus its
+    ``len`` one-character-deletion variants. Two strings with lev ≤ 1
+    always share a key (substitution: delete the differing position
+    from both; insert/delete: the shorter IS a deletion of the longer),
+    and sharing a key bounds lev ≤ 2, so the exact ``levenshtein``
+    verify stays cheap. Key count is len+1 ≤ 32 per title — affordable
+    exactly because this tier is length-capped; the PassJoin chunk
+    scheme takes over where 2-per-title index keys matter."""
+    return (
+        t.filter(F.length("tt") <= _EDIT_SHORT_MAX)
+        .select("tid", "tt", F.explode(F.expr("sequence(0, length(tt))")).alias("p"))
+        .select(
+            F.col("tid").alias(id_out),
+            F.when(F.col("p") == 0, F.col("tt"))
+            .otherwise(
+                F.expr("concat(substring(tt, 1, p - 1), substring(tt, p + 1, 2147483647))")
+            )
+            .alias("sub"),
+        )
+        .distinct()  # "aab": deleting position 1 or 2 both yield "ab"
+    )
+
+
+def _edit_hot_key_guard(keys: DataFrame, key_cols: list, hot_key_cap: int, what: str) -> None:
+    """The no-silent-cliff convention shared by both edit tiers: a key
+    shared by more than ``hot_key_cap`` distinct titles would make the
+    candidate equi-join quadratic in that group — raise with the
+    escalation path instead of degrading silently."""
+    hot = keys.groupBy(*key_cols).count().filter(F.col("count") > hot_key_cap).limit(1).collect()
+    if hot:
+        raise ValueError(
+            f"edit_neardup_pairs: >{hot_key_cap} distinct titles share the {what} "
+            f"key {hot[0].sub!r} — the candidate join would go quadratic. "
+            "Strip the shared boilerplate prefix first (lev(xu,xv)=lev(u,v)) "
+            "or raise hot_key_cap deliberately."
+        )
+
+
 def edit_neardup_pairs(
     df: DataFrame, id_col: str, title_col: str, hot_key_cap: int = 4096
 ) -> DataFrame:
     """Exact edit-distance (lev = 1) similarity self-join over DISTINCT
-    titles via the PassJoin partition scheme (Li, Deng & Feng, ICDE
-    2011) — the edit-distance tier of the dedup matrix, beside the
+    titles — the edit-distance tier of the dedup matrix, beside the
     set-overlap tiers (MinHash / PPJoin prefix filter) which are blind
-    to character-level edits.
+    to character-level edits. Two length-split blocking schemes feed
+    one shared ``levenshtein`` verify (JVM codegen, no UDF):
+
+    - **Long titles (len ≥ 31): PassJoin** (Li, Deng & Feng, ICDE
+      2011). Split every title s into chunk1 = s[1..16] and chunk2 =
+      s[17..]. One edit touches one chunk, so for any pair with lev ≤ 1
+      the OTHER chunk of s occurs verbatim in t — chunk1 at position 1,
+      or chunk2 at position 17+δ, δ = len(t)−len(s) ∈ {−1,0,+1}. Each
+      title emits 2 index keys and 4 probe keys ((chunk, length,
+      substring) tuples, the chunk2 probes length-coupled to the three
+      possible partner lengths); candidates are an equi-join on those
+      keys — never an all-pairs product. Lossless for pairs whose
+      shorter title has length ≥ 31 (then both chunks are ≥ 14 chars).
+    - **Short titles (len ≤ 31): symmetric deletion** (FastSS — Bocek
+      et al. 2007; SymSpell). Each title emits itself + its ≤ 31
+      one-deletion variants; lev ≤ 1 pairs always share a key. This
+      tier exists because the chunk pigeonhole degrades below ~2×16
+      chars (a pre-round-9 version silently returned NO pairs among
+      short titles — exact dedup cannot catch lev=1 pairs, so short
+      strings need their own lossless blocking, not a hand-off).
+
+    Any true pair has |Δlen| ≤ 1, so with the tiers overlapping at
+    len = 31 every pair lands wholly inside at least one tier:
+    max ≤ 31 ⇒ both in the short tier; max ≥ 32 ⇒ min ≥ 31 ⇒ both in
+    the long tier. Candidates are unioned and verified once.
 
     EXACT duplicates collapse first: identical titles group to one
     representative (min id, group size kept). That is not an
@@ -1142,43 +1220,40 @@ def edit_neardup_pairs(
     After the collapse the edit tier's output is pairs of DISTINCT
     titles, which only a pathological corpus makes quadratic.
 
-    Pigeonhole: split every title s into chunk1 = s[1..16] and
-    chunk2 = s[17..]. One edit touches one chunk, so for any pair with
-    lev ≤ 1 the OTHER chunk of s occurs verbatim in t — chunk1 at
-    position 1, or chunk2 at position 17+δ, δ = len(t)−len(s) ∈
-    {−1,0,+1}. Each title therefore emits 2 index keys and 4 probe keys
-    ((chunk, length, substring) tuples, the chunk2 probes length-coupled
-    to the three possible partner lengths); candidates are an equi-join on
-    those keys — never an all-pairs product — and survivors are
-    verified with the exact ``levenshtein`` builtin (JVM codegen, no
-    UDF). Lossless for titles of length ≥ 31: every true pair shares a
-    key by the argument above; shorter strings belong to exact_dedup.
+    At 100 TB the key join shuffles ~6 rows per DISTINCT long title on
+    high-entropy 16-char substrings and ≤ 32 rows per short title
+    (near-unique keys ⇒ tiny buckets). A corpus where more than
+    ``hot_key_cap`` distinct titles share one blocking key (mass
+    boilerplate openings) raises with guidance instead of silently
+    going quadratic — the minhash hot-bucket convention; the exact
+    escalation is common-prefix stripping (lev(xu,xv) = lev(u,v)) and
+    a recursive pass over the tails.
 
-    At 100 TB the key join shuffles ~6 rows per DISTINCT title on
-    high-entropy 16-char substrings (near-unique ⇒ tiny buckets). A
-    corpus where more than ``hot_key_cap`` distinct titles share one
-    chunk key (mass boilerplate openings) raises with guidance instead
-    of silently going quadratic — the minhash hot-bucket convention;
-    the exact escalation is common-prefix stripping (lev(xu,xv) =
-    lev(u,v)) and a recursive pass over the tails. Returns
-    ``(a, b, lev, na, nb)``: representative (min) ids of the two
-    distinct titles, their edit distance (always 1 — identical titles
-    collapsed), and each title's exact-duplicate group size."""
-    L1 = 16
+    Returns ``(a, b, lev, na, nb)``: representative (min) ids of the
+    two distinct titles, their edit distance (always 1 — identical
+    titles collapsed), and each title's exact-duplicate group size.
+    The result is MATERIALIZED (eager localCheckpoint — it is
+    bounded by the true near-duplicate pair count, small by contract)
+    so the key-space-sized distinct-title cache can be unpersisted
+    before returning instead of pinning a cached frame per call for
+    the session lifetime; the candidate/verify plan executes here."""
     # persist (spillable), not localCheckpoint: the distinct-title frame
-    # feeds FIVE consumers (hot-key probe, index keys, probe keys, both
-    # verify sides) and would otherwise re-derive the corpus scan +
-    # dedup per consumer; it is key-space-sized, so pinning it as heap
-    # blocks is the exact mistake the arc compaction made — cache with
-    # disk spill instead.
-    t = (
-        df.select(F.col(id_col).alias("tid"), F.col(title_col).alias("tt"))
-        .groupBy("tt")
-        .agg(F.min("tid").alias("tid"), F.count(F.lit(1)).cast("long").alias("grp"))
-        .select("tid", "tt", "grp")
-        .persist()
-    )
-    idx = t.select(
+    # feeds SEVEN consumers (two hot-key probes, index keys, probe keys,
+    # short-tier keys, both verify sides) and would otherwise re-derive
+    # the corpus scan + dedup per consumer; it is key-space-sized, so
+    # pinning it as heap blocks is the exact mistake the arc compaction
+    # made — cache with disk spill instead, released in the finally.
+    t = _edit_distinct_titles(df, id_col, title_col).persist()
+    try:
+        return _edit_neardup_pairs_impl(t, hot_key_cap)
+    finally:
+        t.unpersist()
+
+
+def _edit_neardup_pairs_impl(t: DataFrame, hot_key_cap: int) -> DataFrame:
+    L1 = _EDIT_L1
+    long_t = t.filter(F.length("tt") >= _EDIT_SHORT_MAX)
+    idx = long_t.select(
         "tid",
         F.explode(
             F.array(
@@ -1217,49 +1292,45 @@ def edit_neardup_pairs(
                 F.col("tt").substr(F.lit(L1 + 1 + d), clen).alias("sub"),
             )
         )
-    probe = t.select(
+    probe = long_t.select(
         "tid",
         F.explode(F.array(*probe_structs)).alias("k"),
     ).select(
         F.col("tid").alias("pid"), F.col("k.chunk").alias("chunk"),
         F.col("k.clen").alias("clen"), F.col("k.sub").alias("sub"),
     )
-    # hot-key guard (the no-silent-cliff convention): a chunk key shared
-    # by more than hot_key_cap DISTINCT titles would make the candidate
-    # join quadratic in that group — raise with the escalation path
-    # instead. One tiny aggregate over the 2-keys-per-title index frame.
-    hot = (
-        idx.groupBy("chunk", "clen", "sub")
-        .count()
-        .filter(F.col("count") > hot_key_cap)
-        .select("sub")
-        .limit(1)
-        .collect()
-    )
-    if hot:
-        raise ValueError(
-            f"edit_neardup_pairs: >{hot_key_cap} distinct titles share the chunk "
-            f"key {hot[0].sub!r} — the candidate join would go quadratic. "
-            "Strip the shared boilerplate prefix first (lev(xu,xv)=lev(u,v)) "
-            "or raise hot_key_cap deliberately."
-        )
+    # hot-key guards (the no-silent-cliff convention), one tiny aggregate
+    # per tier's index frame.
+    _edit_hot_key_guard(idx, ["chunk", "clen", "sub"], hot_key_cap, "chunk")
+    short_keys = _symdelete_keys(t, "tid")
+    _edit_hot_key_guard(short_keys, ["sub"], hot_key_cap, "deletion")
     # a probe substring truncated by the string end can never correspond
     # to a true-pair key (the shift math keeps required substrings in
     # range), so mismatched lengths just fail the equi-join
-    cand = (
+    cand_long = (
         idx.join(probe.filter(F.length("sub") == F.col("clen")), ["chunk", "clen", "sub"])
         .filter(F.col("tid") != F.col("pid"))
         .select(
             F.least("tid", "pid").alias("a"), F.greatest("tid", "pid").alias("b")
         )
-        .distinct()
     )
+    cand_short = (
+        short_keys.join(
+            short_keys.select(F.col("tid").alias("pid"), "sub"), ["sub"]
+        )
+        .filter(F.col("tid") < F.col("pid"))
+        .select(F.col("tid").alias("a"), F.col("pid").alias("b"))
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
     ta = t.select(F.col("tid").alias("a"), F.col("tt").alias("__ta"), F.col("grp").alias("na"))
     tb = t.select(F.col("tid").alias("b"), F.col("tt").alias("__tb"), F.col("grp").alias("nb"))
-    return (
+    out = (
         cand.join(ta, "a")
         .join(tb, "b")
         .withColumn("lev", F.levenshtein("__ta", "__tb").cast("int"))
         .filter(F.col("lev") <= 1)
         .select("a", "b", "lev", "na", "nb")
     )
+    # materialize before the caller's unpersist (bounded by the true
+    # near-dup pair count — the small-frame side of the checkpoint rule)
+    return out.localCheckpoint(eager=True)

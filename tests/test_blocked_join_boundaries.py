@@ -1,0 +1,242 @@
+"""Planted boundary fixtures for every blocked-join dedup tier — the
+standing rule adopted after round 8 (SURVEY §5): oracle parity at one
+scale factor is NOT a losslessness proof, because the sampled corpus may
+never visit the algorithm's structural boundary (the round-8 probe-grid
+recall hole was green at sf0.01 and still missed every lev≤1 pair of
+titles ≥ 32 chars). Each blocked/bucketed join therefore ships
+adversarial cases AT its boundary: length splits, chunk seams,
+hot-key caps at the exact edge, thresholds at τ and τ±ε, and a seeded
+brute-force cross-check.
+
+The short-title cases in this file fail on the pre-round-9
+edit_neardup_pairs (which silently returned zero pairs whenever
+min(len) < 16 — the round-9 ADVICE finding); the ≥-32-char cases fail
+on the pre-round-8 fixed {15,16} probe grid.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from is3107datapipelineproject_spark.operators.dedup import (
+    _EDIT_SHORT_MAX,
+    edit_neardup_pairs,
+    prefix_jaccard_pairs,
+)
+
+
+def _pairs(df, spark, **kw):
+    out = edit_neardup_pairs(spark.createDataFrame(df, ["tid", "tt"]), "tid", "tt", **kw)
+    return {(r.a, r.b): (r.lev, r.na, r.nb) for r in out.collect()}
+
+
+def _lev1(s: str, t: str) -> bool:
+    """Reference predicate: lev(s, t) <= 1 for distinct s, t."""
+    if s == t:
+        return True
+    ls, lt = len(s), len(t)
+    if abs(ls - lt) > 1:
+        return False
+    if ls == lt:
+        return sum(a != b for a, b in zip(s, t)) == 1
+    if ls > lt:
+        s, t, ls, lt = t, s, lt, ls
+    # s shorter by 1: s must equal t with one char dropped
+    i = 0
+    while i < ls and s[i] == t[i]:
+        i += 1
+    return s[i:] == t[i + 1 :]
+
+
+class TestEditShortTitles:
+    """The ADVICE-medium finding: titles below the PassJoin chunk width
+    must route through the symmetric-deletion tier, not vanish."""
+
+    def test_substitution_short(self, spark):
+        # the literal repro from the round-9 ADVICE
+        out = _pairs([(1, "hello worl"), (2, "hallo worl")], spark)
+        assert out == {(1, 2): (1, 1, 1)}
+
+    def test_all_edit_kinds_short(self, spark):
+        rows = [
+            (1, "data pipe"),
+            (2, "date pipe"),   # substitution
+            (3, "data pipes"),  # insertion at end
+            (4, "dat pipe"),    # deletion
+            (5, "data pipe"),   # exact duplicate of 1 -> collapses, grp=2
+            (6, "unrelated"),
+        ]
+        out = _pairs(rows, spark)
+        # (2,4) is genuine too: "date pipe" minus its 'e' IS "dat pipe"
+        assert set(out) == {(1, 2), (1, 3), (1, 4), (2, 4)}, out
+        assert out[(1, 2)] == (1, 2, 1)  # na carries the collapsed group size
+
+    def test_single_char_titles(self, spark):
+        # every pair of distinct 1-char titles is lev=1 (substitution);
+        # the shared "" deletion key must find all three pairs
+        out = _pairs([(1, "a"), (2, "b"), (3, "c")], spark)
+        assert set(out) == {(1, 2), (1, 3), (2, 3)}
+
+    def test_true_distance_two_rejected(self, spark):
+        # "abcd"/"acbd" (a transposition, lev=2) SHARE deletion keys
+        # ("abd", "acd") -> they become a candidate but must fail the
+        # exact verify; "ab" differs by 2 in length from both
+        out = _pairs([(1, "abcd"), (2, "acbd"), (3, "ab")], spark)
+        assert out == {}
+
+
+class TestEditLengthSeams:
+    """Pairs straddling the short/long tier boundary (len 30/31/32/33)
+    and edits at the chunk1|chunk2 seam (positions 16/17)."""
+
+    @pytest.mark.parametrize("n", [30, 31, 32, 33])
+    def test_cross_length_deletion(self, spark, n):
+        base = ("x" * 5 + "abcdefghijklmnopqrstuvwxyz0123456789")[:n]
+        assert len(base) == n
+        shorter = base[: n // 2] + base[n // 2 + 1 :]  # delete one mid char
+        out = _pairs([(1, base), (2, shorter), (3, "z" * n)], spark)
+        assert set(out) == {(1, 2)}, (n, out)
+
+    @pytest.mark.parametrize("n", [31, 32])
+    @pytest.mark.parametrize("pos", [15, 16, 17])  # 0-based edit position at the seam
+    def test_seam_substitution(self, spark, n, pos):
+        base = "abcdefghijklmnopqrstuvwxyz0123456789"[:n]
+        mutated = base[:pos] + "#" + base[pos + 1 :]
+        out = _pairs([(1, base), (2, mutated)], spark)
+        assert set(out) == {(1, 2)}, (n, pos, out)
+
+    def test_boundary_constant_is_what_tests_assume(self):
+        # the seam cases above are built around the tier split; if the
+        # constant moves, the parametrized lengths must move with it
+        assert _EDIT_SHORT_MAX == 31
+
+
+class TestEditBruteForce:
+    def test_seeded_random_corpus_matches_brute_force(self, spark):
+        """Seeded mixed-length corpus (lengths 1..45, planted mutations
+        plus decoys) — the algorithm's pair set must equal quadratic
+        ground truth over distinct titles."""
+        rng = random.Random(1107)
+        alphabet = "abcdefgh "
+        titles = []
+        for i in range(120):
+            n = rng.randint(1, 45)
+            titles.append("".join(rng.choice(alphabet) for _ in range(n)))
+        rows = [(i, t) for i, t in enumerate(titles)]
+        nxt = len(rows)
+        for i, t in list(enumerate(titles))[::7]:  # plant mutations
+            kind = rng.randint(0, 2)
+            p = rng.randrange(len(t))
+            if kind == 0:
+                m = t[:p] + rng.choice(alphabet) + t[p + 1 :]  # may equal t
+            elif kind == 1:
+                m = t[:p] + rng.choice(alphabet) + t[p:]
+            else:
+                m = t[:p] + t[p + 1 :]
+            if m:
+                rows.append((nxt, m))
+                nxt += 1
+        # brute-force truth over distinct titles, min-id representatives
+        by_title = {}
+        for i, t in rows:
+            if t not in by_title:
+                by_title[t] = i
+            by_title[t] = min(by_title[t], i)
+        reps = sorted(by_title.items(), key=lambda kv: kv[1])
+        truth = set()
+        for i in range(len(reps)):
+            for j in range(i + 1, len(reps)):
+                (t1, id1), (t2, id2) = reps[i], reps[j]
+                if _lev1(t1, t2):
+                    truth.add((min(id1, id2), max(id1, id2)))
+        out = _pairs(rows, spark, hot_key_cap=100_000)
+        assert set(out) == truth, (
+            f"missed={truth - set(out)} spurious={set(out) - truth}"
+        )
+
+
+class TestEditHotCapEdge:
+    def test_exactly_at_cap_passes(self, spark):
+        # 6 distinct short titles sharing the deletion key "common"
+        rows = [(i, "common" + c) for i, c in enumerate("abcdef")]
+        out = _pairs(rows, spark, hot_key_cap=6)
+        # all 15 pairs are genuine lev=1 (same 6-char stem, one suffix char)
+        assert len(out) == 15
+
+    def test_one_past_cap_raises(self, spark):
+        rows = [(i, "common" + c) for i, c in enumerate("abcdef")]
+        with pytest.raises(ValueError, match="quadratic"):
+            _pairs(rows, spark, hot_key_cap=5)
+
+    def test_long_tier_cap_edge(self, spark):
+        stem = "shared boilerplate opening!!"[:16]
+        assert len(stem) == 16
+        rows = [(i, stem + f"wholly distinct tail number {i:04d}") for i in range(5)]
+        # chunk1 key shared by 5 distinct long titles: cap 5 passes, 4
+        # raises; the tails differ in their last digit only, so all 10
+        # pairs are genuine lev=1 — recall through a shared-chunk1 block
+        out = _pairs(rows, spark, hot_key_cap=5)
+        assert len(out) == 10 and all(v[0] == 1 for v in out.values())
+        with pytest.raises(ValueError, match="quadratic"):
+            _pairs(rows, spark, hot_key_cap=4)
+
+
+class TestPrefixJaccardTauBoundary:
+    """PPJoin prunes are built against τ−1e-4 so a pair AT the threshold
+    (or rounding up to it) can never be pruned; pairs below τ must drop
+    at the exact verify, not by accident of the prefix."""
+
+    @staticmethod
+    def _docs(spark, docs):
+        return spark.createDataFrame(docs, ["doc_id", "text"])
+
+    def test_pair_exactly_at_tau_kept(self, spark):
+        # 10 tokens each, 9 shared -> J = 9/11 = 0.8182; and a tighter
+        # pair: 9 shared of (9, 9+... ) build exact 0.8: |x|=9,|y|=9,
+        # i=8 -> J = 8/10 = 0.8 exactly
+        x = " ".join(f"tok{i}" for i in range(9))
+        y = " ".join([f"tok{i}" for i in range(8)] + ["only_y"])
+        df = self._docs(spark, [(1, x), (2, y)])
+        out = prefix_jaccard_pairs(df, "text", "doc_id", threshold=0.8, shingles=False)
+        rows = out.collect()
+        assert [(r.doc1, r.doc2, float(r.jaccard)) for r in rows] == [(1, 2, 0.8)]
+
+    def test_pair_just_below_tau_dropped(self, spark):
+        # i=8, |x|=9, |y|=10 -> J = 8/11 = 0.7273 < 0.8
+        x = " ".join(f"tok{i}" for i in range(9))
+        y = " ".join([f"tok{i}" for i in range(8)] + ["only_y", "only_y2"])
+        df = self._docs(spark, [(1, x), (2, y)])
+        out = prefix_jaccard_pairs(df, "text", "doc_id", threshold=0.8, shingles=False)
+        assert out.count() == 0
+
+    def test_shared_token_only_in_last_prefix_slot(self, spark):
+        """The prefix-length ⌈·⌉ seam: both docs' rarest token is their
+        own unshared one (df=1 sorts first), so the candidate join can
+        only fire on a SHARED token sitting at the last prefix slot —
+        prefix len = m − ⌈τ·m⌉ + 1 = 10 − 8 + 1 = 3, shared tokens
+        start at pos 2."""
+        shared = [f"s{i:02d}" for i in range(9)]
+        x = " ".join(["only_x"] + shared)
+        y = " ".join(["only_y"] + shared)
+        df = self._docs(spark, [(1, x), (2, y)])
+        out = prefix_jaccard_pairs(df, "text", "doc_id", threshold=0.8, shingles=False)
+        rows = out.collect()
+        assert len(rows) == 1 and abs(float(rows[0].jaccard) - round(9 / 11, 4)) < 1e-9
+
+    def test_posting_cap_edge(self, spark):
+        # m=5 -> prefix len 2: pos1 = the doc's own df-1 token, pos2 =
+        # the lexically-first shared token -> "hot1" lands in EVERY
+        # doc's prefix (posting size = 8). Cap at 8 passes, 7 raises
+        # toward exact-dedup-first.
+        docs = [(i, f"hot1 hot2 hot3 hot4 uniq{i}") for i in range(8)]
+        df = self._docs(spark, docs)
+        prefix_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.8, shingles=False, max_prefix_posting=8
+        ).count()
+        with pytest.raises(ValueError, match="exact_dedup first"):
+            prefix_jaccard_pairs(
+                df, "text", "doc_id", threshold=0.8, shingles=False, max_prefix_posting=7
+            ).count()
