@@ -148,6 +148,46 @@ EDGE_APPEND_MOD = 7
 EDGE_APPEND_REM = 3
 
 
+def _recover_crashed_compaction(spark: SparkSession, table: str) -> bool:
+    """Distinguish a crashed COMPACTION from a crashed initial BUILD
+    when the ``*_ready`` marker is missing, and recover the former
+    instead of dropping production-appended arcs.
+
+    compact_arc_table's swap ordering is: staged merge written →
+    marker DROP → table DROP → RENAME staged→table → marker rewrite.
+    A crash inside that window leaves the marker missing while a
+    COMPLETE copy of the arcs survives — either the original ``table``,
+    the fully-written ``<table>__compacting`` merge, or both. The old
+    rebuild path treated every missing marker as a half-built initial
+    build and DROPped whatever existed, rebuilding from the BASE corpus
+    — silently discarding every arc appended since (the round-9 ADVICE
+    finding). The discriminator is the ``*_compactmeta`` table: it is
+    only ever written AFTER a fully-completed build or compaction, so
+    meta-present + marker-missing ⟹ the table once reached a complete
+    state ⟹ what survives is recoverable, never half-built. (A crash
+    DURING the staged write leaves the marker intact, so a surviving
+    staged table on this path is always complete.)
+
+    Returns True if a complete state was recovered and re-latched."""
+    if not spark.catalog.tableExists(_arc_meta_table(table)):
+        return False  # never completed a build — rebuild is correct
+    staged = f"{table}__compacting"
+    marker = f"{table}_ready"
+    if spark.catalog.tableExists(staged):
+        # crash between marker DROP and the RENAME: the staged merge is
+        # the complete, most-compacted copy — finish the swap.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        _sweep_stale_location(spark, table)
+        spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    elif not spark.catalog.tableExists(table):
+        return False  # meta is stale but nothing survives — rebuild
+    # else: crash between the RENAME and the marker rewrite — the table
+    # itself is the complete compacted copy; just re-latch.
+    spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
+    record_arc_compact_meta(spark, table)  # fresh growth-policy baseline
+    return True
+
+
 def edge_append_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 16
 ) -> str:
@@ -176,7 +216,9 @@ def edge_append_tables(
     table = f"copurchase_arcs_{_tag(sf_dir)}"
     marker = f"{table}_ready"
     if not spark.catalog.tableExists(marker):
-        for t in (table, marker):
+        if _recover_crashed_compaction(spark, table):
+            return table
+        for t in (table, marker, f"{table}__compacting"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")  # clear a half-built prior attempt
             _sweep_stale_location(spark, t)
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -353,9 +395,10 @@ def compact_arc_table(
     # table is missing while the *_ready marker would still latch it as
     # complete for the rest of the session. Drop the marker FIRST and
     # rewrite it only after the swap succeeds, so a failed compaction
-    # routes the next edge_append_tables call into its rebuild path
-    # instead of serving the broken table. (Recovery from the gap state:
-    # the complete merge sits at <table>__compacting.)
+    # routes the next edge_append_tables call into
+    # _recover_crashed_compaction, which finishes the swap from the
+    # complete merge at <table>__compacting (or re-latches the already-
+    # swapped table) instead of rebuilding and discarding appended arcs.
     marker = f"{table}_ready"
     had_marker = spark.catalog.tableExists(marker)
     if had_marker:

@@ -763,3 +763,69 @@ def test_growth_trigger_refreshes_edges_twin(spark):
     # restore the canonical artifacts for other tests: rebuild arc + edges
     for t in (arc, f"{arc}_ready", f"{arc}_compactmeta", edges):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _arc_snapshot(spark, table):
+    from is3107datapipelineproject_spark.plans.indexes import merged_edge_norm
+
+    return {(r.src, r.dst, r.w, r.ow) for r in merged_edge_norm(spark, table).collect()}
+
+
+def test_crashed_compaction_recovery_all_windows(spark):
+    """A crash inside compact_arc_table's swap window (marker dropped,
+    rewrite pending) must NOT route the next edge_append_tables call
+    into the rebuild path — that would DROP the surviving arcs and
+    silently discard every production-appended batch (round-9 ADVICE).
+    Simulates all three gap states; in each, the recovered table must
+    still contain the production append a rebuild would lose."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        compact_arc_table,
+        edge_append_tables,
+        edge_table_append,
+    )
+    from is3107datapipelineproject_spark.plans.layout import write_bucketed
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    table = edge_append_tables(spark, SF)
+    marker, staged = f"{table}_ready", f"{table}__compacting"
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    # a production append the demo rebuild does NOT regenerate
+    edge_table_append(
+        spark, table, li.filter(F.col("l_orderkey") % 97 == 11),
+        compact_max_files=None, compact_delta_frac=None,
+    )
+    want = _arc_snapshot(spark, table)
+
+    # window 3: crash after the RENAME, before the marker rewrite
+    spark.sql(f"DROP TABLE {marker}")
+    assert edge_append_tables(spark, SF) == table
+    assert spark.catalog.tableExists(marker), "must re-latch, not rebuild"
+    assert _arc_snapshot(spark, table) == want, "rebuild lost the appended arcs"
+
+    # window 1: staged merge written, marker dropped, original intact
+    merged = (
+        spark.table(table).groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    write_bucketed(merged, staged, "src", n_buckets=16)
+    spark.sql(f"DROP TABLE {marker}")
+    edge_append_tables(spark, SF)
+    assert not spark.catalog.tableExists(staged), "swap must be finished"
+    assert _arc_snapshot(spark, table) == want
+
+    # window 2: staged written, original already dropped
+    write_bucketed(spark.table(table), staged, "src", n_buckets=16)
+    spark.sql(f"DROP TABLE {marker}")
+    spark.sql(f"DROP TABLE {table}")
+    edge_append_tables(spark, SF)
+    assert _arc_snapshot(spark, table) == want
+
+    # sanity: a REAL half-built initial state (no compactmeta) still
+    # takes the rebuild path
+    for t in (table, marker, staged, f"{table}_compactmeta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    rebuilt = edge_append_tables(spark, SF)
+    base = _arc_snapshot(spark, rebuilt)
+    assert base != want, "rebuild regenerates base+demo only (append absent)"
+    # leave canonical state for other tests (fresh build is canonical)
