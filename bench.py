@@ -233,6 +233,8 @@ HEADLINE = [
     "robust_zscore_days",
     "relational_division",
     "user_active_time",
+    # round 9: incremental twin of the edit-distance dedup tier
+    "incremental_edit_neardup",
 ]
 
 

@@ -1334,3 +1334,149 @@ def _edit_neardup_pairs_impl(t: DataFrame, hot_key_cap: int) -> DataFrame:
     # materialize before the caller's unpersist (bounded by the true
     # near-dup pair count — the small-frame side of the checkpoint rule)
     return out.localCheckpoint(eager=True)
+
+
+def _edit_index_keys(t: DataFrame, id_out: str = "tid") -> DataFrame:
+    """Unified blocking-index keys ``(id, chunk, clen, sub)`` for one
+    side of a new×old edit join — the PERSISTABLE per-distinct-title
+    postings of the edit tier (the character-level sibling of
+    prefix_posting_frame): long titles (len ≥ 31) emit their 2 PassJoin
+    chunk keys; short titles (len ≤ 31) emit their ≤ 32 symmetric-
+    deletion keys under ``chunk = 0`` (a disjoint namespace, ``clen``
+    pinned to 0 so both sides construct identical join keys). Like the
+    fixed token order of the prefix postings, these keys NEVER drift as
+    the corpus grows — a title's keys are a pure function of the title
+    — so postings persisted at any past ingest stay jointly lossless
+    against every future probe batch."""
+    L1 = _EDIT_L1
+    long_keys = (
+        t.filter(F.length("tt") >= _EDIT_SHORT_MAX)
+        .select(
+            "tid",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("chunk"),
+                        F.lit(L1).alias("clen"),
+                        F.substring("tt", 1, L1).alias("sub"),
+                    ),
+                    F.struct(
+                        F.lit(2).alias("chunk"),
+                        (F.length("tt") - L1).cast("int").alias("clen"),
+                        F.substring("tt", L1 + 1, 1 << 30).alias("sub"),
+                    ),
+                )
+            ).alias("k"),
+        )
+        .select("tid", "k.chunk", "k.clen", "k.sub")
+    )
+    short_keys = _symdelete_keys(t, "tid").select(
+        "tid", F.lit(0).alias("chunk"), F.lit(0).alias("clen"), "sub"
+    )
+    return long_keys.unionByName(short_keys).withColumnRenamed("tid", id_out)
+
+
+def _edit_probe_keys(n: DataFrame, id_out: str = "pid") -> DataFrame:
+    """Probe keys for the batch side of the asymmetric new×old edit
+    join: against an index of chunk keys the probe must enumerate every
+    position a partner's chunk could occupy — chunk1 at position 1 and
+    chunk2 at 17+δ for δ ∈ {−1,0,+1} (4 keys, the one-shot operator's
+    probe grid) — plus the symmetric-deletion keys for the short tier.
+    idx(old) ⋈ probe(new) alone is lossless for every lev ≤ 1 pair:
+    if the edit sits past position 16 (in old's coordinates) the two
+    first-16 prefixes are equal (chunk1 hit); otherwise old's chunk2
+    survives verbatim in new at start 17+δ with length len(old)−16 =
+    len(new)−(δ+16) — exactly the δ-coupled probe key."""
+    L1 = _EDIT_L1
+    probe_structs = [
+        F.struct(
+            F.lit(1).alias("chunk"),
+            F.lit(L1).alias("clen"),
+            F.substring("tt", 1, L1).alias("sub"),
+        )
+    ]
+    for d in (-1, 0, 1):
+        clen = (F.length("tt") - F.lit(d + L1)).cast("int")
+        probe_structs.append(
+            F.struct(
+                F.lit(2).alias("chunk"),
+                clen.alias("clen"),
+                F.col("tt").substr(F.lit(L1 + 1 + d), clen).alias("sub"),
+            )
+        )
+    long_probes = (
+        n.filter(F.length("tt") >= _EDIT_SHORT_MAX)
+        .select("tid", F.explode(F.array(*probe_structs)).alias("k"))
+        .select("tid", "k.chunk", "k.clen", "k.sub")
+        .filter(F.length("sub") == F.col("clen"))
+    )
+    short_probes = _symdelete_keys(n, "tid").select(
+        "tid", F.lit(0).alias("chunk"), F.lit(0).alias("clen"), "sub"
+    )
+    return long_probes.unionByName(short_probes).withColumnRenamed("tid", id_out)
+
+
+def incremental_edit_neardup(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    title_col: str,
+    hot_key_cap: int = 4096,
+) -> DataFrame:
+    """Incremental ingest twin of :func:`edit_neardup_pairs` — the
+    character-level tier of the every-batch dedup loop beside
+    :func:`incremental_neardup` (MinHash) and
+    :func:`incremental_prefix_jaccard` (PPJoin): every (new doc, old
+    DISTINCT title) pair with edit distance ≤ 1, new×old only (never
+    old×old), exact by the same two-tier losslessness argument as the
+    one-shot (asymmetric: the corpus indexes 2 chunk keys per distinct
+    long title, the batch probes 4; short titles use symmetric-deletion
+    keys on both sides; tiers overlap at len 31, see
+    :func:`_edit_probe_keys` for the one-sided losslessness proof).
+
+    The OLD side collapses to distinct-title representatives (min id,
+    group size) exactly like the one-shot: a batch title matching a
+    5,000-copy boilerplate group yields ONE row with ``n_old = 5000``,
+    not 5,000 rows — identical-title membership is reported through the
+    representative map, which is what keeps the output (and the ×100
+    corpus) linear in the batch instead of quadratic in group sizes.
+    ``lev = 0`` rows ARE emitted (the new doc joins an existing exact
+    group); the new side stays per-doc (each arriving doc is its own
+    ingest decision).
+
+    Scale shape mirrors the sketch/prefix tiers: batch probe keys
+    BROADCAST onto the corpus posting stream — the corpus never
+    shuffles; per-ingest cost is the batch key build + one map-side
+    candidate join + exact ``levenshtein`` verify of the survivors.
+    The streaming twin with PERSISTED postings is
+    streaming.windows::edit_ingest_sink (stream==batch asserted in
+    tests). Returns ``(new_id, old_id, lev, n_old)``."""
+    t_old = _edit_distinct_titles(old, id_col, title_col).persist()
+    try:
+        idx = _edit_index_keys(t_old, "old_id")
+        _edit_hot_key_guard(idx, ["chunk", "clen", "sub"], hot_key_cap, "corpus")
+        t_new = new.select(
+            F.col(id_col).alias("tid"), F.col(title_col).alias("tt")
+        ).localCheckpoint(eager=True)
+        probes = _edit_probe_keys(t_new, "new_id")
+        cand = (
+            idx.join(F.broadcast(probes), ["chunk", "clen", "sub"])
+            .select("new_id", "old_id")
+            .distinct()
+        )
+        to = t_old.select(
+            F.col("tid").alias("old_id"), F.col("tt").alias("__to"), F.col("grp").alias("n_old")
+        )
+        tn = t_new.select(F.col("tid").alias("new_id"), F.col("tt").alias("__tn"))
+        out = (
+            cand.join(to, "old_id")
+            .join(F.broadcast(tn), "new_id")
+            .withColumn("lev", F.levenshtein("__tn", "__to").cast("int"))
+            .filter(F.col("lev") <= 1)
+            .select("new_id", "old_id", "lev", "n_old")
+        )
+        # materialized for the same reason as the one-shot: release the
+        # corpus-keyed cache instead of pinning it per call
+        return out.localCheckpoint(eager=True)
+    finally:
+        t_old.unpersist()

@@ -608,6 +608,109 @@ def prefix_ingest_sink(
     return apply
 
 
+def edit_ingest_sink(
+    titles_dir: str,
+    pairs_dir: str,
+    id_col: str = "doc_id",
+    title_col: str = "title",
+    hot_key_cap: int = 4096,
+):
+    """Streaming corpus ingest with every-batch EDIT-DISTANCE (lev ≤ 1)
+    near-dup detection — the character-level twin of
+    :func:`neardup_ingest_sink` (MinHash) and
+    :func:`prefix_ingest_sink` (PPJoin), closing the dedup-tier matrix:
+    every tier now has exact one-shot, batch-incremental AND streaming
+    entry points. Per micro-batch of arriving documents,
+
+    1. collapses the batch to its DISTINCT titles ``(tid = min id, tt,
+       grp)`` — the persistable unit of the edit tier (the analogue of
+       the prefix tier's posting frame); the blocking keys
+       (operators/dedup.py::_edit_index_keys — PassJoin chunk keys for
+       long titles, symmetric-deletion keys for short) are a pure
+       function of the title, so like the fixed token order they never
+       drift as the corpus grows;
+    2. probes the PERSISTED per-batch distinct-title corpus at
+       ``titles_dir`` with the batch's (broadcast) probe keys, verifies
+       candidates with the exact ``levenshtein`` builtin, then
+       RE-COLLAPSES matches per (new doc, old title) across batches:
+       ``old_id`` = the global min id, ``n_old`` = the summed group
+       size — bit-identical to the batch operator
+       (operators/dedup.py::incremental_edit_neardup) run with all
+       earlier batches as corpus (asserted in tests), because batch-
+       local representatives re-minimized across batches ARE the global
+       representatives;
+    3. appends surviving ``(new_id, old_id, lev, n_old)`` pairs
+       (``lev = 0`` membership rows included) to ``pairs_dir``;
+    4. appends the batch's distinct-title frame, so the NEXT batch sees
+       this one as corpus.
+
+    Same new×old-only contract as the other tiers; within-batch pairs
+    are out of scope (run edit_neardup_pairs on the batch if they
+    matter). Retry-safe via the ``batch=<id>`` OVERWRITE pattern with
+    corpus reads filtered to strictly EARLIER batch ids — a replayed
+    micro-batch rewrites its own titles/pairs and never treats its own
+    partial output as pre-existing corpus."""
+    from pyspark.errors import AnalysisException
+
+    from is3107datapipelineproject_spark.operators.dedup import (
+        _edit_distinct_titles,
+        _edit_hot_key_guard,
+        _edit_index_keys,
+        _edit_probe_keys,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = _edit_distinct_titles(batch_df, id_col, title_col).localCheckpoint(eager=True)
+        t_new = batch_df.select(
+            F.col(id_col).alias("tid"), F.col(title_col).alias("tt")
+        ).localCheckpoint(eager=True)
+        older = F.col("batch") < batch_id
+        try:
+            corpus = spark.read.parquet(titles_dir).filter(older).drop("batch")
+        except AnalysisException:  # cold start: first batch IS the corpus
+            from is3107datapipelineproject_spark.plans.layout import (
+                assert_stream_dir_healthy,
+            )
+
+            assert_stream_dir_healthy(spark, titles_dir)
+            corpus = None
+        if corpus is not None:
+            idx = _edit_index_keys(corpus, "old_id")
+            _edit_hot_key_guard(idx, ["chunk", "clen", "sub"], hot_key_cap, "corpus")
+            probes = _edit_probe_keys(t_new, "new_id")
+            cand = (
+                idx.join(F.broadcast(probes), ["chunk", "clen", "sub"])
+                .select("new_id", "old_id")
+                .distinct()
+            )
+            to = corpus.select(
+                F.col("tid").alias("old_id"),
+                F.col("tt").alias("__to"),
+                F.col("grp").alias("g"),
+            )
+            tn = t_new.select(F.col("tid").alias("new_id"), F.col("tt").alias("__tn"))
+            pairs = (
+                cand.join(to, "old_id")
+                .join(F.broadcast(tn), "new_id")
+                .withColumn("lev", F.levenshtein("__tn", "__to").cast("int"))
+                .filter(F.col("lev") <= 1)
+                # re-collapse across batches: each batch holds its own
+                # (rep, grp) row for a shared title
+                .groupBy("new_id", "__to")
+                .agg(
+                    F.min("old_id").alias("old_id"),
+                    F.min("lev").alias("lev"),
+                    F.sum("g").cast("long").alias("n_old"),
+                )
+                .select("new_id", "old_id", "lev", "n_old")
+            )
+            pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={int(batch_id)}")
+        b.write.mode("overwrite").parquet(f"{titles_dir}/batch={int(batch_id)}")
+
+    return apply
+
+
 def ann_ingest_sink(
     centroids_table: str,
     codebook_table: str,

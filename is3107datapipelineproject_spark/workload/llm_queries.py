@@ -3689,3 +3689,91 @@ def q_title_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(va).unionByName(vb)
     return edit_neardup_pairs(corpus, "tid", "tt")
+
+
+@register(
+    "incremental_edit_neardup",
+    oracle="""
+WITH base AS (
+  SELECT doc_id AS tid, substr(text, 1, 32) AS tt FROM documents WHERE n_chars >= 40
+),
+corpus AS (
+  SELECT tid, tt FROM base
+  UNION ALL
+  SELECT tid + 10000000, substr(tt, 1, 6) || 'z' || substr(tt, 8) FROM base WHERE tid % 31 = 5
+  UNION ALL
+  SELECT tid + 20000000, substr(tt, 1, 19) || substr(tt, 21) FROM base WHERE tid % 31 = 17
+  UNION ALL
+  SELECT tid + 30000000, tt FROM base WHERE tid % 43 = 9
+  UNION ALL
+  SELECT tid + 40000000, substr(tt, 1, 12) FROM base WHERE tid % 23 = 3
+  UNION ALL
+  SELECT tid + 50000000, substr(tt, 1, 11) || 'q' FROM base WHERE tid % 23 = 3
+),
+newb AS (SELECT * FROM corpus WHERE tid % 7 = 2),
+oldc AS (SELECT * FROM corpus WHERE tid % 7 <> 2),
+og AS (
+  SELECT min(tid) AS old_id, tt, CAST(count(*) AS BIGINT) AS n_old
+  FROM oldc GROUP BY tt
+)
+SELECT n.tid AS new_id, o.old_id, CAST(levenshtein(n.tt, o.tt) AS INT) AS lev, o.n_old
+FROM newb n JOIN og o ON abs(length(n.tt) - length(o.tt)) <= 1
+WHERE levenshtein(n.tt, o.tt) <= 1
+""",
+    tags=("dedup", "incremental", "llm"),
+)
+def q_incremental_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest twin of title_edit_neardup (operators/
+    dedup.py::incremental_edit_neardup) — the character-level tier of
+    the every-batch dedup loop, completing the tier matrix: MinHash has
+    incremental_neardup, PPJoin has incremental_prefix_jaccard, and the
+    edit tier now probes an arriving batch (tid %% 7 == 2 of a planted
+    corpus) against the rest for lev ≤ 1, new×old only. The oracle is
+    the QUADRATIC new×old ground truth (a |Δlen| ≤ 1 band join + exact
+    levenshtein — no replay of the blocking scheme, so the oracle
+    would catch a lossy key grid), unlike the one-shot's
+    scheme-replaying oracle; the boundary battery covers the
+    structural seams. The planted corpus exercises BOTH tiers and the
+    lev = 0 membership path: long substitution (+1e7) and deletion
+    (+2e7) variants, exact copies (+3e7, join an existing group via
+    the representative map with its summed n_old), and a short-title
+    pair (12-char prefix +4e7 vs 11-char-prefix+'q' +5e7 — the
+    symmetric-deletion tier the round-9 short-title fix added); the
+    offsets shift tid mod 7, so every family lands on both sides of
+    the split. Old side collapses to distinct-title representatives
+    (min id, group size) — output is linear in the batch even against
+    a boilerplate-saturated corpus. The streaming twin with persisted
+    per-batch distinct-title state is streaming.windows::
+    edit_ingest_sink (stream==batch asserted in tests)."""
+    from is3107datapipelineproject_spark.operators.dedup import (
+        incremental_edit_neardup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 40)
+    base = docs.select(
+        F.col("doc_id").alias("tid"), F.substring("text", 1, 32).alias("tt")
+    )
+    va = base.filter(F.col("tid") % 31 == 5).select(
+        (F.col("tid") + 10000000).alias("tid"),
+        F.concat(
+            F.substring("tt", 1, 6), F.lit("z"), F.substring("tt", 8, 1 << 30)
+        ).alias("tt"),
+    )
+    vb = base.filter(F.col("tid") % 31 == 17).select(
+        (F.col("tid") + 20000000).alias("tid"),
+        F.concat(F.substring("tt", 1, 19), F.substring("tt", 21, 1 << 30)).alias("tt"),
+    )
+    vc = base.filter(F.col("tid") % 43 == 9).select(
+        (F.col("tid") + 30000000).alias("tid"), "tt"
+    )
+    vs = base.filter(F.col("tid") % 23 == 3).select(
+        (F.col("tid") + 40000000).alias("tid"), F.substring("tt", 1, 12).alias("tt")
+    )
+    vt = base.filter(F.col("tid") % 23 == 3).select(
+        (F.col("tid") + 50000000).alias("tid"),
+        F.concat(F.substring("tt", 1, 11), F.lit("q")).alias("tt"),
+    )
+    corpus = base.unionByName(va).unionByName(vb).unionByName(vc).unionByName(vs).unionByName(vt)
+    new = corpus.filter(F.col("tid") % 7 == 2)
+    old = corpus.filter(F.col("tid") % 7 != 2)
+    return incremental_edit_neardup(old, new, "tid", "tt")

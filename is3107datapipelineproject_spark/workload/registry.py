@@ -63,68 +63,69 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # ordered by last-driver-verified round ASCENDING, ties alphabetical,
 # truncated to the 50-slot window. `tools/evidence_gap.py --rotation`
 # computes the ordering mechanically from CORRECTNESS_r*.json; regenerate
-# the list below each round. Round-8 window: 4 edited (mmr_rerank
-# checkpoint fix; ann_index_append/edge_table_append self-compaction
-# wiring) + 5 new (title_edit_neardup, rolling_active_users,
-# robust_zscore_days, relational_division, user_active_time — budget:
-# 50 − 0 backlog − 4 edited = 46 allowed, 5 used) + the 41 oldest rows (all of r1, all of r2, and the r3 head) —
-# the remaining r3/r4 tail rotates into r9/r10.
+# the list below each round. Round-9 window: 3 edited + 1 new + ALL 39
+# remaining r3 rows + the 7 oldest r4 rows; after this round no green row
+# predates r4, and the remaining 43 r4 rows fill most of the r10 window.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # --- plans/code paths edited in round 8 -> re-sample first (4) ---
-    "mmr_rerank",
-    "ann_index_append",
+    # --- plans/code paths edited in round 9 -> re-sample first (3):
+    # edit_neardup_pairs gained the short-title symmetric-deletion tier
+    # (title_edit_neardup); edge_append_tables gained crashed-compaction
+    # recovery (pagerank_from_merged_edges / edge_table_build) ---
+    "title_edit_neardup",
     "pagerank_from_merged_edges",
     "edge_table_build",
-    # --- new in round 8: no external evidence yet (5) ---
-    "title_edit_neardup",
-    "rolling_active_users",
-    "robust_zscore_days",
-    "relational_division",
-    "user_active_time",
-    # --- last driver-verified in r1 (oldest first) ---
-    "author_ordinal",
-    "events_tumbling_window",
-    "except_by_key",
-    "f_category",
-    "f_coalesce",
-    "f_date_format",
-    "f_from_json",
-    "f_map_values",
-    "f_struct",
-    "f_to_date",
-    "f_zip_authors",
-    "incremental_merge",
-    "limit_n",
-    "q3_collab_totals",
-    "q4_collab_year",
-    "sort_by_key",
-    "union_all",
-    # --- last driver-verified in r2 (oldest first) ---
-    "agg_count_by_year",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_sum_by_author",
-    "antijoin_deleted",
-    "antijoin_new",
-    "distinct_pubs",
-    "filter_eq",
-    "filter_in",
-    "filter_map_contains",
-    "pair_counts",
-    "q1_nth_author",
-    "q2_nth_author",
-    "q_point_lookup",
-    "scan_csv",
-    "scan_or_empty",
-    "semijoin_members",
-    "volume_metrics",
-    # --- last driver-verified in r3 (oldest first) ---
-    "ann_recall",
-    "centroid_outliers",
-    "chunk_documents",
-    "corpus_dedup_keep",
-    "corpus_dedup_keep_best",
-    "corpus_shards",
+    # --- new in round 9: no external evidence yet (1; budget:
+    # 50 - 0 backlog - 3 edited = 47 allowed, 1 used) ---
+    "incremental_edit_neardup",
+    # --- last driver-verified in r3 (oldest first, 39) ---
+    "cosine_topk_bucketed",
+    "curation_pipeline",
+    "decontaminate",
+    "doc_fingerprint",
+    "doc_term_matrix",
+    "embedding_neardup",
+    "exact_dedup",
+    "group_sample_topn",
+    "hash_split",
+    "incremental_neardup",
+    "ivf_topk",
+    "knn_classify",
+    "label_centroids",
+    "lang_id",
+    "line_dedup",
+    "minhash_neardup",
+    "mixture_sample",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "neardup_by_source",
+    "neardup_clusters",
+    "ngram_jaccard",
+    "pack_sequences",
+    "pii_scrub",
+    "quantize_embeddings",
+    "repetition_stats",
+    "scan_jsonl",
+    "simhash_fingerprint",
+    "stratified_sample",
+    "text_quality",
+    "text_stats",
+    "tfidf_top_terms",
+    "time_rollup",
+    "token_budget_sample",
+    "token_count_regex",
+    "token_runs",
+    "unigram_perplexity",
+    "vocab_build",
+    # --- last driver-verified in r4 (oldest first, head of the tail;
+    # the remaining r4 rows rotate into r10) ---
+    "agg_cube",
+    "agg_percentiles",
+    "approx_distinct",
+    "cheapest_part_per_type",
+    "click_purchase_attribution",
+    "cms_heavy_hitters",
+    "cohort_retention",
 )
 
 

@@ -240,3 +240,70 @@ class TestPrefixJaccardTauBoundary:
             prefix_jaccard_pairs(
                 df, "text", "doc_id", threshold=0.8, shingles=False, max_prefix_posting=7
             ).count()
+
+
+class TestIncrementalEditBoundaries:
+    """The new×old twin shares the key machinery but exercises the
+    ASYMMETRIC join (corpus indexes 2 chunk keys, batch probes 4) —
+    its seams get their own planted cases + a seeded brute force."""
+
+    @staticmethod
+    def _inc(spark, old, new, **kw):
+        from is3107datapipelineproject_spark.operators.dedup import (
+            incremental_edit_neardup,
+        )
+
+        out = incremental_edit_neardup(
+            spark.createDataFrame(old, ["id", "t"]),
+            spark.createDataFrame(new, ["id", "t"]),
+            "id",
+            "t",
+            **kw,
+        )
+        return {(r.new_id, r.old_id): (r.lev, r.n_old) for r in out.collect()}
+
+    @pytest.mark.parametrize("n", [30, 31, 32, 33])
+    @pytest.mark.parametrize("direction", ["old_longer", "new_longer"])
+    def test_cross_length_seam(self, spark, n, direction):
+        base = ("y" * 4 + "abcdefghijklmnopqrstuvwxyz0123456789")[:n]
+        shorter = base[: n // 2] + base[n // 2 + 1 :]
+        if direction == "old_longer":
+            old, new = [(1, base)], [(11, shorter)]
+        else:
+            old, new = [(1, shorter)], [(11, base)]
+        out = self._inc(spark, old, new)
+        assert set(out) == {(11, 1)}, (n, direction, out)
+
+    def test_lev0_membership_and_collapse(self, spark):
+        old = [(5, "dup title"), (2, "dup title"), (9, "dup title")]
+        new = [(11, "dup title"), (12, "dup titles")]
+        out = self._inc(spark, old, new)
+        assert out == {(11, 2): (0, 3), (12, 2): (1, 3)}
+
+    def test_seeded_random_matches_brute_force(self, spark):
+        rng = random.Random(2209)
+        alphabet = "abcde "
+        pool = []
+        for _ in range(90):
+            n = rng.randint(1, 40)
+            pool.append("".join(rng.choice(alphabet) for _ in range(n)))
+        for i in range(0, len(pool), 6):  # plant near variants
+            t = pool[i]
+            p = rng.randrange(len(t))
+            pool.append(t[:p] + rng.choice(alphabet) + t[p + 1 :])
+        rows = [(i, t) for i, t in enumerate(pool)]
+        old = [r for r in rows if r[0] % 3 != 0]
+        new = [r for r in rows if r[0] % 3 == 0]
+        groups = {}
+        for i, t in old:
+            rep, cnt = groups.get(t, (i, 0))
+            groups[t] = (min(rep, i), cnt + 1)
+        truth = {}
+        for i, t in new:
+            for ot, (rep, cnt) in groups.items():
+                if _lev1(t, ot) or t == ot:
+                    truth[(i, rep)] = (0 if t == ot else 1, cnt)
+        out = self._inc(spark, old, new, hot_key_cap=100_000)
+        assert out == truth, (
+            f"missed={set(truth) - set(out)} spurious={set(out) - set(truth)}"
+        )

@@ -928,3 +928,78 @@ def test_sinks_fail_loudly_on_orphaned_compaction(spark, tmp_path):
     assert_stream_dir_healthy(spark, str(tmp_path / "never_written"))
     spark.createDataFrame([(1, 1)], ["a", "b"]).write.parquet(sig_dir)
     assert_stream_dir_healthy(spark, sig_dir)
+
+
+def test_edit_ingest_sink_matches_batch_incremental(spark, tmp_path):
+    """Edit-tier streaming ingest == batch incremental_edit_neardup:
+    three title micro-batches through the foreachBatch sink; batch 3's
+    pairs against the PERSISTED per-batch distinct-title corpus must
+    equal the batch operator run with batches 1+2 as corpus — in
+    particular the cross-batch re-collapse: a title present in BOTH
+    earlier batches must come back as ONE row with the global min-id
+    representative and the SUMMED group size."""
+    from is3107datapipelineproject_spark.operators.dedup import (
+        incremental_edit_neardup,
+    )
+    from is3107datapipelineproject_spark.streaming.windows import edit_ingest_sink
+
+    boiler = "frequently repeated boilerplate heading"  # 39 chars, long tier
+    b1 = [(1, boiler), (2, boiler), (3, "hello worl"), (4, "something else wholly unrelated here")]
+    b2 = [(21, boiler), (22, "short one")]
+    b3 = [
+        (31, boiler),                          # lev 0: rep=1, n_old=3 across b1+b2
+        (32, boiler[:25] + "Z" + boiler[26:]), # lev 1 long
+        (33, "hallo worl"),                    # lev 1 short vs 3
+        (34, "short on"),                      # lev 1 short vs 22 (deletion)
+        (35, "matches nothing in the corpus at all!"),
+    ]
+    docs_dir = tmp_path / "edit_docs"
+    for i, b in enumerate((b1, b2, b3)):
+        spark.createDataFrame(b, ["doc_id", "title"]).coalesce(1).write.parquet(
+            str(docs_dir / f"f{i}.parquet")
+        )
+    titles_dir = str(tmp_path / "edit_titles")
+    pairs_dir = str(tmp_path / "edit_pairs")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, title STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(edit_ingest_sink(titles_dir, pairs_dir))
+        .option("checkpointLocation", str(tmp_path / "edit_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got3 = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in spark.read.parquet(pairs_dir).filter(F.col("batch") == 2).drop("batch").collect()
+    }
+    want3 = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in incremental_edit_neardup(
+            spark.createDataFrame(b1 + b2, ["doc_id", "title"]),
+            spark.createDataFrame(b3, ["doc_id", "title"]),
+            "doc_id",
+            "title",
+        ).collect()
+    }
+    assert got3 == want3
+    # the cross-batch membership row: global min-id rep, summed group
+    assert (31, 1, 0, 3) in got3
+    assert (34, 22, 1, 1) in got3  # short tier across batches
+
+    # at-least-once replay of the LAST batch: pairs and titles must be
+    # bit-identical afterwards (overwrite-per-batch contract)
+    n_titles = spark.read.parquet(titles_dir).count()
+    edit_ingest_sink(titles_dir, pairs_dir)(
+        spark.createDataFrame(b3, ["doc_id", "title"]), 2
+    )
+    assert {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in spark.read.parquet(pairs_dir).filter(F.col("batch") == 2).drop("batch").collect()
+    } == want3
+    assert spark.read.parquet(titles_dir).count() == n_titles
