@@ -270,6 +270,51 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _timed(fn, spark, sf_dir: str) -> float:
+    """Warm-up run (codegen compile, Python-worker fork, parquet
+    footer/file-index caches), then a timed fresh-plan run; sub-second
+    queries get two MORE timed runs and report the median — there the
+    ~0.1 s box-load jitter dominates the signal (the r3→r4 "drift"
+    diagnosis) — while slow queries report the single run. The timed
+    span includes plan CONSTRUCTION — iterative operators execute
+    driver-side loops there, and excluding that would under-report
+    them."""
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    first = time.perf_counter() - t0
+    if first >= 1.0:
+        return first
+    runs = [first]
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    return sorted(runs)[1]
+
+
+def _annex_names(all_names) -> list[str]:
+    """The NON-headline registered queries benched this run — the bench
+    annex (round-8 verdict item 4: 81 registrations had no current
+    bench row, so a drift in a real-but-demoted operator was
+    invisible). Default: a deterministic HALF of the pool, alternated
+    by round parity (count of committed BENCH_r*.json files), so every
+    non-headline query gets a bench row at most 2 rounds old without
+    doubling bench wall-clock. SPARK_GRAFT_BENCH_ANNEX=all benches the
+    whole pool (--full mode); =0/off disables."""
+    mode = os.environ.get("SPARK_GRAFT_BENCH_ANNEX", "half").lower()
+    if mode in ("0", "off", "none"):
+        return []
+    pool = sorted(n for n in all_names if n not in HEADLINE)
+    if mode == "all":
+        return pool
+    here = os.path.dirname(os.path.abspath(__file__))
+    import glob
+
+    parity = len(glob.glob(os.path.join(here, "BENCH_r*.json"))) % 2
+    return [n for i, n in enumerate(pool) if i % 2 == parity]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench")
@@ -282,36 +327,19 @@ def main() -> None:
     qs["agg_count_by_year"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    annex: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    n_done = 0
+    annex_list = _annex_names(qs.keys())
+    for name, sink in [(n, timings) for n in HEADLINE] + [(n, annex) for n in annex_list]:
         fn = qs.get(name)
         if fn is None:
             continue
-        # Per-query warm-up run (codegen compile, Python-worker fork,
-        # parquet footer/file-index caches), then a timed fresh-plan
-        # run. Sub-second queries get two MORE timed runs and report
-        # the median — there the ~0.1 s box-load jitter dominates the
-        # signal (the r3→r4 "drift" diagnosis) — while slow queries
-        # report the single run (jitter is relatively negligible and
-        # re-running them would triple bench wall-clock for nothing).
-        # The timed span includes plan CONSTRUCTION — iterative
-        # operators execute driver-side loops there, and excluding
-        # that would under-report them.
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        first = time.perf_counter() - t0
-        if first < 1.0:
-            runs = [first]
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-            dt = sorted(runs)[1]
-        else:
-            dt = first
-        timings[name] = round(dt, 3)
-        total += dt
+        dt = _timed(fn, spark, sf_dir)
+        sink[name] = round(dt, 3)
+        if sink is timings:
+            total += dt
+        n_done += 1
         # Block-manager hygiene: checkpoint-heavy queries leave
         # localCheckpoint RDD blocks behind until the driver GCs the
         # py4j handles and ContextCleaner reaps them — left alone, the
@@ -320,7 +348,7 @@ def main() -> None:
         # session). Forcing a driver+JVM GC every 20 queries keeps the
         # session young without changing what is measured (the GC runs
         # OUTSIDE the timed spans).
-        if len(timings) % 20 == 0:
+        if n_done % 20 == 0:
             import gc
 
             gc.collect()
@@ -337,6 +365,7 @@ def main() -> None:
         "build": round(build_total, 2),
         "amortized": round(total - build_total, 2),
     }
+    annex_total = round(sum(annex.values()), 2)
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
@@ -348,6 +377,12 @@ def main() -> None:
                 "n_queries": len(timings),
                 "tiers": tiers,
                 "queries": timings,
+                # the rotating non-headline annex: separate dict, never
+                # part of the headline total, so round-over-round
+                # headline continuity is undisturbed
+                "annex_wall_sec": annex_total,
+                "n_annex": len(annex),
+                "annex": annex,
             },
             fh,
             indent=1,
@@ -365,6 +400,8 @@ def main() -> None:
                 "sf": _sf_of(sf_dir),
                 "n_queries": len(timings),
                 "tiers": tiers,
+                "annex_wall_sec": annex_total,
+                "n_annex": len(annex),
                 "detail": "BENCH_DETAIL.json",
                 "queries": {k: round(v, 2) for k, v in slowest.items()},
             },

@@ -63,6 +63,46 @@ def _sweep_stale_location(spark: SparkSession, table: str) -> None:
         fs.delete(path, True)
 
 
+# The arc/edges tables carry an explicit src-derived partition column
+# on TOP of the src bucketing: pb = pmod(hash(src), EDGE_PB_PARTS).
+# Bucketing gives the zero-exchange join/aggregate contract; the pb
+# partition DIRECTORIES give addressable units of maintenance — an
+# append records which pb values its srcs touch, and the renormalize
+# step can then rewrite ONLY those edges partitions (dynamic partition
+# overwrite) instead of the whole table. EDGE_PB_PARTS is a multiple of
+# the bucket count, so each partition directory holds exactly one
+# non-empty bucket file (hash(src) % 64 = pb fixes hash(src) % 16) —
+# file count stays EDGE_PB_PARTS, not EDGE_PB_PARTS × buckets.
+EDGE_PB_PARTS = 64
+
+
+def _pb(col: str = "src") -> Column:
+    return F.pmod(F.hash(col), F.lit(EDGE_PB_PARTS))
+
+
+def _write_pb_bucketed(
+    df: DataFrame, table: str, n_buckets: int, mode: str = "overwrite"
+) -> None:
+    """pb-partitioned + src-bucketed writer for the co-purchase arc and
+    edges tables (adds ``pb`` if absent). The scan of such a table
+    still reports HashPartitioning(src) — bucket files with the same id
+    merge across partition directories — so every zero-exchange plan
+    contract is unchanged; partition pruning on ``pb`` is gained."""
+    if "pb" not in df.columns:
+        df = df.withColumn("pb", _pb("src"))
+    cols = [c for c in df.columns if c != "pb"] + ["pb"]
+    (
+        df.select(*cols)
+        .repartition(n_buckets, F.col("src"))
+        .write.mode(mode)
+        .partitionBy("pb")
+        .bucketBy(n_buckets, "src")
+        .sortBy("src")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def copurchase_edge_table(
     spark: SparkSession, sf_dir: str, n_buckets: int = 16
 ) -> DataFrame:
@@ -70,10 +110,11 @@ def copurchase_edge_table(
     table: both directed arcs of every unordered part pair sharing an
     order, weight = co-occurrence count, out-weight pre-joined —
     exactly the ``edge_norm`` frame every iterative graph operator
-    builds internally, paid once instead of per query."""
+    builds internally, paid once instead of per query. pb-partitioned +
+    src-bucketed (see EDGE_PB_PARTS) so post-burst maintenance can
+    rewrite only the touched partitions."""
     from is3107datapipelineproject_spark.operators.graph import undirected_to_directed
     from is3107datapipelineproject_spark.operators.pair_counts import pair_counts
-    from is3107datapipelineproject_spark.plans.layout import write_bucketed
 
     table = f"copurchase_edges_{_tag(sf_dir)}"
     if not spark.catalog.tableExists(table):
@@ -83,25 +124,31 @@ def copurchase_edge_table(
         edges = undirected_to_directed(pairs, "member1", "member2", "cnt")
         outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
         edge_norm = edges.join(outw, "src").select("src", "dst", "w", "ow")
-        write_bucketed(edge_norm, table, "src", n_buckets=n_buckets)
+        _write_pb_bucketed(edge_norm, table, n_buckets)
     return spark.table(table)
 
 
 def _refresh_edges_from_arcs(
     spark: SparkSession, arc_table: str, edges_table: str, n_buckets: int = 16
 ) -> None:
-    """Stage-and-swap rebuild of a pre-normalized edges table from the
-    (compacted) arc table — shared core of renormalize_edge_table and
-    the auto-refresh hook in edge_table_append's compaction trigger."""
-    from is3107datapipelineproject_spark.plans.layout import write_bucketed
-
+    """FULL stage-and-swap rebuild of a pre-normalized edges table from
+    the (compacted) arc table — shared core of renormalize_edge_table
+    and the auto-refresh hook in edge_table_append's compaction trigger
+    (which prefers the touched-partition incremental path when the
+    append log makes it possible). Clears the touched-pb log: a full
+    refresh covers everything the log remembers."""
     staged = f"{edges_table}__renorm"
     spark.sql(f"DROP TABLE IF EXISTS {staged}")
     _sweep_stale_location(spark, staged)
-    write_bucketed(merged_edge_norm(spark, arc_table), staged, "src", n_buckets=n_buckets)
+    _write_pb_bucketed(merged_edge_norm(spark, arc_table), staged, n_buckets)
     spark.sql(f"DROP TABLE IF EXISTS {edges_table}")
     _sweep_stale_location(spark, edges_table)
     spark.sql(f"ALTER TABLE {staged} RENAME TO {edges_table}")
+    # renaming a PARTITIONED managed table keeps each partition's
+    # ABSOLUTE location pointing at the old path — repair or the
+    # renamed table reads empty
+    spark.sql(f"MSCK REPAIR TABLE {edges_table} SYNC PARTITIONS")
+    _clear_touched_log(spark, arc_table)
 
 
 def renormalize_edge_table(
@@ -124,6 +171,98 @@ def renormalize_edge_table(
     table = f"copurchase_edges_{_tag(sf_dir)}"
     _refresh_edges_from_arcs(spark, arc_table, table, n_buckets=n_buckets)
     return table
+
+
+def _touched_log_table(arc_table: str) -> str:
+    return f"{arc_table}_touched"
+
+
+def _record_touched(spark: SparkSession, arc_table: str, arcs: DataFrame) -> None:
+    """Append the DISTINCT pb values an arc batch touches to the arc
+    table's touched-pb log (≤ EDGE_PB_PARTS tiny rows per append). The
+    log is what makes renormalization cost proportional to the BURST,
+    not the table: srcs absent from every appended batch have unchanged
+    arc rows AND unchanged out-weights (both are per-src aggregates,
+    and every arc of src s lives in partition pb(s)), so their edges
+    partitions need no rewrite."""
+    touched = arcs.select(_pb("src").alias("pb")).distinct()
+    log = _touched_log_table(arc_table)
+    if not spark.catalog.tableExists(log):
+        _sweep_stale_location(spark, log)
+    touched.coalesce(1).write.mode("append").format("parquet").saveAsTable(log)
+
+
+def _clear_touched_log(spark: SparkSession, arc_table: str) -> None:
+    log = _touched_log_table(arc_table)
+    if spark.catalog.tableExists(log):
+        spark.createDataFrame([], "pb int").write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(log)
+
+
+def renormalize_edge_table_incremental(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 16
+) -> tuple[int, int]:
+    """Touched-partition renormalization (round-8 verdict item 5): the
+    full refresh costs the whole-table aggregate + rewrite after every
+    compaction (145 s at ×100) even when a burst touched a minority of
+    src keys. This rewrites ONLY the edges partitions whose pb values
+    appear in the touched-pb log accumulated by ``edge_table_append``:
+
+    - the arc read partition-prunes to the touched pbs (planning-time
+      PartitionFilters — cost ∝ touched data, not table size);
+    - per-(src,dst) merge + out-weight recompute stay exchange-free on
+      the pruned bucketed scan (HashPartitioning(src) survives the
+      partition filter);
+    - the write is a dynamic partition OVERWRITE of just those pb
+      directories (Spark stages new files and swaps at job commit).
+
+    Self-contained per partition BY CONSTRUCTION: all arcs of src s
+    live in pb(s), and ow(s) is a per-src sum, so a partition's fresh
+    contents derive from that partition's arcs alone. Contents are
+    bit-identical to a full refresh (asserted in tests). The log is
+    cleared AFTER the overwrite commits — a crash between the two
+    merely redoes idempotent partition rewrites on the next call; a
+    crash mid-job discards the staged files and leaves the old
+    partitions (the edges table is derived state — a full refresh
+    rebuilds it from the arcs if it is ever suspect). Falls back to a
+    FULL refresh when the edges twin or the log is missing. Returns
+    ``(partitions_rewritten, EDGE_PB_PARTS)``."""
+    arc_table = edge_append_tables(spark, sf_dir, n_buckets=n_buckets)
+    edges = f"copurchase_edges_{_tag(sf_dir)}"
+    return _renorm_incremental_tables(spark, arc_table, edges, n_buckets)
+
+
+def _renorm_incremental_tables(
+    spark: SparkSession, arc_table: str, edges: str, n_buckets: int
+) -> tuple[int, int]:
+    log = _touched_log_table(arc_table)
+    if not spark.catalog.tableExists(edges) or not spark.catalog.tableExists(log):
+        _refresh_edges_from_arcs(spark, arc_table, edges, n_buckets=n_buckets)
+        return EDGE_PB_PARTS, EDGE_PB_PARTS  # full refresh fallback
+    pbs = sorted(r.pb for r in spark.table(log).distinct().collect())
+    if not pbs:
+        return 0, EDGE_PB_PARTS
+    arcs = spark.table(arc_table).filter(F.col("pb").isin(pbs))
+    merged = arcs.groupBy("src", "dst").agg(F.sum("w").cast("long").alias("w"))
+    outw = merged.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    fresh = (
+        merged.join(outw.hint("shuffle_hash"), "src")
+        .select("src", "dst", "w", "ow")
+        .withColumn("pb", _pb("src"))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            fresh.repartition(n_buckets, F.col("src"))
+            .write.mode("overwrite")
+            .insertInto(edges)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    _clear_touched_log(spark, arc_table)
+    return len(pbs), EDGE_PB_PARTS
 
 
 def copurchase_edge_arcs(li: DataFrame) -> DataFrame:
@@ -179,6 +318,7 @@ def _recover_crashed_compaction(spark: SparkSession, table: str) -> bool:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         _sweep_stale_location(spark, table)
         spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+        spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
     elif not spark.catalog.tableExists(table):
         return False  # meta is stale but nothing survives — rebuild
     # else: crash between the RENAME and the marker rewrite — the table
@@ -223,10 +363,8 @@ def edge_append_tables(
             _sweep_stale_location(spark, t)
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
         arriving = F.col("l_orderkey") % EDGE_APPEND_MOD == EDGE_APPEND_REM
-        from is3107datapipelineproject_spark.plans.layout import write_bucketed
-
-        write_bucketed(
-            copurchase_edge_arcs(li.filter(~arriving)), table, "src", n_buckets=n_buckets
+        _write_pb_bucketed(
+            copurchase_edge_arcs(li.filter(~arriving)), table, n_buckets
         )
         # compaction policy OFF for the build's own append: this surface
         # EXISTS to exercise the merge-on-read state (its consumers'
@@ -240,6 +378,11 @@ def edge_append_tables(
         )
         spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
         record_arc_compact_meta(spark, table)
+        # the built state (base + demo append = the FULL corpus) is the
+        # canonical baseline a scratch copurchase_edge_table build also
+        # produces, so the demo append's touched rows are not "dirt" —
+        # clear them or the first incremental renorm rewrites everything
+        _clear_touched_log(spark, table)
     return table
 
 
@@ -278,7 +421,7 @@ def edge_table_append(
     table: str,
     new_lineitem: DataFrame,
     n_buckets: int = 16,
-    compact_max_files: int | None = 64,
+    compact_max_files: int | None = 160,
     compact_delta_frac: float | None = 0.2,
 ) -> None:
     """Incremental edge-table maintenance: compute the ARRIVING orders'
@@ -309,18 +452,25 @@ def edge_table_append(
     - SMALL-FILES hygiene: layout.py::should_compact (file count >
       ``compact_max_files`` AND small mean size) for the many-tiny-
       appends regime, and the fallback when no meta baseline exists.
+      The default threshold accounts for the pb layout's file-count
+      FLOOR: a fully-compacted table already holds one bucket file per
+      non-empty pb directory (≤ EDGE_PB_PARTS), so the trigger level is
+      floor + a burst's worth, not the raw bucket count.
 
     Pass None for either to opt out (e.g. when an orchestrator owns
     the compaction schedule, or for demo surfaces that must preserve
     the merge-on-read state)."""
-    arcs = copurchase_edge_arcs(new_lineitem.select("l_orderkey", "l_partkey"))
-    (
-        arcs.repartition(n_buckets, F.col("src"))
-        .write.mode("append")
-        .bucketBy(n_buckets, "src")
-        .sortBy("src")
-        .format("parquet")
-        .saveAsTable(table)
+    batch = new_lineitem.select("l_orderkey", "l_partkey")
+    arcs = copurchase_edge_arcs(batch)
+    _write_pb_bucketed(arcs, table, n_buckets, mode="append")
+    # ≤ EDGE_PB_PARTS tiny rows: which partitions this burst dirtied —
+    # the input renormalize_edge_table_incremental prunes by. Derived
+    # from the batch's part keys (no second pair-gen pass): every src
+    # an arc can have IS a part of the batch; a single-part order's
+    # part yields no arcs, so its pb row only costs an idempotent
+    # partition rewrite.
+    _record_touched(
+        spark, table, batch.select(F.col("l_partkey").alias("src"))
     )
     if compact_max_files is None and compact_delta_frac is None:
         return
@@ -346,10 +496,13 @@ def edge_table_append(
         # the from-edges consumers return to their amortized cost without a
         # separate scheduler step (the ×100 loop: merge-on-read 173 s →
         # compact alone 144 s → refreshed from-edges 34 s). Name-derived
-        # twin: only fires for the copurchase arc/edges convention.
+        # twin: only fires for the copurchase arc/edges convention. The
+        # refresh is the TOUCHED-PARTITION incremental path (round-8
+        # verdict item 5) — cost ∝ the burst's pb footprint, falling back
+        # to a full rebuild when no touched log exists.
         twin = table.replace("copurchase_arcs", "copurchase_edges")
         if twin != table and spark.catalog.tableExists(twin):
-            _refresh_edges_from_arcs(spark, table, twin, n_buckets=n_buckets)
+            _renorm_incremental_tables(spark, table, twin, n_buckets)
 
 
 def compact_arc_table(
@@ -370,7 +523,6 @@ def compact_arc_table(
     from is3107datapipelineproject_spark.plans.layout import (
         _data_files,
         _table_location,
-        write_bucketed,
     )
 
     loc = _table_location(spark, table)
@@ -390,7 +542,7 @@ def compact_arc_table(
     staged = f"{table}__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {staged}")
     _sweep_stale_location(spark, staged)
-    write_bucketed(merged, staged, "src", n_buckets=n_buckets)
+    _write_pb_bucketed(merged, staged, n_buckets)
     # The swap is not crash-atomic: if it dies between DROP and RENAME the
     # table is missing while the *_ready marker would still latch it as
     # complete for the rest of the session. Drop the marker FIRST and
@@ -406,6 +558,10 @@ def compact_arc_table(
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     _sweep_stale_location(spark, table)
     spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+    # renaming a PARTITIONED managed table keeps each partition's
+    # ABSOLUTE location pointing at the old path — repair or the
+    # renamed table reads empty
+    spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
     # Marker FIRST, meta second: once the swap succeeded the table is
     # fully healthy, so re-latch it before any non-essential write — a
     # failure in the meta write must not leave a healthy compacted table

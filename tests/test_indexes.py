@@ -527,9 +527,10 @@ def test_append_burst_self_triggers_arc_compaction(spark):
     from is3107datapipelineproject_spark.plans.layout import (
         _table_location,
         should_compact,
-        write_bucketed,
     )
     from is3107datapipelineproject_spark.plans.indexes import (
+        EDGE_PB_PARTS,
+        _write_pb_bucketed,
         copurchase_edge_arcs,
         edge_table_append,
         merged_edge_norm,
@@ -540,23 +541,25 @@ def test_append_burst_self_triggers_arc_compaction(spark):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
     base = li.filter(F.col("l_orderkey") % 4 == 0)
-    write_bucketed(copurchase_edge_arcs(base), table, "src", n_buckets=8)
+    _write_pb_bucketed(copurchase_edge_arcs(base), table, 8)
     loc = _table_location(spark, table)
 
-    # burst: 3 appends at a threshold the 2nd crosses; each append adds
-    # up to 8 bucket files on top of the base 8
+    # burst: 3 appends at a threshold above the pb layout's file floor
+    # (one bucket file per non-empty pb dir, <= EDGE_PB_PARTS) that the
+    # appends cross; each append adds up to EDGE_PB_PARTS files
+    cap = EDGE_PB_PARTS + 36
     for rem in (1, 2, 3):
         edge_table_append(
             spark, table, li.filter(F.col("l_orderkey") % 4 == rem),
-            n_buckets=8, compact_max_files=12,
+            n_buckets=8, compact_max_files=cap,
         )
-    # the policy must have fired: a no-policy burst would sit at ~32
-    # files of partials, above the threshold
-    assert not should_compact(spark, loc, max_files=12)
+    # the policy must have fired: a no-policy burst would sit at ~4x
+    # EDGE_PB_PARTS files of partials, above the threshold
+    assert not should_compact(spark, loc, max_files=cap)
     from is3107datapipelineproject_spark.plans.layout import layout_stats
 
     n_files, _ = layout_stats(spark, loc)
-    assert n_files <= 12 + 8, f"compaction never fired: {n_files} files"
+    assert n_files <= cap + EDGE_PB_PARTS, f"compaction never fired: {n_files} files"
 
     # amortized shape + exactness restored: merged view == full rebuild,
     # rows re-summed (no per-batch partials left), plan zero-exchange
@@ -583,12 +586,12 @@ def test_growth_policy_triggers_arc_compaction(spark):
     merge-on-read regime (45s -> 175s after a ~20% burst of big files)
     that a small-files heuristic can never see."""
     from is3107datapipelineproject_spark.plans.indexes import (
+        _write_pb_bucketed,
         arc_compacted_bytes,
         copurchase_edge_arcs,
         edge_table_append,
         record_arc_compact_meta,
     )
-    from is3107datapipelineproject_spark.plans.layout import write_bucketed
     from is3107datapipelineproject_spark.sources.tables import load_table
 
     table = "arc_growth_policy_test"
@@ -596,7 +599,7 @@ def test_growth_policy_triggers_arc_compaction(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
     base = li.filter(F.col("l_orderkey") % 2 == 0)
-    write_bucketed(copurchase_edge_arcs(base), table, "src", n_buckets=8)
+    _write_pb_bucketed(copurchase_edge_arcs(base), table, 8)
     record_arc_compact_meta(spark, table)
     base_bytes = arc_compacted_bytes(spark, table)
     assert base_bytes and base_bytes > 0
@@ -705,63 +708,89 @@ def test_ann_append_small_files_policy_triggers_compaction(spark):
     assert after == before
 
 
-def test_growth_trigger_refreshes_edges_twin(spark):
-    """Full maintenance loop, automatic: when the growth policy fires
-    compact_arc_table on a copurchase arc table whose pre-normalized
-    edges twin is materialized, the twin must be refreshed from the
-    compacted arcs in the same trigger — the from-edges consumers see
-    the appended orders without any scheduler step."""
+def _edges_files(spark, edges):
+    """{relative_path: (size, mtime)} for the edges table's data files."""
+    from is3107datapipelineproject_spark.plans.layout import (
+        _hadoop_fs,
+        _table_location,
+    )
+
+    loc = _table_location(spark, edges)
+    p, fs = _hadoop_fs(spark, loc)
+    out = {}
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if not name.split("/")[-1].startswith(("_", ".")):
+            out[name[len(str(p)):]] = (st.getLen(), st.getModificationTime())
+    return out
+
+
+def test_growth_trigger_refreshes_edges_twin_incrementally(spark):
+    """Full maintenance loop, automatic AND proportional: when the
+    growth policy fires compact_arc_table on a copurchase arc table
+    whose pre-normalized edges twin is materialized, the twin must be
+    refreshed from the compacted arcs in the same trigger — via the
+    TOUCHED-PARTITION path: contents bit-identical to a full rebuild,
+    but only the pb partitions the burst's part keys hash into are
+    rewritten (untouched partition files byte-identical and untouched
+    on disk)."""
     from is3107datapipelineproject_spark.plans.indexes import (
+        _pb,
         _tag,
         copurchase_edge_arcs,
         copurchase_edge_table,
         edge_append_tables,
         edge_table_append,
-        record_arc_compact_meta,
     )
     from is3107datapipelineproject_spark.sources.tables import load_table
 
     arc = edge_append_tables(spark, SF)
     edges = f"copurchase_edges_{_tag(SF)}"
-    copurchase_edge_table(spark, SF)  # materialize the twin (full corpus)
-    # make the twin stale: rebuild it from HALF the corpus so a refresh
-    # is observable
-    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
-    half = li.filter(F.col("l_orderkey") % 2 == 0)
-    from is3107datapipelineproject_spark.plans.indexes import _refresh_edges_from_arcs
-    from is3107datapipelineproject_spark.plans.layout import write_bucketed
-
     spark.sql(f"DROP TABLE IF EXISTS {edges}")
-    write_bucketed(
-        copurchase_edge_arcs(half)
-        .groupBy("src", "dst").agg(F.sum("w").cast("long").alias("w"))
-        .withColumn("ow", F.lit(0).cast("long")),
-        edges, "src", n_buckets=16,
-    )
-    stale_rows = spark.table(edges).count()
-    # force the growth trigger: tiny baseline, then an append
-    record_arc_compact_meta(spark, arc)
+    copurchase_edge_table(spark, SF)  # twin in sync (scratch == arcs)
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    before_files = _edges_files(spark, edges)
+
+    # force the growth trigger: tiny baseline, then a ONE-ORDER burst
+    # (small pb footprint)
     spark.createDataFrame([(1,)], "bytes bigint").coalesce(1).write.mode(
         "overwrite"
     ).format("parquet").saveAsTable(f"{arc}_compactmeta")
+    one_order = li.orderBy("l_orderkey").limit(1).select("l_orderkey").collect()[0][0]
+    burst = li.filter(F.col("l_orderkey") == one_order)
+    touched_pbs = {r.pb for r in burst.select(_pb("l_partkey").alias("pb")).distinct().collect()}
+    assert 0 < len(touched_pbs) < 32, "burst must touch a minority of partitions"
     edge_table_append(
-        spark, arc, li.filter(F.col("l_orderkey") % 97 == 5),
-        compact_max_files=None, compact_delta_frac=0.2,
+        spark, arc, burst, compact_max_files=None, compact_delta_frac=0.2,
     )
-    # twin refreshed: full-corpus pre-normalized contents, not the stale half
+
+    # twin contents == full rebuild including the double-counted burst
     refreshed = {(r.src, r.dst, r.w, r.ow) for r in spark.table(edges).collect()}
-    full_arcs = copurchase_edge_arcs(li).unionByName(
-        copurchase_edge_arcs(li.filter(F.col("l_orderkey") % 97 == 5))
-    )
+    full_arcs = copurchase_edge_arcs(li).unionByName(copurchase_edge_arcs(burst))
     merged = full_arcs.groupBy("src", "dst").agg(F.sum("w").cast("long").alias("w"))
     ow = merged.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
     want = {
         (r.src, r.dst, r.w, r.ow)
         for r in merged.join(ow, "src").select("src", "dst", "w", "ow").collect()
     }
-    assert refreshed == want and len(refreshed) != stale_rows
+    assert refreshed == want
+    # proportionality: untouched pb partitions were not rewritten
+    after_files = _edges_files(spark, edges)
+    untouched_before = {
+        k: v for k, v in before_files.items()
+        if not any(f"pb={pb}/" in k for pb in touched_pbs)
+    }
+    untouched_after = {
+        k: v for k, v in after_files.items()
+        if not any(f"pb={pb}/" in k for pb in touched_pbs)
+    }
+    assert untouched_before == untouched_after, "untouched partitions were rewritten"
+    assert any(f"pb={pb}/" in k for pb in touched_pbs for k in after_files), \
+        "touched partitions missing"
     # restore the canonical artifacts for other tests: rebuild arc + edges
-    for t in (arc, f"{arc}_ready", f"{arc}_compactmeta", edges):
+    for t in (arc, f"{arc}_ready", f"{arc}_compactmeta", f"{arc}_touched", edges):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -779,11 +808,11 @@ def test_crashed_compaction_recovery_all_windows(spark):
     Simulates all three gap states; in each, the recovered table must
     still contain the production append a rebuild would lose."""
     from is3107datapipelineproject_spark.plans.indexes import (
+        _write_pb_bucketed,
         compact_arc_table,
         edge_append_tables,
         edge_table_append,
     )
-    from is3107datapipelineproject_spark.plans.layout import write_bucketed
     from is3107datapipelineproject_spark.sources.tables import load_table
 
     table = edge_append_tables(spark, SF)
@@ -808,14 +837,14 @@ def test_crashed_compaction_recovery_all_windows(spark):
         .agg(F.sum("w").cast("long").alias("w"))
     )
     spark.sql(f"DROP TABLE IF EXISTS {staged}")
-    write_bucketed(merged, staged, "src", n_buckets=16)
+    _write_pb_bucketed(merged, staged, 16)
     spark.sql(f"DROP TABLE {marker}")
     edge_append_tables(spark, SF)
     assert not spark.catalog.tableExists(staged), "swap must be finished"
     assert _arc_snapshot(spark, table) == want
 
     # window 2: staged written, original already dropped
-    write_bucketed(spark.table(table), staged, "src", n_buckets=16)
+    _write_pb_bucketed(spark.table(table).drop("pb"), staged, 16)
     spark.sql(f"DROP TABLE {marker}")
     spark.sql(f"DROP TABLE {table}")
     edge_append_tables(spark, SF)
@@ -829,3 +858,48 @@ def test_crashed_compaction_recovery_all_windows(spark):
     base = _arc_snapshot(spark, rebuilt)
     assert base != want, "rebuild regenerates base+demo only (append absent)"
     # leave canonical state for other tests (fresh build is canonical)
+
+
+def test_incremental_renormalize_bit_identical_to_full(spark):
+    """renormalize_edge_table_incremental == the full refresh,
+    bit-for-bit, after a multi-append burst (the touched log
+    accumulates across appends); a second call with a clean log is a
+    no-op (0 partitions rewritten)."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        EDGE_PB_PARTS,
+        _tag,
+        copurchase_edge_table,
+        edge_append_tables,
+        edge_table_append,
+        merged_edge_norm,
+        renormalize_edge_table_incremental,
+    )
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    arc = edge_append_tables(spark, SF)
+    edges = f"copurchase_edges_{_tag(SF)}"
+    spark.sql(f"DROP TABLE IF EXISTS {edges}")
+    copurchase_edge_table(spark, SF)
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    # two appends, compaction off (isolate the renorm step)
+    for rem in (3, 7):
+        edge_table_append(
+            spark, arc, li.filter(F.col("l_orderkey") % 13 == rem),
+            compact_max_files=None, compact_delta_frac=None,
+        )
+    touched, total = renormalize_edge_table_incremental(spark, SF)
+    assert 0 < touched <= total == EDGE_PB_PARTS
+    got = {(r.src, r.dst, r.w, r.ow) for r in spark.table(edges).collect()}
+    want = {
+        (r.src, r.dst, r.w, r.ow)
+        for r in merged_edge_norm(spark, arc).collect()
+    }
+    assert got == want and len(got) > 0
+    # log cleared -> idempotent no-op
+    assert renormalize_edge_table_incremental(spark, SF)[0] == 0
+    # zero-exchange consumer contract intact on the refreshed table
+    plan = _plan(spark.table(edges).groupBy("src").agg(F.sum("w").alias("s")))
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan
+    for t in (arc, f"{arc}_ready", f"{arc}_compactmeta", f"{arc}_touched", edges):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
