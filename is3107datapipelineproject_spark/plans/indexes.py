@@ -287,7 +287,9 @@ EDGE_APPEND_MOD = 7
 EDGE_APPEND_REM = 3
 
 
-def _recover_crashed_compaction(spark: SparkSession, table: str) -> bool:
+def _recover_crashed_compaction(
+    spark: SparkSession, table: str, n_buckets: int = 16
+) -> bool:
     """Distinguish a crashed COMPACTION from a crashed initial BUILD
     when the ``*_ready`` marker is missing, and recover the former
     instead of dropping production-appended arcs.
@@ -295,8 +297,8 @@ def _recover_crashed_compaction(spark: SparkSession, table: str) -> bool:
     compact_arc_table's swap ordering is: staged merge written →
     marker DROP → table DROP → RENAME staged→table → marker rewrite.
     A crash inside that window leaves the marker missing while a
-    COMPLETE copy of the arcs survives — either the original ``table``,
-    the fully-written ``<table>__compacting`` merge, or both. The old
+    COMPLETE copy of the arcs survives — the original ``table``, the
+    fully-written ``<table>__compacting`` merge, or both. The old
     rebuild path treated every missing marker as a half-built initial
     build and DROPped whatever existed, rebuilding from the BASE corpus
     — silently discarding every arc appended since (the round-9 ADVICE
@@ -307,22 +309,77 @@ def _recover_crashed_compaction(spark: SparkSession, table: str) -> bool:
     DURING the staged write leaves the marker intact, so a surviving
     staged table on this path is always complete.)
 
+    When BOTH survive, neither side automatically wins — an append may
+    have landed while the table was unlatched (edge_table_append does
+    not consult the marker):
+
+    - ``table`` is the pre-crash original (⊇ the staged snapshot,
+      possibly plus post-crash appends) — keep it, discard staged
+      (loses only the crashed compaction's WORK, which the growth
+      policy redoes); or
+    - window 2's sharp edge: the crash already DROPped the original,
+      and a post-crash append re-CREATED ``table`` holding ONLY that
+      burst — then ``staged`` is the corpus and dropping either side
+      silently loses data: the recovery is their UNION (raw arcs are
+      ADDITIVE, so a row-level union is exactly base-corpus + burst).
+
+    Arc additivity also gives the discriminator: a complete table's
+    total weight is ≥ the staged snapshot's (compaction preserves
+    Σw; appends only add), so Σw(table) < Σw(staged) PROVES ``table``
+    is a post-crash burst-only remnant. The union is staged to a
+    ``__recovering`` sibling before anything is dropped (the standing
+    stage-and-swap rule), and branch order prefers ``__recovering``
+    over ``__compacting`` on re-entry — it is only ever written as a
+    superset of staged.
+
     Returns True if a complete state was recovered and re-latched."""
     if not spark.catalog.tableExists(_arc_meta_table(table)):
         return False  # never completed a build — rebuild is correct
     staged = f"{table}__compacting"
+    recovering = f"{table}__recovering"
     marker = f"{table}_ready"
-    if spark.catalog.tableExists(staged):
-        # crash between marker DROP and the RENAME: the staged merge is
-        # the complete, most-compacted copy — finish the swap.
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def _drop(t: str) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _sweep_stale_location(spark, t)
+
+    def _swap_in(src_table: str) -> None:
         _sweep_stale_location(spark, table)
-        spark.sql(f"ALTER TABLE {staged} RENAME TO {table}")
+        spark.sql(f"ALTER TABLE {src_table} RENAME TO {table}")
         spark.sql(f"MSCK REPAIR TABLE {table} SYNC PARTITIONS")
-    elif not spark.catalog.tableExists(table):
+
+    def _total_w(t: str) -> int:
+        row = spark.table(t).agg(F.sum("w")).first()
+        return int(row[0] or 0)
+
+    if spark.catalog.tableExists(table) and spark.catalog.tableExists(staged):
+        if _total_w(table) >= _total_w(staged):
+            _drop(recovering)
+            _drop(staged)
+        else:
+            # burst-only remnant + corpus snapshot → union both
+            union = (
+                spark.table(staged)
+                .select("src", "dst", "w")
+                .unionByName(spark.table(table).select("src", "dst", "w"))
+            )
+            _drop(recovering)
+            _write_pb_bucketed(union, recovering, n_buckets)
+            _drop(table)
+            _swap_in(recovering)
+            _drop(staged)
+    elif spark.catalog.tableExists(table):
+        _drop(recovering)  # stale leftover of an earlier recovery
+    elif spark.catalog.tableExists(recovering):
+        # crashed union recovery: __recovering is complete and ⊇ staged
+        _swap_in(recovering)
+        _drop(staged)
+    elif spark.catalog.tableExists(staged):
+        # crash between the table DROP and the RENAME, no append since:
+        # the staged merge is the complete copy — finish the swap.
+        _swap_in(staged)
+    else:
         return False  # meta is stale but nothing survives — rebuild
-    # else: crash between the RENAME and the marker rewrite — the table
-    # itself is the complete compacted copy; just re-latch.
     spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
     record_arc_compact_meta(spark, table)  # fresh growth-policy baseline
     return True
@@ -356,9 +413,9 @@ def edge_append_tables(
     table = f"copurchase_arcs_{_tag(sf_dir)}"
     marker = f"{table}_ready"
     if not spark.catalog.tableExists(marker):
-        if _recover_crashed_compaction(spark, table):
+        if _recover_crashed_compaction(spark, table, n_buckets=n_buckets):
             return table
-        for t in (table, marker, f"{table}__compacting"):
+        for t in (table, marker, f"{table}__compacting", f"{table}__recovering"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")  # clear a half-built prior attempt
             _sweep_stale_location(spark, t)
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -460,18 +517,25 @@ def edge_table_append(
     Pass None for either to opt out (e.g. when an orchestrator owns
     the compaction schedule, or for demo surfaces that must preserve
     the merge-on-read state)."""
-    batch = new_lineitem.select("l_orderkey", "l_partkey")
-    arcs = copurchase_edge_arcs(batch)
-    _write_pb_bucketed(arcs, table, n_buckets, mode="append")
-    # ≤ EDGE_PB_PARTS tiny rows: which partitions this burst dirtied —
-    # the input renormalize_edge_table_incremental prunes by. Derived
-    # from the batch's part keys (no second pair-gen pass): every src
-    # an arc can have IS a part of the batch; a single-part order's
-    # part yields no arcs, so its pb row only costs an idempotent
-    # partition rewrite.
+    # Materialize the batch ONCE (batch-sized, the small-frame side of
+    # the checkpoint rule): the arc write and the touched-pb log must
+    # see the SAME rows — re-evaluating a nondeterministic source
+    # (sample(), changing files) between the two jobs could dirty a
+    # partition the log never hears about, leaving its edges stale with
+    # no error.
+    batch = new_lineitem.select("l_orderkey", "l_partkey").localCheckpoint(eager=True)
+    # Log touched pbs BEFORE appending the arcs: a crash between the
+    # two jobs must err toward an extra logged pb (an idempotent
+    # partition rewrite) — the reverse order would commit arcs whose
+    # partitions the renormalizer then never rewrites (silent stale
+    # edges forever). ≤ EDGE_PB_PARTS tiny rows, derived from the
+    # batch's part keys (no second pair-gen pass): every src an arc can
+    # have IS a part of the batch; a single-part order's part yields no
+    # arcs, so its pb row only costs an idempotent rewrite.
     _record_touched(
         spark, table, batch.select(F.col("l_partkey").alias("src"))
     )
+    _write_pb_bucketed(copurchase_edge_arcs(batch), table, n_buckets, mode="append")
     if compact_max_files is None and compact_delta_frac is None:
         return
     from is3107datapipelineproject_spark.plans.layout import (

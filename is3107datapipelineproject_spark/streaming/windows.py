@@ -610,6 +610,7 @@ def prefix_ingest_sink(
 
 def edit_ingest_sink(
     titles_dir: str,
+    keys_dir: str,
     pairs_dir: str,
     id_col: str = "doc_id",
     title_col: str = "title",
@@ -623,38 +624,49 @@ def edit_ingest_sink(
     entry points. Per micro-batch of arriving documents,
 
     1. collapses the batch to its DISTINCT titles ``(tid = min id, tt,
-       grp)`` — the persistable unit of the edit tier (the analogue of
-       the prefix tier's posting frame); the blocking keys
+       grp)`` and builds their blocking-key postings ONCE
        (operators/dedup.py::_edit_index_keys — PassJoin chunk keys for
-       long titles, symmetric-deletion keys for short) are a pure
-       function of the title, so like the fixed token order they never
-       drift as the corpus grows;
-    2. probes the PERSISTED per-batch distinct-title corpus at
-       ``titles_dir`` with the batch's (broadcast) probe keys, verifies
-       candidates with the exact ``levenshtein`` builtin, then
-       RE-COLLAPSES matches per (new doc, old title) across batches:
-       ``old_id`` = the global min id, ``n_old`` = the summed group
-       size — bit-identical to the batch operator
-       (operators/dedup.py::incremental_edit_neardup) run with all
-       earlier batches as corpus (asserted in tests), because batch-
-       local representatives re-minimized across batches ARE the global
-       representatives;
+       long titles, symmetric-deletion keys for short); both are
+       PERSISTED per batch (``titles_dir`` / ``keys_dir``), and the
+       keys are a pure function of the title, so like the prefix
+       tier's fixed token order they never drift — the corpus is never
+       re-keyed, the per-batch cost is the BATCH's key build plus the
+       candidate join, exactly the prefix sink's cost shape;
+    2. joins the persisted corpus postings against the batch's
+       (broadcast) probe keys, verifies candidates with the exact
+       ``levenshtein`` builtin, then RE-COLLAPSES matches per (new doc,
+       old title) across batches: ``old_id`` = the global min id,
+       ``n_old`` = the summed group size — bit-identical to the batch
+       operator (operators/dedup.py::incremental_edit_neardup) run
+       with all earlier batches as corpus (asserted in tests), because
+       batch-local representatives re-minimized across batches ARE the
+       global representatives;
     3. appends surviving ``(new_id, old_id, lev, n_old)`` pairs
        (``lev = 0`` membership rows included) to ``pairs_dir``;
-    4. appends the batch's distinct-title frame, so the NEXT batch sees
-       this one as corpus.
+    4. appends the batch's titles + keys, so the NEXT batch sees this
+       one as corpus.
+
+    The hot-key guard is scoped to the keys THIS batch actually probes
+    (a broadcast join + an aggregate over the matched rows — never a
+    corpus-wide shuffle per trigger) and counts DISTINCT old titles per
+    key, so a boilerplate title recurring in thousands of batches does
+    not inflate the count past the cap (its cross-batch rows all carry
+    one title). Those duplicate per-batch rows DO cost candidate-join
+    width over time; reclaim them between triggers with
+    :func:`edit_compact_state`, which collapses the titles to global
+    representatives and rebuilds the postings — merge-on-read pair
+    results are identical before and after (asserted in tests).
 
     Same new×old-only contract as the other tiers; within-batch pairs
     are out of scope (run edit_neardup_pairs on the batch if they
     matter). Retry-safe via the ``batch=<id>`` OVERWRITE pattern with
     corpus reads filtered to strictly EARLIER batch ids — a replayed
-    micro-batch rewrites its own titles/pairs and never treats its own
-    partial output as pre-existing corpus."""
+    micro-batch rewrites its own titles/keys/pairs and never treats
+    its own partial output as pre-existing corpus."""
     from pyspark.errors import AnalysisException
 
     from is3107datapipelineproject_spark.operators.dedup import (
         _edit_distinct_titles,
-        _edit_hot_key_guard,
         _edit_index_keys,
         _edit_probe_keys,
     )
@@ -662,11 +674,13 @@ def edit_ingest_sink(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         b = _edit_distinct_titles(batch_df, id_col, title_col).localCheckpoint(eager=True)
+        keys_b = _edit_index_keys(b, "tid").localCheckpoint(eager=True)
         t_new = batch_df.select(
             F.col(id_col).alias("tid"), F.col(title_col).alias("tt")
         ).localCheckpoint(eager=True)
         older = F.col("batch") < batch_id
         try:
+            corpus_keys = spark.read.parquet(keys_dir).filter(older).drop("batch")
             corpus = spark.read.parquet(titles_dir).filter(older).drop("batch")
         except AnalysisException:  # cold start: first batch IS the corpus
             from is3107datapipelineproject_spark.plans.layout import (
@@ -674,24 +688,43 @@ def edit_ingest_sink(
             )
 
             assert_stream_dir_healthy(spark, titles_dir)
+            assert_stream_dir_healthy(spark, keys_dir)
+            corpus_keys = None
             corpus = None
-        if corpus is not None:
-            idx = _edit_index_keys(corpus, "old_id")
-            _edit_hot_key_guard(idx, ["chunk", "clen", "sub"], hot_key_cap, "corpus")
+        if corpus_keys is not None:
             probes = _edit_probe_keys(t_new, "new_id")
-            cand = (
-                idx.join(F.broadcast(probes), ["chunk", "clen", "sub"])
-                .select("new_id", "old_id")
-                .distinct()
-            )
+            # one candidate join feeds BOTH the guard and the verify:
+            # corpus postings never shuffle (broadcast probe side), and
+            # the matched frame is candidate-sized
             to = corpus.select(
                 F.col("tid").alias("old_id"),
                 F.col("tt").alias("__to"),
                 F.col("grp").alias("g"),
             )
+            matched = (
+                corpus_keys.withColumnRenamed("tid", "old_id")
+                .join(F.broadcast(probes), ["chunk", "clen", "sub"])
+                .join(to, "old_id")
+                .localCheckpoint(eager=True)
+            )
+            hot = (
+                matched.groupBy("chunk", "clen", "sub")
+                .agg(F.countDistinct("__to").alias("n"))
+                .filter(F.col("n") > hot_key_cap)
+                .limit(1)
+                .collect()
+            )
+            if hot:
+                raise ValueError(
+                    f"edit_ingest_sink: >{hot_key_cap} distinct corpus titles "
+                    f"share the probed key {hot[0].sub!r} — the candidate join "
+                    "would go quadratic. Strip the shared boilerplate prefix "
+                    "first or raise hot_key_cap deliberately."
+                )
             tn = t_new.select(F.col("tid").alias("new_id"), F.col("tt").alias("__tn"))
             pairs = (
-                cand.join(to, "old_id")
+                matched.select("new_id", "old_id", "__to", "g")
+                .distinct()
                 .join(F.broadcast(tn), "new_id")
                 .withColumn("lev", F.levenshtein("__tn", "__to").cast("int"))
                 .filter(F.col("lev") <= 1)
@@ -706,9 +739,68 @@ def edit_ingest_sink(
                 .select("new_id", "old_id", "lev", "n_old")
             )
             pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={int(batch_id)}")
+        keys_b.write.mode("overwrite").parquet(f"{keys_dir}/batch={int(batch_id)}")
         b.write.mode("overwrite").parquet(f"{titles_dir}/batch={int(batch_id)}")
 
     return apply
+
+
+def edit_compact_state(
+    spark: SparkSession,
+    titles_dir: str,
+    keys_dir: str,
+    checkpoint_dir: str | None = None,
+) -> tuple[int, int]:
+    """Reclaim the edit sink's cross-batch duplicate state: a title
+    ingested in k batches holds k ``(rep, grp)`` rows (and k copies of
+    each blocking key), which the per-batch candidate join pays for on
+    every probe hit. Collapses ``titles_dir`` to GLOBAL representatives
+    (min id, summed group size — plans/layout.py::compact_stream_dir
+    with a groupBy pre-merge, inheriting its commit-log gate and
+    rename-aside crash safety), then rebuilds ``keys_dir`` from the
+    collapsed titles under the same max batch id via its own
+    rename-aside swap (the keys are a pure function of the titles —
+    DERIVED state, rebuildable from titles_dir if a crash is ever
+    suspected). Merge-on-read pair results are identical before and
+    after: the sink's re-collapse min/sum over already-min/summed rows
+    is the same global min/sum (asserted in tests). Quiesced-stream
+    caveat as everywhere. Returns titles_dir ``(files_before,
+    files_after)``."""
+    from is3107datapipelineproject_spark.operators.dedup import _edit_index_keys
+    from is3107datapipelineproject_spark.plans.layout import (
+        _hadoop_fs,
+        compact_stream_dir,
+    )
+
+    def collapse(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("tt")
+            .agg(F.min("tid").alias("tid"), F.sum("grp").cast("long").alias("grp"))
+            .select("tid", "tt", "grp")
+        )
+
+    out = compact_stream_dir(
+        spark, titles_dir, pre_merge=collapse, checkpoint_dir=checkpoint_dir
+    )
+    titles = spark.read.parquet(titles_dir)
+    maxb = titles.agg(F.max("batch")).first()[0]
+    keys = _edit_index_keys(titles.drop("batch"), "tid")
+    tmp = f"{keys_dir}.compact_tmp"
+    p, fs = _hadoop_fs(spark, keys_dir)
+    tp, _ = _hadoop_fs(spark, tmp)
+    if fs.exists(tp):
+        fs.delete(tp, True)
+    keys.write.parquet(f"{tmp}/batch={int(maxb)}")
+    old = f"{keys_dir}.compact_old"
+    op, _ = _hadoop_fs(spark, old)
+    if fs.exists(op):
+        fs.delete(op, True)
+    if not fs.rename(p, op):
+        raise IOError(f"rename {keys_dir} -> {old} failed")
+    if not fs.rename(tp, p):
+        raise IOError(f"rename {tmp} -> {keys_dir} failed")
+    fs.delete(op, True)
+    return out
 
 
 def ann_ingest_sink(

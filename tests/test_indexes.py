@@ -831,7 +831,10 @@ def test_crashed_compaction_recovery_all_windows(spark):
     assert spark.catalog.tableExists(marker), "must re-latch, not rebuild"
     assert _arc_snapshot(spark, table) == want, "rebuild lost the appended arcs"
 
-    # window 1: staged merge written, marker dropped, original intact
+    # window 1: staged merge written, marker dropped, original intact —
+    # PLUS a post-crash append into the unlatched table: recovery must
+    # keep the table (a strict superset of staged) and drop staged, so
+    # the post-crash batch survives too
     merged = (
         spark.table(table).groupBy("src", "dst")
         .agg(F.sum("w").cast("long").alias("w"))
@@ -839,9 +842,16 @@ def test_crashed_compaction_recovery_all_windows(spark):
     spark.sql(f"DROP TABLE IF EXISTS {staged}")
     _write_pb_bucketed(merged, staged, 16)
     spark.sql(f"DROP TABLE {marker}")
+    post_crash = li.filter(F.col("l_orderkey") % 97 == 23)
+    edge_table_append(
+        spark, table, post_crash, compact_max_files=None, compact_delta_frac=None,
+    )
+    want_w1 = _arc_snapshot(spark, table)  # includes the post-crash batch
+    assert want_w1 != want
     edge_append_tables(spark, SF)
-    assert not spark.catalog.tableExists(staged), "swap must be finished"
-    assert _arc_snapshot(spark, table) == want
+    assert not spark.catalog.tableExists(staged), "staged must be discarded"
+    assert _arc_snapshot(spark, table) == want_w1, "post-crash append lost"
+    want = want_w1
 
     # window 2: staged written, original already dropped
     _write_pb_bucketed(spark.table(table).drop("pb"), staged, 16)
@@ -849,6 +859,37 @@ def test_crashed_compaction_recovery_all_windows(spark):
     spark.sql(f"DROP TABLE {table}")
     edge_append_tables(spark, SF)
     assert _arc_snapshot(spark, table) == want
+
+    # window 2 + post-crash append: table dropped mid-swap, then an
+    # append re-CREATES it holding ONLY the burst — Σw(table) < Σw(staged)
+    # proves the remnant shape, and recovery must UNION both sides
+    # (dropping either one silently loses data)
+    _write_pb_bucketed(spark.table(table).drop("pb"), staged, 16)
+    spark.sql(f"DROP TABLE {marker}")
+    spark.sql(f"DROP TABLE {table}")
+    burst = li.filter(F.col("l_orderkey") % 97 == 41)
+    edge_table_append(
+        spark, table, burst, compact_max_files=None, compact_delta_frac=None,
+    )
+    edge_append_tables(spark, SF)
+    got = _arc_snapshot(spark, table)
+    from is3107datapipelineproject_spark.plans.indexes import (
+        copurchase_edge_arcs,
+        merged_edge_norm,
+    )
+
+    # expected: the staged corpus plus the burst arcs, re-normalized
+    prev = {(a, b): w for (a, b, w, _) in want}
+    for r in copurchase_edge_arcs(burst).collect():
+        prev[(r.src, r.dst)] = prev.get((r.src, r.dst), 0) + r.w
+    ow = {}
+    for (a, _), w in prev.items():
+        ow[a] = ow.get(a, 0) + w
+    want_union = {(a, b, w, ow[a]) for (a, b), w in prev.items()}
+    assert got == want_union, "union recovery must keep corpus AND burst"
+    assert not spark.catalog.tableExists(staged)
+    assert not spark.catalog.tableExists(f"{table}__recovering")
+    want = got
 
     # sanity: a REAL half-built initial state (no compactmeta) still
     # takes the rebuild path

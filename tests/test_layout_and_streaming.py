@@ -933,15 +933,20 @@ def test_sinks_fail_loudly_on_orphaned_compaction(spark, tmp_path):
 def test_edit_ingest_sink_matches_batch_incremental(spark, tmp_path):
     """Edit-tier streaming ingest == batch incremental_edit_neardup:
     three title micro-batches through the foreachBatch sink; batch 3's
-    pairs against the PERSISTED per-batch distinct-title corpus must
-    equal the batch operator run with batches 1+2 as corpus — in
-    particular the cross-batch re-collapse: a title present in BOTH
-    earlier batches must come back as ONE row with the global min-id
-    representative and the SUMMED group size."""
+    pairs against the PERSISTED per-batch distinct-title corpus + key
+    postings must equal the batch operator run with batches 1+2 as
+    corpus — in particular the cross-batch re-collapse: a title present
+    in BOTH earlier batches must come back as ONE row with the global
+    min-id representative and the SUMMED group size. Then
+    edit_compact_state collapses the cross-batch duplicate state and
+    the NEXT batch's pairs are unchanged (merge-on-read invariance)."""
     from is3107datapipelineproject_spark.operators.dedup import (
         incremental_edit_neardup,
     )
-    from is3107datapipelineproject_spark.streaming.windows import edit_ingest_sink
+    from is3107datapipelineproject_spark.streaming.windows import (
+        edit_compact_state,
+        edit_ingest_sink,
+    )
 
     boiler = "frequently repeated boilerplate heading"  # 39 chars, long tier
     b1 = [(1, boiler), (2, boiler), (3, "hello worl"), (4, "something else wholly unrelated here")]
@@ -959,6 +964,7 @@ def test_edit_ingest_sink_matches_batch_incremental(spark, tmp_path):
             str(docs_dir / f"f{i}.parquet")
         )
     titles_dir = str(tmp_path / "edit_titles")
+    keys_dir = str(tmp_path / "edit_keys")
     pairs_dir = str(tmp_path / "edit_pairs")
 
     stream = (
@@ -967,7 +973,7 @@ def test_edit_ingest_sink_matches_batch_incremental(spark, tmp_path):
         .parquet(str(docs_dir / "*"))
     )
     q = (
-        stream.writeStream.foreachBatch(edit_ingest_sink(titles_dir, pairs_dir))
+        stream.writeStream.foreachBatch(edit_ingest_sink(titles_dir, keys_dir, pairs_dir))
         .option("checkpointLocation", str(tmp_path / "edit_ckpt"))
         .trigger(availableNow=True)
         .start()
@@ -992,10 +998,11 @@ def test_edit_ingest_sink_matches_batch_incremental(spark, tmp_path):
     assert (31, 1, 0, 3) in got3
     assert (34, 22, 1, 1) in got3  # short tier across batches
 
-    # at-least-once replay of the LAST batch: pairs and titles must be
-    # bit-identical afterwards (overwrite-per-batch contract)
+    # at-least-once replay of the LAST batch: pairs, titles and keys
+    # must be bit-identical afterwards (overwrite-per-batch contract)
     n_titles = spark.read.parquet(titles_dir).count()
-    edit_ingest_sink(titles_dir, pairs_dir)(
+    n_keys = spark.read.parquet(keys_dir).count()
+    edit_ingest_sink(titles_dir, keys_dir, pairs_dir)(
         spark.createDataFrame(b3, ["doc_id", "title"]), 2
     )
     assert {
@@ -1003,3 +1010,29 @@ def test_edit_ingest_sink_matches_batch_incremental(spark, tmp_path):
         for r in spark.read.parquet(pairs_dir).filter(F.col("batch") == 2).drop("batch").collect()
     } == want3
     assert spark.read.parquet(titles_dir).count() == n_titles
+    assert spark.read.parquet(keys_dir).count() == n_keys
+
+    # compaction: boiler's 4 cross-batch title rows collapse to one
+    # global representative; a FRESH batch then sees identical pairs
+    fb, fa = edit_compact_state(spark, titles_dir, keys_dir)
+    assert spark.read.parquet(titles_dir).filter(F.col("tt") == boiler).count() == 1
+    row = spark.read.parquet(titles_dir).filter(F.col("tt") == boiler).first()
+    assert (row.tid, row.grp) == (1, 4)  # global min id, summed size
+    b4 = [(41, boiler), (42, "hello worm")]
+    edit_ingest_sink(titles_dir, keys_dir, pairs_dir)(
+        spark.createDataFrame(b4, ["doc_id", "title"]), 7
+    )
+    got4 = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in spark.read.parquet(pairs_dir).filter(F.col("batch") == 7).drop("batch").collect()
+    }
+    want4 = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in incremental_edit_neardup(
+            spark.createDataFrame(b1 + b2 + b3, ["doc_id", "title"]),
+            spark.createDataFrame(b4, ["doc_id", "title"]),
+            "doc_id",
+            "title",
+        ).collect()
+    }
+    assert got4 == want4 and (41, 1, 0, 4) in got4
