@@ -233,8 +233,10 @@ HEADLINE = [
     "robust_zscore_days",
     "relational_division",
     "user_active_time",
-    # round 9: incremental twin of the edit-distance dedup tier
+    # round 9: incremental twins of the edit-distance and semantic
+    # dedup tiers (the tier matrix closes)
     "incremental_edit_neardup",
+    "incremental_semantic_neardup",
 ]
 
 

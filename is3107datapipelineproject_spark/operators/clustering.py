@@ -448,3 +448,86 @@ def semantic_dedup(
             F.coalesce(~F.col("__dup"), F.lit(True)).alias("is_kept"),
         )
     )
+
+
+def incremental_semantic_neardup(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    max_cluster: int = 4000,
+) -> DataFrame:
+    """Incremental ingest twin of :func:`semantic_dedup` — the SEMANTIC
+    tier of the every-batch dedup loop, completing the tier matrix
+    (MinHash → incremental_neardup, PPJoin →
+    incremental_prefix_jaccard, edit → incremental_edit_neardup): every
+    (new vector, old vector) pair with cosine ≥ ``threshold``, blocked
+    by the k-means cluster, new×old only (never old×old).
+
+    The model is FROZEN on the corpus (the ann_index_append contract):
+    centroids fit on ``old`` via the same deterministic Lloyd as the
+    one-shot, arrivals route against them with
+    :func:`assign_to_centroids`'s narrow broadcast fold — assignments
+    are a pure per-row function of the stored model, so persisted
+    corpus assignments and freshly-routed arrivals agree bit-for-bit
+    and the per-ingest cost is the batch encode + one cluster-keyed
+    join (the batch side broadcasts; the corpus never shuffles).
+
+    Hot-cluster guard mirrors the one-shot's routing exactly: clusters
+    whose OLD membership exceeds ``max_cluster`` switch to a STAR
+    comparison of each arrival against the cluster's min-id old member
+    (O(batch) instead of O(batch × cluster)); small clusters get the
+    exact within-cluster pair search, bounded by batch × ``max_cluster``.
+    Same recall tradeoff and the oracle replays the identical routing.
+
+    Returns ``(new_id, old_id, cosine)``, cosine rounded to 4 dp BEFORE
+    the threshold (cross-engine contract)."""
+    to = _points(old, id_col, vec_col)
+    cents = _fit(to, k, iters)  # frozen model, trained on the corpus
+    tn = _points(new, id_col, vec_col)
+    vo = to.select("vid", "vec", l2_norm(F.col("vec")).alias("norm"))
+    vn = tn.select("vid", "vec", l2_norm(F.col("vec")).alias("norm"))
+    o = _assign(to, cents).select("vid", "cluster").join(vo, "vid")
+    n_ = _assign(tn, cents).select("vid", "cluster").join(vn, "vid")
+    sizes = o.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))  # ≤ k rows
+    o = o.join(F.broadcast(sizes), "cluster")
+    # arrivals routed to clusters with no old members simply match
+    # nothing — both downstream joins are inner on cluster
+
+    sim = F.round(
+        dot(F.col("vec"), F.col("nvec")) / (F.col("norm") * F.col("nnorm")), 4
+    )
+    nrows = n_.select(
+        "cluster",
+        F.col("vid").alias("new_id"),
+        F.col("vec").alias("nvec"),
+        F.col("norm").alias("nnorm"),
+    )
+    small = (
+        o.filter(F.col("csz") <= max_cluster)
+        .join(F.broadcast(nrows), "cluster")
+        .select(F.col("new_id"), F.col("vid").alias("old_id"), sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    ctr = (
+        o.filter(F.col("csz") > max_cluster)
+        .groupBy("cluster")
+        .agg(F.min("vid").alias("cvid"))
+        .join(
+            vo.select(
+                F.col("vid").alias("cvid"),
+                F.col("vec").alias("vec"),
+                F.col("norm").alias("norm"),
+            ),
+            "cvid",
+        )
+    )  # ≤ k rows
+    big = (
+        nrows.join(F.broadcast(ctr), "cluster")
+        .select(F.col("new_id"), F.col("cvid").alias("old_id"), sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return small.unionByName(big)

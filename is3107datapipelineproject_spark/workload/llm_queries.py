@@ -1938,6 +1938,86 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# cap for the incremental twin: the OLD side is 4/5 of the corpus, so the
+# one-shot's 64 would leave every sf0.01 cluster on the quadratic path —
+# 50 splits the old cluster sizes (40..61 at sf0.01) so the driver oracle
+# exercises BOTH routings, the same calibration SEMDEDUP_CAP makes for
+# the full corpus.
+ISN_CAP = 50
+
+
+def _isn_oracle() -> str:
+    ctes, final = _kmeans_ctes_split(KMEANS_K, KMEANS_ITERS, "vec_id % 5 <> 0")
+    return f"""
+WITH {ctes},
+t AS (SELECT a.vec_id, a.cid AS cluster, eall.v FROM {final} a JOIN eall USING (vec_id)),
+oldc AS (SELECT * FROM t WHERE vec_id % 5 <> 0),
+newb AS (SELECT * FROM t WHERE vec_id % 5 = 0),
+sz AS (SELECT cluster, count(*) AS csz FROM oldc GROUP BY 1),
+small AS (
+  SELECT n.vec_id AS new_id, o.vec_id AS old_id,
+         round(list_cosine_similarity(n.v, o.v), 4) AS cosine
+  FROM newb n JOIN oldc o ON n.cluster = o.cluster
+  JOIN sz ON sz.cluster = o.cluster
+  WHERE sz.csz <= {ISN_CAP}
+),
+ctr AS (
+  SELECT o.cluster, min(o.vec_id) AS cvid
+  FROM oldc o JOIN sz ON sz.cluster = o.cluster
+  WHERE sz.csz > {ISN_CAP} GROUP BY 1
+),
+big AS (
+  SELECT n.vec_id AS new_id, c.vec_id AS old_id,
+         round(list_cosine_similarity(n.v, c.v), 4) AS cosine
+  FROM newb n JOIN ctr ON n.cluster = ctr.cluster
+  JOIN oldc c ON c.vec_id = ctr.cvid
+)
+SELECT new_id, old_id, cosine
+FROM (SELECT * FROM small UNION ALL SELECT * FROM big)
+WHERE cosine >= {SEMDEDUP_THR}
+"""
+
+
+@register(
+    "incremental_semantic_neardup",
+    oracle=_isn_oracle(),
+    tags=("clustering", "dedup", "incremental", "llm"),
+)
+def q_incremental_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest twin of semantic_dedup (operators/
+    clustering.py::incremental_semantic_neardup) — the SEMANTIC tier of
+    the every-batch dedup loop, closing the tier matrix in batch form
+    (MinHash, PPJoin and the edit tier already have theirs): the
+    vec_id %% 5 == 0 slice plays the arriving batch, k-means centroids
+    are FIT ON THE CORPUS ONLY (the frozen-model contract of
+    ann_index_append — the oracle's train/assign-split Lloyd chain
+    replays exactly that), arrivals route against the stored centroids
+    with the narrow broadcast fold, and pairs are cosine ≥ τ new×old
+    within the shared cluster — quadratic confined to batch ×
+    min(cluster, cap). Clusters whose OLD membership exceeds
+    SEMDEDUP_CAP switch to the star comparison against the min-id old
+    member, the identical hot-cluster routing (and recall tradeoff) as
+    the one-shot, replayed by the oracle. The corpus side never
+    shuffles (batch broadcasts onto the cluster-keyed member stream)."""
+    from is3107datapipelineproject_spark.operators.clustering import (
+        incremental_semantic_neardup,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    return incremental_semantic_neardup(
+        old,
+        new,
+        "vec_id",
+        "embedding",
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+        threshold=SEMDEDUP_THR,
+        max_cluster=ISN_CAP,
+    )
+
+
 @register(
     "dup_ngram_fraction",
     oracle=f"""

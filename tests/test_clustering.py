@@ -140,3 +140,66 @@ def test_two_level_plan_is_narrow(spark):
     )
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(vid" not in plan
+
+
+def test_incremental_semantic_neardup_planted(spark):
+    """new×old semantic pairs against a frozen corpus model: exact
+    within-cluster pairs for small clusters, min-id star for clusters
+    past the cap, arrivals in a foreign cluster match nothing, and the
+    old×old / new×new spaces are never compared."""
+    import math
+
+    from is3107datapipelineproject_spark.operators.clustering import (
+        incremental_semantic_neardup,
+    )
+
+    # two well-separated corpus groups: x-axis-ish (ids 0..3) and
+    # y-axis-ish (ids 10..13)
+    old = spark.createDataFrame(
+        [(i, [10.0, 0.1 * i, 0.0]) for i in range(4)]
+        + [(10 + i, [0.1 * i, 10.0, 0.0]) for i in range(4)],
+        _SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [
+            (100, [10.0, 0.0, 0.0]),   # parallel to old 0 -> pairs in x-cluster
+            (101, [0.0, 10.0, 0.0]),   # parallel to old 10 -> pairs in y-cluster
+            (102, [0.0, 0.0, 10.0]),   # z-axis: routed somewhere, cosine ~0 -> no pairs
+        ],
+        _SCHEMA,
+    )
+    out = incremental_semantic_neardup(
+        old, new, "vid", "vec", k=2, iters=2, threshold=0.99
+    ).collect()
+    pairs = {(r.new_id, r.old_id) for r in out}
+    assert (100, 0) in pairs and (101, 10) in pairs
+    assert all(n in (100, 101) for n, _ in pairs), pairs
+    assert all(o < 100 for _, o in pairs), "old side only"
+    assert not any(n == 102 for n, _ in pairs)
+
+    # hot-cluster star: 12 fan vectors in one cluster, cap 5 -> each
+    # arrival compares ONLY against min-id old member 0
+    fan = spark.createDataFrame(
+        [
+            (i, [math.cos(math.radians(10.0 * i)), math.sin(math.radians(10.0 * i)), 0.0])
+            for i in range(12)
+        ],
+        _SCHEMA,
+    )
+    arrivals = spark.createDataFrame(
+        [(200, [1.0, 0.0, 0.0]), (201, [0.0, 1.0, 0.0])], _SCHEMA
+    )
+    star = incremental_semantic_neardup(
+        fan, arrivals, "vid", "vec", k=1, iters=1, threshold=0.9, max_cluster=5
+    ).collect()
+    # 200 is parallel to old 0 (cos 1.0 >= 0.9); 201 is at 90deg from
+    # old 0 (cos 0.0) even though it is parallel to old 9 — the star
+    # only sees the representative (documented recall tradeoff)
+    assert {(r.new_id, r.old_id) for r in star} == {(200, 0)}
+
+    # uncapped twin on the same data finds 201's true neighbors too
+    quad = incremental_semantic_neardup(
+        fan, arrivals, "vid", "vec", k=1, iters=1, threshold=0.9, max_cluster=100
+    ).collect()
+    got_201 = {r.old_id for r in quad if r.new_id == 201}
+    assert {8, 9, 10, 11} <= got_201
