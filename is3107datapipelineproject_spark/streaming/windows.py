@@ -803,6 +803,117 @@ def edit_compact_state(
     return out
 
 
+def semantic_ingest_sink(
+    centroids_table: str,
+    members_dir: str,
+    pairs_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster: int = 4000,
+):
+    """Streaming corpus ingest with every-batch SEMANTIC (cosine ≥ τ)
+    near-dup detection — the stream twin of
+    operators/clustering.py::incremental_semantic_neardup, giving the
+    semantic tier all three entry points like the text tiers. Per
+    micro-batch of arriving ``(id, vector)`` rows,
+
+    1. routes the batch against the FROZEN stored centroids
+       (``centroids_table`` — the ann_ingest_sink contract: never
+       retrain, so cluster state stays a pure per-row function of the
+       model and persisted member assignments never go stale; model
+       drift is handled by refit + rebuild, exactly like the ANN
+       index);
+    2. compares arrivals against the PERSISTED cluster members at
+       ``members_dir``: small clusters exactly (batch × ≤ cap), old
+       clusters past ``max_cluster`` by the min-id STAR — the one-shot
+       operator's identical routing; the corpus members never shuffle
+       (arrivals broadcast onto the cluster-keyed member stream);
+    3. appends surviving ``(new_id, old_id, cosine)`` pairs (cosine
+       rounded to 4 dp before the threshold) to ``pairs_dir``;
+    4. appends the batch's ``(vid, cluster, vec, norm)`` member rows,
+       so the NEXT batch sees this one as corpus.
+
+    Stream == batch: with ``centroids_table`` fit on the earlier
+    batches' union, a batch's pairs equal
+    ``incremental_semantic_neardup`` run with those batches as corpus
+    (deterministic Lloyd is order-free — asserted in tests). Members
+    are one row per vector, so no cross-batch duplicate state
+    accumulates (no edit_compact_state analogue needed; small-files
+    hygiene is plans/layout.py::compact_stream_dir as usual).
+    Retry-safe via the ``batch=<id>`` OVERWRITE pattern with corpus
+    reads filtered to strictly EARLIER batch ids."""
+    from pyspark.errors import AnalysisException
+
+    from is3107datapipelineproject_spark.operators.clustering import (
+        assign_to_centroids,
+    )
+    from is3107datapipelineproject_spark.operators.similarity import dot, l2_norm
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cents = spark.table(centroids_table)
+        vn = batch_df.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+        ).select("vid", "vec", l2_norm(F.col("vec")).alias("norm"))
+        b = (
+            assign_to_centroids(batch_df, id_col, vec_col, cents)
+            .select(F.col(id_col).alias("vid"), "cluster")
+            .join(vn, "vid")
+            .localCheckpoint(eager=True)
+        )
+        older = F.col("batch") < batch_id
+        try:
+            corpus = spark.read.parquet(members_dir).filter(older).drop("batch")
+        except AnalysisException:  # cold start: first batch IS the corpus
+            from is3107datapipelineproject_spark.plans.layout import (
+                assert_stream_dir_healthy,
+            )
+
+            assert_stream_dir_healthy(spark, members_dir)
+            corpus = None
+        if corpus is not None:
+            sizes = corpus.groupBy("cluster").agg(F.count(F.lit(1)).alias("csz"))
+            o = corpus.join(F.broadcast(sizes), "cluster")
+            nrows = b.select(
+                "cluster",
+                F.col("vid").alias("new_id"),
+                F.col("vec").alias("nvec"),
+                F.col("norm").alias("nnorm"),
+            )
+            sim = F.round(
+                dot(F.col("vec"), F.col("nvec")) / (F.col("norm") * F.col("nnorm")), 4
+            )
+            small = (
+                o.filter(F.col("csz") <= max_cluster)
+                .join(F.broadcast(nrows), "cluster")
+                .select(F.col("new_id"), F.col("vid").alias("old_id"), sim.alias("cosine"))
+                .filter(F.col("cosine") >= threshold)
+            )
+            ctr = (
+                o.filter(F.col("csz") > max_cluster)
+                .groupBy("cluster")
+                .agg(F.min("vid").alias("cvid"))
+                .join(
+                    corpus.select(
+                        F.col("vid").alias("cvid"), "vec", "norm"
+                    ),
+                    "cvid",
+                )
+            )
+            big = (
+                nrows.join(F.broadcast(ctr), "cluster")
+                .select(F.col("new_id"), F.col("cvid").alias("old_id"), sim.alias("cosine"))
+                .filter(F.col("cosine") >= threshold)
+            )
+            small.unionByName(big).write.mode("overwrite").parquet(
+                f"{pairs_dir}/batch={int(batch_id)}"
+            )
+        b.write.mode("overwrite").parquet(f"{members_dir}/batch={int(batch_id)}")
+
+    return apply
+
+
 def ann_ingest_sink(
     centroids_table: str,
     codebook_table: str,

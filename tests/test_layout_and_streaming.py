@@ -1036,3 +1036,81 @@ def test_edit_ingest_sink_matches_batch_incremental(spark, tmp_path):
         ).collect()
     }
     assert got4 == want4 and (41, 1, 0, 4) in got4
+
+
+def test_semantic_ingest_sink_matches_batch_incremental(spark, tmp_path):
+    """Semantic-tier streaming ingest == batch
+    incremental_semantic_neardup when the frozen centroids table is fit
+    on the earlier batches' union (deterministic Lloyd is order-free):
+    three vector micro-batches through the sink; batch 3's pairs must
+    equal the batch operator with batches 1+2 as corpus. Replay of the
+    last batch leaves pairs and members bit-identical."""
+    from is3107datapipelineproject_spark.operators.clustering import (
+        incremental_semantic_neardup,
+        kmeans_fit,
+    )
+    from is3107datapipelineproject_spark.streaming.windows import semantic_ingest_sink
+
+    schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    b1 = [(1, [10.0, 0.0, 0.0]), (2, [10.0, 0.3, 0.0]), (3, [0.0, 10.0, 0.0])]
+    b2 = [(11, [0.2, 10.0, 0.0]), (12, [10.0, 0.1, 0.0])]
+    b3 = [(21, [10.0, 0.05, 0.0]), (22, [0.0, 10.0, 0.5]), (23, [0.0, 0.0, 9.0])]
+    docs_dir = tmp_path / "sem_docs"
+    for i, b in enumerate((b1, b2, b3)):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(docs_dir / f"f{i}.parquet")
+        )
+    cents_table = "sem_sink_cents_test"
+    spark.sql(f"DROP TABLE IF EXISTS {cents_table}")
+    kmeans_fit(
+        spark.createDataFrame(b1 + b2, schema), "vec_id", "embedding", k=2, iters=2
+    ).write.mode("overwrite").format("parquet").saveAsTable(cents_table)
+    members_dir = str(tmp_path / "sem_members")
+    pairs_dir = str(tmp_path / "sem_pairs")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            semantic_ingest_sink(cents_table, members_dir, pairs_dir, threshold=0.99)
+        )
+        .option("checkpointLocation", str(tmp_path / "sem_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got3 = {
+        (r.new_id, r.old_id, r.cosine)
+        for r in spark.read.parquet(pairs_dir).filter(F.col("batch") == 2).drop("batch").collect()
+    }
+    want3 = {
+        (r.new_id, r.old_id, r.cosine)
+        for r in incremental_semantic_neardup(
+            spark.createDataFrame(b1 + b2, schema),
+            spark.createDataFrame(b3, schema),
+            "vec_id",
+            "embedding",
+            k=2,
+            iters=2,
+            threshold=0.99,
+        ).collect()
+    }
+    assert got3 == want3 and len(got3) > 0
+    assert any(n == 21 for n, _, _ in got3)       # x-cluster arrival pairs
+    assert not any(n == 23 for n, _, _ in got3)   # z-axis arrival matches nothing
+
+    # at-least-once replay: bit-identical pairs and members
+    n_members = spark.read.parquet(members_dir).count()
+    semantic_ingest_sink(cents_table, members_dir, pairs_dir, threshold=0.99)(
+        spark.createDataFrame(b3, schema), 2
+    )
+    assert {
+        (r.new_id, r.old_id, r.cosine)
+        for r in spark.read.parquet(pairs_dir).filter(F.col("batch") == 2).drop("batch").collect()
+    } == want3
+    assert spark.read.parquet(members_dir).count() == n_members
+    spark.sql(f"DROP TABLE IF EXISTS {cents_table}")
