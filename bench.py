@@ -237,6 +237,9 @@ HEADLINE = [
     # dedup tiers (the tier matrix closes)
     "incremental_edit_neardup",
     "incremental_semantic_neardup",
+    # round 9: incremental connected-components maintenance (cluster
+    # labels fold forward through the batch's new edges by contraction)
+    "incremental_neardup_clusters",
 ]
 
 
@@ -251,6 +254,7 @@ HEADLINE = [
 # steady-state trend. Membership here only affects REPORTING.
 BUILD_TIER = {
     # full-rebuild-per-query graph family (amortized twins: *_from_edges)
+    "incremental_neardup_clusters",  # rebuilds corpus labels per call; production reads cluster_ingest_sink's table
     "copurchase_pagerank",
     "copurchase_kcore",
     "copurchase_bfs_hops",

@@ -627,6 +627,106 @@ def neardup_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
+def incremental_cluster_update(
+    old_labels: DataFrame,
+    new_nodes: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+    delta_only: bool = False,
+) -> DataFrame:
+    """Incremental connected-components maintenance over the near-dup
+    graph: fold an arriving batch (its node ids, plus every new edge the
+    incremental dedup tiers produced — new×old and new×new) into an
+    existing :func:`neardup_clusters` label table WITHOUT re-running the
+    corpus-wide fixpoint. The result is identical to the one-shot
+    ``neardup_clusters`` over corpus ∪ batch (asserted in tests; the
+    registered query's oracle replays the full recursive closure).
+
+    Correctness by cluster CONTRACTION: an existing cluster is maximal
+    under the old edge set, and new edges only ADD connectivity, so each
+    old cluster contracts to a single supernode named by its label
+    (labels are min-reachable ids, i.e. the cluster's min member id).
+    The updated component structure is then the component structure of
+    the contracted graph, whose nodes are the batch ids plus only the
+    TOUCHED old-cluster labels — a graph bounded by the batch's edge
+    neighborhood, never by the corpus. Hash-min CC over that tiny graph
+    yields per-supernode roots = min over each component of
+    {touched old labels} ∪ {batch ids} — exactly the one-shot
+    min-reachable id, because an untouched cluster's members cannot gain
+    new reachability.
+
+    Scale shape: the corpus-sized label table is touched by exactly two
+    BROADCAST hash joins (endpoint→supernode resolution, restricted to
+    the edge endpoints, and the final relabel keyed on the touched
+    cluster labels) — the corpus never shuffles, and the fixpoint
+    iteration runs on a frame bounded by |batch| + |touched clusters|.
+    Recomputing one-shot instead would cost O(diameter) corpus-wide
+    shuffle rounds per ingest.
+
+    ``delta_only=True`` returns only the rows an upsert sink must write:
+    every batch id plus the old rows whose label actually changed (the
+    contract streaming/windows.py::cluster_ingest_sink persists per
+    micro-batch).
+
+    Returns ``(id_col, cluster_id)`` for corpus ∪ batch (or the delta).
+    Assumes corpus and batch ids are disjoint (they are documents ids).
+    """
+    e = new_edges.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+    labels = old_labels.select(
+        F.col(id_col).alias("id"), F.col("cluster_id").alias("label")
+    )
+    ends = (
+        e.select(F.col("a").alias("eid"))
+        .unionByName(e.select(F.col("b").alias("eid")))
+        .distinct()
+    )
+    # endpoint → supernode: old endpoints contract to their cluster
+    # label; batch endpoints (no label row) stay their own supernode.
+    # The tiny endpoint set broadcasts, the label table streams map-side.
+    sup = (
+        labels.join(F.broadcast(ends), labels.id == F.col("eid"), "inner")
+        .select(F.col("eid"), F.col("label").alias("sup"))
+        .localCheckpoint(eager=True)
+    )
+    se = (
+        e.join(F.broadcast(sup.select(F.col("eid").alias("a"), F.col("sup").alias("sup_a"))), "a", "left")
+        .join(F.broadcast(sup.select(F.col("eid").alias("b"), F.col("sup").alias("sup_b"))), "b", "left")
+        .select(
+            F.coalesce("sup_a", F.col("a")).alias("doc1"),
+            F.coalesce("sup_b", F.col("b")).alias("doc2"),
+        )
+        .filter(F.col("doc1") != F.col("doc2"))
+        .distinct()
+    )
+    batch_ids = new_nodes.select(F.col(id_col).alias("id")).distinct()
+    sup_nodes = (
+        batch_ids.unionByName(se.select(F.col("doc1").alias("id")))
+        .unionByName(se.select(F.col("doc2").alias("id")))
+        .distinct()
+    )
+    # the contracted graph is ingest-sized: reuse the one-shot fixpoint.
+    roots = neardup_clusters(sup_nodes, se, "id", max_iters=max_iters)
+    # touched old clusters whose root moved (possibly DOWN to a batch id
+    # smaller than every old member — labels can decrease on merge).
+    relabel = roots.filter(F.col("cluster_id") != F.col("id")).select(
+        F.col("id").alias("old_label"), F.col("cluster_id").alias("root")
+    )
+    join_mode = "inner" if delta_only else "left"
+    updated_old = (
+        old_labels.select(id_col, "cluster_id")
+        .join(F.broadcast(relabel), F.col("cluster_id") == F.col("old_label"), join_mode)
+        .select(
+            F.col(id_col),
+            F.coalesce("root", F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    new_rows = batch_ids.join(
+        F.broadcast(roots.withColumnRenamed("cluster_id", "root")), "id", "inner"
+    ).select(F.col("id").alias(id_col), F.col("root").alias("cluster_id"))
+    return updated_old.unionByName(new_rows)
+
+
 def dedup_corpus(
     docs: DataFrame,
     text_col: str,

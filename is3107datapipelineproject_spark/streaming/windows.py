@@ -803,6 +803,143 @@ def edit_compact_state(
     return out
 
 
+def cluster_ingest_sink(
+    sig_dir: str,
+    labels_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+):
+    """Streaming maintenance of the near-dup CLUSTER LABEL table — the
+    stream twin of operators/dedup.py::incremental_cluster_update,
+    closing the last dedup maintenance loop: the pair tiers already
+    ingest incrementally, but the labels view (what corpus_dedup_keep
+    actually consumes) previously required a corpus-wide fixpoint
+    recompute after every ingest. Per micro-batch of arriving
+    documents,
+
+    1. builds the batch's LSH band/signature frame once and detects the
+       batch's new edges — new×old against the PERSISTED signature
+       table at ``sig_dir`` (corpus text never re-read) plus the
+       batch-local new×new pair scan;
+    2. folds the persisted labels forward through those edges by
+       cluster contraction (the fixpoint runs on the batch-sized
+       supernode graph; the label table is touched by broadcast joins
+       only) and appends the DELTA — every batch id plus the old rows
+       whose label changed — to ``labels_dir``;
+    3. appends the batch's bands to ``sig_dir`` for the next trigger.
+
+    Label state is MONOTONE: new edges only add connectivity, so a
+    doc's min-reachable-id label only ever DECREASES across batches.
+    That makes the upsert log merge-on-read invariant under a plain
+    min — ``cluster_labels_read`` is a min-agg, latest-wins and
+    min-wins coincide, and compaction is compact_stream_dir with a
+    min pre-merge (``cluster_compact_state``), inheriting its
+    commit-log gate and rename-aside crash safety.
+
+    Retry-safe like the other ingest sinks: outputs land in
+    ``batch=<id>`` partitions with OVERWRITE semantics and every state
+    read filters to strictly EARLIER batch ids, so an at-least-once
+    replay recomputes the identical delta from the identical prior
+    state (asserted in tests).
+
+    At 100 TB the relabel side stays a broadcast, but the delta scan
+    of the label table is corpus-wide unless the table is bucketed by
+    ``cluster_id`` — production would bucket the compacted snapshot so
+    the touched-cluster filter prunes (the edge-table layout's
+    pattern); the merge-on-read log here keeps the demo exact.
+    """
+    from pyspark.errors import AnalysisException
+
+    from is3107datapipelineproject_spark.operators.dedup import (
+        band_signature_frame,
+        incremental_cluster_update,
+        incremental_neardup_from_bands,
+        minhash_neardup_pairs,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        nb = band_signature_frame(batch_df, text_col, id_col, k).localCheckpoint(
+            eager=True
+        )
+        older = F.col("batch") < batch_id
+        try:
+            corpus = spark.read.parquet(sig_dir).filter(older).drop("batch")
+        except AnalysisException:  # cold start: first batch IS the corpus
+            from is3107datapipelineproject_spark.plans.layout import (
+                assert_stream_dir_healthy,
+            )
+
+            assert_stream_dir_healthy(spark, sig_dir)
+            assert_stream_dir_healthy(spark, labels_dir)
+            corpus = None
+        edges = minhash_neardup_pairs(
+            batch_df, text_col, id_col, k=k, threshold=threshold
+        ).select("doc1", "doc2")
+        if corpus is not None:
+            nx_old = incremental_neardup_from_bands(
+                corpus.toDF("old_id", "old_hs", "band"),
+                nb.toDF("new_id", "new_hs", "band"),
+                threshold=threshold,
+            ).select(F.col("new_id").alias("doc1"), F.col("old_id").alias("doc2"))
+            edges = edges.unionByName(nx_old)
+            old_labels = cluster_labels_read(
+                spark, labels_dir, id_col=id_col, before=batch_id
+            )
+        else:
+            old_labels = spark.createDataFrame(
+                [], f"{id_col} long, cluster_id long"
+            )
+        delta = incremental_cluster_update(
+            old_labels,
+            batch_df.select(id_col),
+            edges,
+            id_col,
+            delta_only=True,
+        )
+        delta.write.mode("overwrite").parquet(f"{labels_dir}/batch={int(batch_id)}")
+        nb.write.mode("overwrite").parquet(f"{sig_dir}/batch={int(batch_id)}")
+
+    return apply
+
+
+def cluster_labels_read(
+    spark: SparkSession,
+    labels_dir: str,
+    id_col: str = "doc_id",
+    before: int | None = None,
+) -> DataFrame:
+    """Merge-on-read view of the cluster label log: one row per doc,
+    ``cluster_id`` = min across its upsert versions — identical to
+    latest-wins because labels are monotone non-increasing (see
+    cluster_ingest_sink). ``before`` filters to strictly earlier batch
+    ids (the sinks' replay-safe state read)."""
+    df = spark.read.parquet(labels_dir)
+    if before is not None:
+        df = df.filter(F.col("batch") < before)
+    return df.groupBy(F.col(id_col)).agg(F.min("cluster_id").alias("cluster_id"))
+
+
+def cluster_compact_state(
+    spark: SparkSession, labels_dir: str, checkpoint_dir: str | None = None
+) -> tuple[int, int]:
+    """Collapse the label upsert log to one row per doc (min label —
+    merge-on-read invariant by monotonicity), via compact_stream_dir's
+    commit-log-gated, rename-aside machinery. Quiesced-stream caveat
+    as everywhere. Returns ``(files_before, files_after)``."""
+    from is3107datapipelineproject_spark.plans.layout import compact_stream_dir
+
+    def collapse(df: DataFrame) -> DataFrame:
+        key = [c for c in df.columns if c != "cluster_id"][0]
+        return df.groupBy(key).agg(F.min("cluster_id").alias("cluster_id"))
+
+    return compact_stream_dir(
+        spark, labels_dir, pre_merge=collapse, checkpoint_dir=checkpoint_dir
+    )
+
+
 def semantic_ingest_sink(
     centroids_table: str,
     members_dir: str,

@@ -467,6 +467,42 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_neardup_clusters",
+    oracle=CLUSTERS_ORACLE_CTES + "SELECT doc_id, cluster_id FROM clusters",
+    tags=("dedup", "incremental", "iterative", "llm"),
+)
+def q_incremental_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components maintenance: the 20%% of docs
+    with ``doc_id %% 5 == 0`` play the arriving batch; the corpus-side
+    cluster labels are folded forward through the batch's new edges
+    (new×old from the incremental MinHash tier, new×new from the
+    batch-local pair scan) via cluster CONTRACTION — the fixpoint
+    iteration runs on the batch-sized supernode graph and the corpus
+    label table is touched by two broadcast joins, never a corpus-wide
+    shuffle (operators/dedup.py::incremental_cluster_update). The
+    oracle is the SAME full recursive closure as the one-shot
+    ``neardup_clusters`` — the driver's hash compare IS the
+    incremental==one-shot assertion. (Here the corpus labels are
+    rebuilt per call because testdata ships no side store; production
+    reads them from the persisted label table that
+    cluster_ingest_sink maintains.)"""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    old_pairs = D.minhash_neardup_pairs(old, "text", "doc_id", threshold=0.8)
+    old_labels = D.neardup_clusters(old, old_pairs, "doc_id")
+    nx_old = D.incremental_neardup(old, new, "text", "doc_id", threshold=0.8).select(
+        F.col("new_id").alias("doc1"), F.col("old_id").alias("doc2")
+    )
+    nx_new = D.minhash_neardup_pairs(new, "text", "doc_id", threshold=0.8).select(
+        "doc1", "doc2"
+    )
+    return D.incremental_cluster_update(
+        old_labels, new.select("doc_id"), nx_old.unionByName(nx_new), "doc_id"
+    )
+
+
+@register(
     "corpus_dedup_keep",
     oracle=CLUSTERS_ORACLE_CTES
     + """

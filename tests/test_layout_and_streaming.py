@@ -1114,3 +1114,82 @@ def test_semantic_ingest_sink_matches_batch_incremental(spark, tmp_path):
     } == want3
     assert spark.read.parquet(members_dir).count() == n_members
     spark.sql(f"DROP TABLE IF EXISTS {cents_table}")
+
+
+def test_cluster_ingest_sink_matches_oneshot_and_compacts(spark, tmp_path):
+    """Streaming label maintenance == one-shot neardup_clusters over
+    the full corpus: three document micro-batches through
+    cluster_ingest_sink; the merged label view must equal the one-shot
+    fixpoint over all docs (including the label-DECREASE hazard — batch
+    3 ships doc id 0, smaller than its cluster's existing label, so old
+    rows must relabel down). Replay of the last batch and a min
+    pre-merge compaction both leave the view bit-identical."""
+    from is3107datapipelineproject_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        neardup_clusters,
+    )
+
+    ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    tb = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    tc = "red orange yellow green blue indigo violet crimson amber teal navy plum"
+    td = "solo unique text with no duplicate partner anywhere in any batch here"
+    te = "another entirely distinct document that matches nothing else at all ok"
+    schema = "doc_id LONG, text STRING"
+    b1 = [(1, ta), (2, ta), (3, tb)]
+    b2 = [(11, tb), (12, tc)]
+    b3 = [(0, ta), (22, tc), (23, td)]
+    docs_dir = tmp_path / "cl_docs"
+    for i, b in enumerate((b1, b2, b3)):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(
+            str(docs_dir / f"f{i}.parquet")
+        )
+    sig_dir = str(tmp_path / "cl_sigs")
+    labels_dir = str(tmp_path / "cl_labels")
+    ckpt = str(tmp_path / "cl_ckpt")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(W.cluster_ingest_sink(sig_dir, labels_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    alldocs = spark.createDataFrame(b1 + b2 + b3, schema)
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in neardup_clusters(
+            alldocs, minhash_neardup_pairs(alldocs, "text", "doc_id"), "doc_id"
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in W.cluster_labels_read(spark, labels_dir).collect()
+    }
+    assert got == want
+    # the planted hazards actually fired: ids {0,1,2} share label 0
+    # (a DECREASE from the pre-batch-3 label 1), {3,11} share 3
+    assert {(0, 0), (1, 0), (2, 0), (3, 3), (11, 3)} <= got
+    assert (23, 23) in got  # edge-free arrival labels itself
+
+    # at-least-once replay of the final batch: identical state
+    W.cluster_ingest_sink(sig_dir, labels_dir)(
+        spark.createDataFrame(b3, schema), 2
+    )
+    assert {
+        (r.doc_id, r.cluster_id)
+        for r in W.cluster_labels_read(spark, labels_dir).collect()
+    } == want
+
+    # min pre-merge compaction: fewer files, same view, gate honored
+    before, after = W.cluster_compact_state(spark, labels_dir, checkpoint_dir=ckpt)
+    assert after < before
+    assert {
+        (r.doc_id, r.cluster_id)
+        for r in W.cluster_labels_read(spark, labels_dir).collect()
+    } == want
