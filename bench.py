@@ -239,7 +239,9 @@ HEADLINE = [
     "incremental_semantic_neardup",
     # round 9: incremental connected-components maintenance (cluster
     # labels fold forward through the batch's new edges by contraction)
+    # and its deletion-aware twin (affected-cluster-local rebuild)
     "incremental_neardup_clusters",
+    "cluster_retract",
 ]
 
 
@@ -255,6 +257,7 @@ HEADLINE = [
 BUILD_TIER = {
     # full-rebuild-per-query graph family (amortized twins: *_from_edges)
     "incremental_neardup_clusters",  # rebuilds corpus labels per call; production reads cluster_ingest_sink's table
+    "cluster_retract",  # same: the per-call label rebuild is the demo cost
     "copurchase_pagerank",
     "copurchase_kcore",
     "copurchase_bfs_hops",

@@ -727,6 +727,89 @@ def incremental_cluster_update(
     return updated_old.unionByName(new_rows)
 
 
+def retract_from_cluster_state(
+    docs: DataFrame,
+    old_labels: DataFrame,
+    deleted: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_iters: int = 20,
+    pairs_fn=None,
+) -> DataFrame:
+    """Deletion-aware cluster maintenance — the other half of the
+    incremental story. :func:`incremental_cluster_update` handles ingest
+    by contraction because connectivity only GROWS; a deletion breaks
+    that monotonicity (removing a bridge doc can SPLIT its cluster, and
+    removing the min-id member orphans the label), so retraction
+    rebuilds — but only WITHIN the affected clusters, never corpus-wide.
+    The governance driver is real: a right-to-be-forgotten purge must
+    leave the dedup state as if the docs never existed, or future
+    keep-list decisions are made against phantom connectivity.
+
+    Steps: (1) affected clusters = labels of the deleted ids (broadcast
+    inner join — the deletion set is governance-batch-sized);
+    (2) surviving members of those clusters come from one broadcast
+    semi/anti join against the label table; (3) their near-dup pairs are
+    RE-DERIVED among themselves only and the one-shot fixpoint runs on
+    that bounded subgraph; (4) untouched clusters pass through
+    bit-identical (broadcast anti join). The restriction in (3) is
+    lossless because old_labels is the closure of the SAME pair
+    semantics: a qualifying pair crossing two old clusters would
+    contradict their maximality — so deletions cannot create new
+    inter-cluster edges, only remove paths. (Invariant: pass the same
+    text_col/k/threshold the labels were built with.)
+
+    Scale shape: corpus label table and docs table are each touched by
+    one broadcast-keyed join; re-derivation and fixpoint are bounded by
+    the affected-cluster mass (hot boilerplate clusters inherit
+    minhash_neardup_pairs' bounded-work guards). A deletion burst whose
+    affected mass approaches the corpus should take the one-shot
+    rebuild instead — the broadcast of the affected-member set is the
+    deliberate pressure valve that fails loudly rather than silently
+    degrading.
+
+    ``pairs_fn`` (DataFrame of surviving affected docs → (doc1, doc2)
+    pairs) overrides the default MinHash re-derivation — the seam the
+    planted-fixture tests inject exact edge lists through, and how a
+    different tier's labels (edit-distance, semantic) would retract.
+
+    Returns ``(id_col, cluster_id)`` over corpus MINUS deleted —
+    identical to the one-shot over the surviving corpus (asserted in
+    tests; the registered query's oracle replays the full closure over
+    the filtered table).
+    """
+    dset = deleted.select(F.col(id_col).alias("did")).distinct()
+    lab = old_labels.select(F.col(id_col).alias("id"), "cluster_id")
+    affected = (
+        lab.join(F.broadcast(dset), lab.id == F.col("did"), "inner")
+        .select(F.col("cluster_id").alias("acid"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    aff_members = (
+        lab.join(F.broadcast(affected), lab.cluster_id == F.col("acid"), "inner")
+        .join(F.broadcast(dset), lab.id == F.col("did"), "left_anti")
+        .select(F.col("id").alias(id_col))
+        .localCheckpoint(eager=True)
+    )
+    aff_docs = docs.join(F.broadcast(aff_members), id_col, "left_semi")
+    if pairs_fn is None:
+        pairs = minhash_neardup_pairs(
+            aff_docs, text_col, id_col, k=k, threshold=threshold
+        )
+    else:
+        pairs = pairs_fn(aff_docs)
+    rebuilt = neardup_clusters(
+        aff_docs.select(id_col), pairs.select("doc1", "doc2"), id_col, max_iters=max_iters
+    )
+    untouched = lab.join(
+        F.broadcast(affected), lab.cluster_id == F.col("acid"), "left_anti"
+    ).select(F.col("id").alias(id_col), "cluster_id")
+    return untouched.unionByName(rebuilt)
+
+
 def dedup_corpus(
     docs: DataFrame,
     text_col: str,

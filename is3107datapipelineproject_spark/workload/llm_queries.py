@@ -452,6 +452,14 @@ clusters AS (
 """
 
 
+def _clusters_oracle(docs_rel: str) -> str:
+    """CLUSTERS_ORACLE_CTES over an arbitrary docs relation — the
+    retraction query's oracle runs the same closure on the FILTERED
+    corpus (str.replace does not rescan the inserted text, so a
+    subquery containing ``FROM documents`` substitutes safely)."""
+    return CLUSTERS_ORACLE_CTES.replace("FROM documents", f"FROM {docs_rel}")
+
+
 @register(
     "neardup_clusters",
     oracle=CLUSTERS_ORACLE_CTES + "SELECT doc_id, cluster_id FROM clusters",
@@ -499,6 +507,32 @@ def q_incremental_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return D.incremental_cluster_update(
         old_labels, new.select("doc_id"), nx_old.unionByName(nx_new), "doc_id"
+    )
+
+
+@register(
+    "cluster_retract",
+    oracle=_clusters_oracle("(SELECT * FROM documents WHERE doc_id % 17 <> 3)")
+    + "SELECT doc_id, cluster_id FROM clusters",
+    tags=("dedup", "incremental", "iterative", "llm"),
+)
+def q_cluster_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-aware cluster maintenance (the right-to-be-forgotten
+    path): docs with ``doc_id %% 17 == 3`` are purged and the label
+    table is repaired WITHIN the affected clusters only — a deletion
+    can SPLIT a cluster or orphan its min-id label, the two hazards
+    ingest-side contraction cannot express
+    (operators/dedup.py::retract_from_cluster_state). The oracle
+    replays the full closure over the filtered corpus, so the driver
+    hash compare asserts retraction == one-shot-over-survivors. (Labels
+    are rebuilt per call because testdata ships no side store;
+    production reads the persisted label table.)"""
+    docs = _t(spark, sf_dir, "documents")
+    deleted = docs.filter(F.col("doc_id") % 17 == 3).select("doc_id")
+    pairs = D.minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.8)
+    labels = D.neardup_clusters(docs, pairs, "doc_id")
+    return D.retract_from_cluster_state(
+        docs, labels, deleted, "text", "doc_id", threshold=0.8
     )
 
 

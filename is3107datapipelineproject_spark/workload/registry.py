@@ -63,11 +63,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # ordered by last-driver-verified round ASCENDING, ties alphabetical,
 # truncated to the 50-slot window. `tools/evidence_gap.py --rotation`
 # computes the ordering mechanically from CORRECTNESS_r*.json; regenerate
-# the list below each round. Round-9 window: 3 edited + 3 new + ALL 39
-# remaining r3 rows + the 5 oldest r4 rows (the list runs one past the
-# 50-slot window; the driver truncates, so the last r4 entry rotates into
-# r10). After this round no green row predates r4, and the remaining 45
-# r4 rows fill most of the r10 window.
+# the list below each round. Round-9 window: 3 edited + 4 new + ALL 39
+# remaining r3 rows + the 4 oldest r4 rows (the list runs two past the
+# 50-slot window; the driver truncates, so the last two r4 entries rotate
+# into r10). After this round no green row predates r4, and the remaining
+# 46 r4 rows fill most of the r10 window.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # --- plans/code paths edited in round 9 -> re-sample first (3):
     # edit_neardup_pairs gained the short-title symmetric-deletion tier
@@ -76,11 +76,12 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "title_edit_neardup",
     "pagerank_from_merged_edges",
     "edge_table_build",
-    # --- new in round 9: no external evidence yet (3; budget:
-    # 50 - 0 backlog - 3 edited = 47 allowed, 3 used) ---
+    # --- new in round 9: no external evidence yet (4; budget:
+    # 50 - 0 backlog - 3 edited = 47 allowed, 4 used) ---
     "incremental_edit_neardup",
     "incremental_semantic_neardup",
     "incremental_neardup_clusters",
+    "cluster_retract",
     # --- last driver-verified in r3 (oldest first, 39) ---
     "cosine_topk_bucketed",
     "curation_pipeline",

@@ -163,3 +163,116 @@ def test_corpus_label_table_never_shuffles(spark):
     # the relabel and endpoint-resolution joins must be broadcast-hash
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- deletion-aware retraction (retract_from_cluster_state) -----------------
+
+
+def _pairs_among(edges_df):
+    """pairs_fn seam: restrict a global edge list to pairs whose BOTH
+    endpoints are in the given doc frame (what re-derivation over the
+    affected survivors produces, since old_labels is that edge set's
+    closure)."""
+
+    def fn(df):
+        ids = df.select(F.col("doc_id"))
+        return (
+            edges_df.join(
+                ids.withColumnRenamed("doc_id", "doc1"), "doc1", "left_semi"
+            ).join(ids.withColumnRenamed("doc_id", "doc2"), "doc2", "left_semi")
+        )
+
+    return fn
+
+
+def _retract(spark, ids, pairs, deleted):
+    from is3107datapipelineproject_spark.operators.dedup import (
+        retract_from_cluster_state,
+    )
+
+    docs = _nodes(spark, ids)
+    edges = _edges(spark, pairs)
+    labels = neardup_clusters(docs, edges, "doc_id")
+    return _labels(
+        retract_from_cluster_state(
+            docs,
+            labels,
+            _nodes(spark, deleted),
+            pairs_fn=_pairs_among(edges),
+        )
+    )
+
+
+def test_bridge_deletion_splits_cluster(spark):
+    # 1-2-3 chained through 2; deleting the bridge must SPLIT {1,3}
+    out = _retract(spark, [1, 2, 3, 7], [(1, 2), (2, 3)], deleted=[2])
+    assert out == {1: 1, 3: 3, 7: 7}
+
+
+def test_min_id_label_owner_deletion_relabels(spark):
+    # {1,2,3} fully connected without 1? edges (1,2),(1,3),(2,3): delete
+    # the label owner 1 — survivors stay connected, new label = 2
+    out = _retract(spark, [1, 2, 3], [(1, 2), (1, 3), (2, 3)], deleted=[1])
+    assert out == {2: 2, 3: 2}
+
+
+def test_whole_cluster_deletion_disappears(spark):
+    out = _retract(spark, [1, 2, 5, 6], [(1, 2), (5, 6)], deleted=[5, 6])
+    assert out == {1: 1, 2: 1}
+
+
+def test_untouched_clusters_bit_identical(spark):
+    out = _retract(spark, [1, 2, 5, 6, 9], [(1, 2), (5, 6)], deleted=[9])
+    assert out == {1: 1, 2: 1, 5: 5, 6: 5}
+
+
+def test_retract_fuzz_equals_oneshot_over_survivors(spark):
+    for seed in range(10):
+        rng = random.Random(1000 + seed)
+        n = rng.randint(6, 36)
+        ids = list(range(n))
+        pairs = sorted(
+            {
+                (a, b)
+                for a, b in (sorted(rng.sample(ids, 2)) for _ in range(2 * n))
+            }
+        )
+        deleted = [i for i in ids if i % 7 == 2]
+        got = _retract(spark, ids, pairs, deleted)
+        kept = [i for i in ids if i % 7 != 2]
+        kept_pairs = [
+            (a, b) for a, b in pairs if a % 7 != 2 and b % 7 != 2
+        ]
+        want = _oneshot(spark, kept, kept_pairs)
+        assert got == want, f"seed={seed}"
+
+
+def test_retract_end_to_end_minhash(spark):
+    """Default pair re-derivation (MinHash over text): deleting docs
+    from a corpus with planted duplicate groups leaves labels equal to
+    the one-shot over the survivors."""
+    from is3107datapipelineproject_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        retract_from_cluster_state,
+    )
+
+    ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    tb = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    tc = "red orange yellow green blue indigo violet crimson amber teal navy plum"
+    rows = [(1, ta), (2, ta), (3, ta), (5, tb), (6, tb), (9, tc)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    labels = neardup_clusters(
+        docs, minhash_neardup_pairs(docs, "text", "doc_id"), "doc_id"
+    )
+    out = retract_from_cluster_state(
+        docs, labels, _nodes(spark, [1, 5])  # delete a label owner + half a pair
+    )
+    surv = docs.filter(~F.col("doc_id").isin([1, 5]))
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in neardup_clusters(
+            surv, minhash_neardup_pairs(surv, "text", "doc_id"), "doc_id"
+        ).collect()
+    }
+    assert {(r.doc_id, r.cluster_id) for r in out.collect()} == want
+    assert (2, 2) in want and (3, 2) in want and (6, 6) in want
