@@ -953,6 +953,28 @@ def incremental_neardup_from_bands(
     )
 
 
+def pairs_from_band_table(bands: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Symmetric within-set MinHash pairs from a persisted band table
+    (``(doc_id, hs, band)`` — band_signature_frame's output): band-key
+    self-equi-join with doc1 < doc2, exact Jaccard verified on the
+    carried shingle sets, band-duplicate pairs collapsed. The
+    re-derivation path for state that stores SIGNATURES but not text —
+    cluster_purge_state retracts labels from the streaming sink's band
+    table through this (the corpus text was hashed once at ingest and
+    never needs re-reading)."""
+    a = bands.toDF("doc1", "hs1", "band")
+    b = bands.toDF("doc2", "hs2", "band")
+    inter = F.size(F.array_intersect(F.col("hs1"), F.col("hs2"))).cast("double")
+    union = (F.size(F.col("hs1")) + F.size(F.col("hs2"))).cast("double") - inter
+    return (
+        a.join(b, "band")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str,

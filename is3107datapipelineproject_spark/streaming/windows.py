@@ -940,6 +940,80 @@ def cluster_compact_state(
     )
 
 
+def cluster_purge_state(
+    spark: SparkSession,
+    labels_dir: str,
+    sig_dir: str,
+    deleted: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Right-to-be-forgotten purge of the streaming dedup state: remove
+    the deleted docs' bands from ``sig_dir`` and RETRACT their labels
+    from ``labels_dir`` (operators/dedup.py::retract_from_cluster_state
+    — affected clusters only; pair re-derivation runs on the persisted
+    band table via pairs_from_band_table, so the purged corpus text is
+    never re-read... it was hashed once at ingest and may not even
+    exist anymore, which is the point of the purge).
+
+    Deletion breaks the label log's monotonicity (a split can move a
+    survivor's label UP), so a purge cannot be an upsert append — it is
+    a stage-and-swap REWRITE of both state dirs through
+    compact_stream_dir's commit-log-gated, rename-aside machinery with
+    purging pre-merges. Unlike compaction these pre-merges CHANGE the
+    merged view by design. I/O is one rewrite of two narrow state
+    tables; compute is bounded by the affected-cluster mass. Quiesced-
+    stream caveat as for every compaction; after the purge, subsequent
+    ingest batches pair only against surviving state (asserted in
+    tests — the forgotten docs stay forgotten).
+    """
+    from is3107datapipelineproject_spark.operators.dedup import (
+        pairs_from_band_table,
+        retract_from_cluster_state,
+    )
+    from is3107datapipelineproject_spark.plans.layout import compact_stream_dir
+
+    dset = deleted.select(F.col(id_col).alias("did")).distinct().localCheckpoint(
+        eager=True
+    )
+    # the labels pre-merge re-derives affected pairs from the PRE-purge
+    # band table: safe lazily (no corpus-sized checkpoint — the round-8
+    # convention) because the labels rewrite completes before the bands
+    # dir is touched, in program order below.
+    bands = spark.read.parquet(sig_dir).drop("batch")
+
+    def purge_labels(df: DataFrame) -> DataFrame:
+        labels = df.groupBy(F.col(id_col)).agg(F.min("cluster_id").alias("cluster_id"))
+        survivors = labels.join(
+            F.broadcast(dset), labels[id_col] == F.col("did"), "left_anti"
+        ).select(id_col)
+        return retract_from_cluster_state(
+            survivors,
+            labels,
+            dset.select(F.col("did").alias(id_col)),
+            id_col=id_col,
+            pairs_fn=lambda aff: pairs_from_band_table(
+                bands.join(
+                    F.broadcast(aff.select(F.col(id_col).alias("doc_id"))),
+                    "doc_id",
+                    "left_semi",
+                ),
+                threshold=threshold,
+            ),
+        )
+
+    def purge_bands(df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(dset), df["doc_id"] == F.col("did"), "left_anti")
+
+    compact_stream_dir(
+        spark, labels_dir, pre_merge=purge_labels, checkpoint_dir=checkpoint_dir
+    )
+    compact_stream_dir(
+        spark, sig_dir, pre_merge=purge_bands, checkpoint_dir=checkpoint_dir
+    )
+
+
 def semantic_ingest_sink(
     centroids_table: str,
     members_dir: str,

@@ -1193,3 +1193,55 @@ def test_cluster_ingest_sink_matches_oneshot_and_compacts(spark, tmp_path):
         (r.doc_id, r.cluster_id)
         for r in W.cluster_labels_read(spark, labels_dir).collect()
     } == want
+
+
+def test_cluster_purge_state_forgets_and_future_ingest_is_clean(spark, tmp_path):
+    """Right-to-be-forgotten purge of the streaming dedup state: after
+    purging docs {0, 2} from the ingested corpus, the label view equals
+    the one-shot over survivors (the {0,1,2} cluster collapses to the
+    lone survivor 1 — a label INCREASE, the non-monotone case the purge
+    rewrite exists for), the band table holds no purged ids, and a
+    subsequent ingest batch with the purged text pairs ONLY against
+    surviving state."""
+    from is3107datapipelineproject_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        neardup_clusters,
+    )
+
+    ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    tb = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    schema = "doc_id LONG, text STRING"
+    b1 = [(0, ta), (1, ta), (2, ta)]
+    b2 = [(3, tb), (11, tb)]
+    sig_dir = str(tmp_path / "pg_sigs")
+    labels_dir = str(tmp_path / "pg_labels")
+    sink = W.cluster_ingest_sink(sig_dir, labels_dir)
+    sink(spark.createDataFrame(b1, schema), 0)
+    sink(spark.createDataFrame(b2, schema), 1)
+
+    W.cluster_purge_state(
+        spark, labels_dir, sig_dir, spark.createDataFrame([(0,), (2,)], "doc_id LONG")
+    )
+    surv = spark.createDataFrame([(1, ta), (3, tb), (11, tb)], schema)
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in neardup_clusters(
+            surv, minhash_neardup_pairs(surv, "text", "doc_id"), "doc_id"
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in W.cluster_labels_read(spark, labels_dir).collect()
+    }
+    assert got == want == {(1, 1), (3, 3), (11, 3)}
+    sig_ids = {r.doc_id for r in spark.read.parquet(sig_dir).select("doc_id").distinct().collect()}
+    assert sig_ids == {1, 3, 11}
+
+    # the forgotten docs stay forgotten: a post-purge arrival carrying
+    # the purged text pairs only with the surviving member
+    sink(spark.createDataFrame([(31, ta)], schema), 2)
+    after = {
+        (r.doc_id, r.cluster_id)
+        for r in W.cluster_labels_read(spark, labels_dir).collect()
+    }
+    assert after == {(1, 1), (31, 1), (3, 3), (11, 3)}
