@@ -242,6 +242,8 @@ HEADLINE = [
     # and its deletion-aware twin (affected-cluster-local rebuild)
     "incremental_neardup_clusters",
     "cluster_retract",
+    # round 9: ANN-index lifecycle purge (partition-pruned delete)
+    "ann_index_delete",
 ]
 
 
@@ -258,6 +260,7 @@ BUILD_TIER = {
     # full-rebuild-per-query graph family (amortized twins: *_from_edges)
     "incremental_neardup_clusters",  # rebuilds corpus labels per call; production reads cluster_ingest_sink's table
     "cluster_retract",  # same: the per-call label rebuild is the demo cost
+    "ann_index_delete",
     "copurchase_pagerank",
     "copurchase_kcore",
     "copurchase_bfs_hops",

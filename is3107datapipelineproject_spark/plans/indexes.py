@@ -788,6 +788,75 @@ def ann_index_append(
             compact_table(spark, names["codes"], partition_cols=("cluster",))
 
 
+def ann_index_delete(
+    spark: SparkSession, names: dict[str, str], deleted: DataFrame
+) -> int:
+    """Right-to-be-forgotten deletion from the persisted ANN index —
+    the purge counterpart of :func:`ann_index_append`, completing the
+    index lifecycle (build → append/stream → compact → delete). Removes
+    the given ``vec_id`` rows from the cluster-partitioned codes table
+    by rewriting ONLY the affected cluster partitions.
+
+    Works from ids ALONE: the purged vectors may no longer exist (the
+    point of a purge), so affected clusters come from one narrow
+    2-column scan of the codes table (vec_id, cluster — the same
+    honest scan floor as the dedup-state purge; callers that still
+    hold the vectors could route them through the frozen centroids and
+    skip it, but purge-time that is exactly what cannot be assumed).
+    The affected cluster values collect to the driver (a probe-sized
+    list — clusters number k, not corpus) and gate everything else:
+
+    - the rewrite READS only those partitions (``cluster IN (...)``
+      planning-time partition pruning) and dynamic-partition-OVERWRITES
+      only the ones with surviving rows;
+    - clusters left EMPTY by the purge are dropped explicitly (dynamic
+      overwrite cannot write an empty partition, and leaving the stale
+      directory would resurrect every code in it).
+
+    Deletion is a pure row filter under the frozen model (no code
+    depends on any other row), so the surviving table is bit-identical
+    to a one-shot encode of the surviving corpus — asserted in tests.
+    NOT replay-idempotent in the ann_index_append sense: it is
+    idempotent outright (re-deleting removes nothing). Returns the
+    number of affected cluster partitions.
+    """
+    codes = spark.table(names["codes"])
+    dset = deleted.select(F.col("vec_id").alias("dvid")).distinct()
+    aff = sorted(
+        r.cluster
+        for r in codes.join(F.broadcast(dset), codes.vec_id == F.col("dvid"), "inner")
+        .select("cluster")
+        .distinct()
+        .collect()
+    )
+    if not aff:
+        return 0
+    touched = codes.filter(F.col("cluster").isin(aff))
+    remaining = touched.join(
+        F.broadcast(dset), touched.vec_id == F.col("dvid"), "left_anti"
+    )
+    nonempty = {
+        r.cluster for r in remaining.select("cluster").distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if nonempty:
+            (
+                remaining.repartition("cluster")
+                .write.mode("overwrite")
+                .insertInto(names["codes"])
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for c in aff:
+        if c not in nonempty:
+            spark.sql(
+                f"ALTER TABLE {names['codes']} DROP IF EXISTS PARTITION (cluster={int(c)})"
+            )
+    return len(aff)
+
+
 # Arrival split for the append demo surfaces: every 5th vector (by key
 # modulo — deterministic and SQL-mirrorable) "arrives" after the index
 # was built on the other 80%.
@@ -830,6 +899,54 @@ def ann_appended_index_tables(
         arrivals_pred = F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_REM
         _build_ivfpq(spark, emb.filter(~arrivals_pred), names, k_coarse, km_iters, m, k)
         ann_index_append(spark, names, emb.filter(arrivals_pred), m=m, k=k)
+        spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
+    return names
+
+
+# Purge split for the delete demo surface: vectors with
+# vec_id % 11 == 7 are "forgotten" after the build+append cycle.
+ANN_DELETE_MOD = 11
+ANN_DELETE_REM = 7
+
+
+def ann_deleted_index_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    k_coarse: int = 8,
+    km_iters: int = 2,
+    m: int = 8,
+    k: int = 16,
+) -> dict[str, str]:
+    """Materialize (once) the full index LIFECYCLE outcome: build on the
+    base 80%, append the arriving 20% against the frozen model, then
+    PURGE the ``vec_id % 11 == 7`` slice via :func:`ann_index_delete` —
+    the persisted state after an ingest cycle plus a
+    right-to-be-forgotten request. Prefix ``ivfpqd_`` keeps it isolated
+    from the append-only ``ivfpqa_`` tables other queries share (a
+    registered query must never mutate a sibling's canonical state).
+    Marker-guarded like the other multi-write builders."""
+    p = f"ivfpqd_{_tag(sf_dir)}_c{k_coarse}i{km_iters}m{m}k{k}"
+    names = {
+        "centroids": f"{p}_centroids",
+        "codebook": f"{p}_codebook",
+        "codes": f"{p}_codes",
+    }
+    marker = f"{p}_ready"
+    if not spark.catalog.tableExists(marker):
+        for t in (*names.values(), marker):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            _sweep_stale_location(spark, t)
+        emb = load_table(spark, sf_dir, "embeddings")
+        arrivals_pred = F.col("vec_id") % ANN_APPEND_MOD == ANN_APPEND_REM
+        _build_ivfpq(spark, emb.filter(~arrivals_pred), names, k_coarse, km_iters, m, k)
+        ann_index_append(spark, names, emb.filter(arrivals_pred), m=m, k=k)
+        ann_index_delete(
+            spark,
+            names,
+            emb.filter(
+                F.col("vec_id") % ANN_DELETE_MOD == ANN_DELETE_REM
+            ).select("vec_id"),
+        )
         spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
     return names
 

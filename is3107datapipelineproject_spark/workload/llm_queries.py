@@ -2993,6 +2993,67 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_index_delete",
+    oracle=f"""
+WITH {_KMA_CTES},
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code, v
+  FROM e ORDER BY vec_id LIMIT {PQ_K}
+),
+cb AS (
+  SELECT s.sub, seeds.code,
+         seeds.v[(s.sub * {_PQ_SUBD} + 1):(s.sub * {_PQ_SUBD} + {_PQ_SUBD})] AS cw
+  FROM (SELECT unnest(generate_series(0, {PQ_M - 1})) AS sub) s, seeds
+),
+enc AS (
+  SELECT vec_id, CAST(sub AS INT) AS sub, code FROM (
+    SELECT eall.vec_id, cb.sub, cb.code,
+           row_number() OVER (
+             PARTITION BY eall.vec_id, cb.sub
+             ORDER BY round(list_sum(list_transform(
+                 list_zip(eall.v[(cb.sub * {_PQ_SUBD} + 1):(cb.sub * {_PQ_SUBD} + {_PQ_SUBD})], cb.cw),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))), 6) ASC, cb.code ASC) AS rn
+    FROM eall, cb
+  ) WHERE rn = 1
+)
+SELECT CAST(a.cid AS INT) AS cluster,
+       CAST(sum(CASE WHEN enc.sub = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vectors,
+       CAST(sum(enc.code) AS BIGINT) AS code_sum
+FROM enc JOIN {_KMA_FINAL} a USING (vec_id)
+WHERE enc.vec_id % 11 <> 7
+GROUP BY 1
+""",
+    tags=("similarity", "pq", "materialize", "incremental", "llm"),
+)
+def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-lifecycle purge audit
+    (plans/indexes.py::ann_deleted_index_tables): build on the base
+    80%, append the arriving 20% against the frozen model, then DELETE
+    the ``vec_id %% 11 == 7`` slice via ann_index_delete — which
+    rewrites ONLY the affected cluster partitions (planning-time
+    ``cluster IN`` pruning on the read, dynamic-partition overwrite on
+    the write, explicit drop of fully-emptied partitions). Returns
+    per-cluster totals read ONLY from the persisted purged table; the
+    oracle recomputes train-on-base / encode-everything from the raw
+    embeddings and filters the deleted slice at the END — deletion is a
+    pure row filter under the frozen model, so purged == never-ingested
+    (also bit-asserted in tests/test_indexes.py, including
+    untouched-partition file stability and outright idempotence)."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        ann_deleted_index_tables,
+    )
+
+    tabs = ann_deleted_index_tables(
+        spark, sf_dir, k_coarse=KMEANS_K, km_iters=KMEANS_ITERS, m=PQ_M, k=PQ_K
+    )
+    codes = spark.table(tabs["codes"])
+    return codes.groupBy(F.col("cluster").cast("int").alias("cluster")).agg(
+        F.sum(F.when(F.col("sub") == 0, 1).otherwise(0)).cast("long").alias("n_vectors"),
+        F.sum("code").cast("long").alias("code_sum"),
+    )
+
+
+@register(
     "vocab_coverage",
     oracle=f"""
 WITH tok AS (SELECT source, unnest({SQL_TOKS}) AS term FROM documents),

@@ -63,11 +63,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # ordered by last-driver-verified round ASCENDING, ties alphabetical,
 # truncated to the 50-slot window. `tools/evidence_gap.py --rotation`
 # computes the ordering mechanically from CORRECTNESS_r*.json; regenerate
-# the list below each round. Round-9 window: 3 edited + 4 new + ALL 39
-# remaining r3 rows + the 4 oldest r4 rows (the list runs two past the
-# 50-slot window; the driver truncates, so the last two r4 entries rotate
+# the list below each round. Round-9 window: 3 edited + 5 new + ALL 39
+# remaining r3 rows + the 3 oldest r4 rows (the list runs three past the
+# 50-slot window; the driver truncates, so the trailing r4 entries rotate
 # into r10). After this round no green row predates r4, and the remaining
-# 46 r4 rows fill most of the r10 window.
+# 47 r4 rows fill most of the r10 window.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # --- plans/code paths edited in round 9 -> re-sample first (3):
     # edit_neardup_pairs gained the short-title symmetric-deletion tier
@@ -76,12 +76,13 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "title_edit_neardup",
     "pagerank_from_merged_edges",
     "edge_table_build",
-    # --- new in round 9: no external evidence yet (4; budget:
-    # 50 - 0 backlog - 3 edited = 47 allowed, 4 used) ---
+    # --- new in round 9: no external evidence yet (5; budget:
+    # 50 - 0 backlog - 3 edited = 47 allowed, 5 used) ---
     "incremental_edit_neardup",
     "incremental_semantic_neardup",
     "incremental_neardup_clusters",
     "cluster_retract",
+    "ann_index_delete",
     # --- last driver-verified in r3 (oldest first, 39) ---
     "cosine_topk_bucketed",
     "curation_pipeline",

@@ -944,3 +944,85 @@ def test_incremental_renormalize_bit_identical_to_full(spark):
     assert "Exchange hashpartitioning" not in plan
     for t in (arc, f"{arc}_ready", f"{arc}_compactmeta", f"{arc}_touched", edges):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_index_delete_prunes_and_matches_surviving_encode(spark):
+    """Index-lifecycle purge: deleting vec_ids from the codes table must
+    (a) leave it bit-identical to a one-shot encode of the SURVIVING
+    corpus under the frozen model, (b) rewrite only the affected cluster
+    partitions (untouched partition files byte-identical), (c) drop a
+    fully-emptied cluster's partition instead of leaving a stale dir,
+    and (d) leave ivfpq_topk_from_index running unchanged."""
+    from is3107datapipelineproject_spark.operators.clustering import (
+        assign_to_centroids,
+    )
+    from is3107datapipelineproject_spark.operators.pq import (
+        ivfpq_topk_from_index,
+        pq_encode,
+    )
+    from is3107datapipelineproject_spark.plans.indexes import (
+        ann_appended_index_tables,
+        ann_index_delete,
+    )
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    tabs = ann_appended_index_tables(spark, SF)
+    emb = load_table(spark, SF, "embeddings")
+    codes = spark.table(tabs["codes"])
+    # pick one cluster to WIPE entirely + a handful of ids elsewhere
+    some = codes.select("vec_id", "cluster").distinct().collect()
+    by_cluster = {}
+    for r in some:
+        by_cluster.setdefault(r.cluster, []).append(r.vec_id)
+    wipe_cluster = min(by_cluster, key=lambda c: len(by_cluster[c]))
+    other_cluster = max(by_cluster, key=lambda c: len(by_cluster[c]))
+    victims = set(by_cluster[wipe_cluster]) | set(sorted(by_cluster[other_cluster])[:3])
+    untouched = [
+        c for c in by_cluster if c not in (wipe_cluster, other_cluster)
+    ]
+    assert untouched, "need at least one untouched cluster for the stability check"
+
+    before_files = _edges_files(spark, tabs["codes"])
+    n_aff = ann_index_delete(
+        spark, tabs, spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    )
+    assert n_aff == 2
+
+    surv = emb.filter(~F.col("vec_id").isin([int(v) for v in victims]))
+    cb = spark.table(tabs["codebook"])
+    cents = spark.table(tabs["centroids"])
+    want = {
+        (r.vec_id, r.sub, r.code, r.cluster)
+        for r in pq_encode(surv, "vec_id", "embedding", m=8, k=16, codebook=cb)
+        .join(
+            assign_to_centroids(surv, "vec_id", "embedding", cents).select(
+                "vec_id", "cluster"
+            ),
+            "vec_id",
+        )
+        .collect()
+    }
+    got = {
+        (r.vec_id, r.sub, r.code, r.cluster)
+        for r in spark.table(tabs["codes"]).collect()
+    }
+    assert got == want and len(got) > 0
+    # wiped cluster's partition is gone (no stale dir resurrecting codes)
+    assert not any(r.cluster == wipe_cluster for r in spark.table(tabs["codes"]).select("cluster").distinct().collect())
+    parts = [str(r[0]) for r in spark.sql(f"SHOW PARTITIONS {tabs['codes']}").collect()]
+    assert not any(f"cluster={wipe_cluster}" in p for p in parts)
+    # untouched cluster partitions were not rewritten
+    after_files = _edges_files(spark, tabs["codes"])
+    ub = {k: v for k, v in before_files.items() if any(f"cluster={c}/" in k for c in untouched)}
+    ua = {k: v for k, v in after_files.items() if any(f"cluster={c}/" in k for c in untouched)}
+    assert ub == ua and ub, "untouched partitions were rewritten"
+    # idempotent outright: re-deleting removes nothing
+    assert ann_index_delete(
+        spark, tabs, spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    ) == 0
+    # the query path runs unchanged over the purged index
+    q = emb.filter(F.col("vec_id") < 3)
+    assert ivfpq_topk_from_index(spark, tabs, q, "vec_id", "embedding", topn=5).count() > 0
+    # restore canonical artifacts for other tests
+    for t in tabs.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
