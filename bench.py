@@ -244,6 +244,9 @@ HEADLINE = [
     "cluster_retract",
     # round 9: ANN-index lifecycle purge (partition-pruned delete)
     "ann_index_delete",
+    # round 9: order deletion folded into the maintained co-purchase
+    # graph (negative-arc retraction)
+    "edge_table_retract",
 ]
 
 
@@ -261,6 +264,7 @@ BUILD_TIER = {
     "incremental_neardup_clusters",  # rebuilds corpus labels per call; production reads cluster_ingest_sink's table
     "cluster_retract",  # same: the per-call label rebuild is the demo cost
     "ann_index_delete",
+    "edge_table_retract",
     "copurchase_pagerank",
     "copurchase_kcore",
     "copurchase_bfs_hops",

@@ -244,7 +244,13 @@ def _renorm_incremental_tables(
     if not pbs:
         return 0, EDGE_PB_PARTS
     arcs = spark.table(arc_table).filter(F.col("pb").isin(pbs))
-    merged = arcs.groupBy("src", "dst").agg(F.sum("w").cast("long").alias("w"))
+    merged = (
+        arcs.groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+        # strictly-positive contract (see merged_edge_norm): a touched
+        # pair fully retracted since the last refresh must vanish here
+        .filter(F.col("w") > 0)
+    )
     outw = merged.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
     fresh = (
         merged.join(outw.hint("shuffle_hash"), "src")
@@ -261,6 +267,15 @@ def _renorm_incremental_tables(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # a retraction can empty a touched pb entirely: dynamic overwrite
+    # writes nothing for it, and the stale partition would resurrect its
+    # edges — drop explicitly (same hazard as ann_index_delete's wiped
+    # cluster). `fresh` is bounded by the touched partitions, so the
+    # distinct-pb probe is cheap.
+    nonempty = {r.pb for r in fresh.select("pb").distinct().collect()}
+    for pb in pbs:
+        if pb not in nonempty:
+            spark.sql(f"ALTER TABLE {edges} DROP IF EXISTS PARTITION (pb={int(pb)})")
     _clear_touched_log(spark, arc_table)
     return len(pbs), EDGE_PB_PARTS
 
@@ -536,6 +551,19 @@ def edge_table_append(
         spark, table, batch.select(F.col("l_partkey").alias("src"))
     )
     _write_pb_bucketed(copurchase_edge_arcs(batch), table, n_buckets, mode="append")
+    _maybe_compact_arcs(spark, table, n_buckets, compact_max_files, compact_delta_frac)
+
+
+def _maybe_compact_arcs(
+    spark: SparkSession,
+    table: str,
+    n_buckets: int,
+    compact_max_files: int | None,
+    compact_delta_frac: float | None,
+) -> None:
+    """Self-compaction policy shared by edge_table_append and
+    edge_table_retract (growth + small-files triggers; on fire, compact
+    and refresh the pre-normalized edges twin incrementally)."""
     if compact_max_files is None and compact_delta_frac is None:
         return
     from is3107datapipelineproject_spark.plans.layout import (
@@ -567,6 +595,47 @@ def edge_table_append(
         twin = table.replace("copurchase_arcs", "copurchase_edges")
         if twin != table and spark.catalog.tableExists(twin):
             _renorm_incremental_tables(spark, table, twin, n_buckets)
+
+
+def edge_table_retract(
+    spark: SparkSession,
+    table: str,
+    deleted_lineitem: DataFrame,
+    n_buckets: int = 16,
+    compact_max_files: int | None = 160,
+    compact_delta_frac: float | None = 0.2,
+) -> None:
+    """Retract DELETED orders' contributions from the bucketed arc
+    table — deletion at the same O(batch) cost as ingest, because the
+    arc table is ADDITIVE: compute the deleted orders' arcs with the
+    identical pair-gen and append them with NEGATED weights. The
+    merge-on-read views sum to exactly the rebuild-on-surviving-orders
+    weights, and their strictly-positive filter makes fully-retracted
+    pairs VANISH (an edge must disappear from BFS/k-core connectivity,
+    not linger at weight 0); compaction physically reclaims the
+    negative partials. Bit-identity vs a scratch build on the surviving
+    lineitem is pytest-asserted, including through compaction and the
+    incremental edges refresh (where a fully-emptied pb partition is
+    dropped explicitly).
+
+    Same contracts as edge_table_append: complete orders only (the
+    pair-generating unit — retracting a partial order would
+    under-subtract), NOT replay-idempotent (a re-retraction
+    double-subtracts; drive retryable deletion through a batch=<id>
+    sink or orchestrator dedupe), touched-pb logging BEFORE the write,
+    and the shared self-compaction policy. Over-retraction (deleting an
+    order that was never ingested) is a caller error: the positive
+    filter hides the negative residue from consumers, so pair it with a
+    dq_constraints-style audit if the deletion feed is untrusted."""
+    batch = deleted_lineitem.select("l_orderkey", "l_partkey").localCheckpoint(
+        eager=True
+    )
+    _record_touched(spark, table, batch.select(F.col("l_partkey").alias("src")))
+    neg = copurchase_edge_arcs(batch).withColumn(
+        "w", (-F.col("w")).cast("long")
+    )
+    _write_pb_bucketed(neg, table, n_buckets, mode="append")
+    _maybe_compact_arcs(spark, table, n_buckets, compact_max_files, compact_delta_frac)
 
 
 def compact_arc_table(
@@ -602,6 +671,9 @@ def compact_arc_table(
         spark.table(table)
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("long").alias("w"))
+        # drop fully-retracted pairs (see merged_edge_norm): compaction
+        # is where a retraction's negative partials physically disappear
+        .filter(F.col("w") > 0)
     )
     staged = f"{table}__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {staged}")
@@ -644,7 +716,15 @@ def merged_edge_norm(spark: SparkSession, table: str) -> DataFrame:
     scan's HashPartitioning(src). Returns the pre-normalized
     ``(src, dst, w, ow)`` frame every from-edges operator consumes."""
     arcs = spark.table(table)
-    merged = arcs.groupBy("src", "dst").agg(F.sum("w").cast("long").alias("w"))
+    merged = (
+        arcs.groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+        # retraction appends NEGATIVE arcs (edge_table_retract): a fully
+        # retracted pair sums to 0 and must VANISH — a 0-weight edge
+        # contributes nothing to rank sums but would poison BFS/k-core
+        # CONNECTIVITY. Strictly-positive is the merge-on-read contract.
+        .filter(F.col("w") > 0)
+    )
     outw = merged.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
     # SHUFFLE_HASH pin: the out-weight side is O(|V|) — same inverted
     # contract as broadcasting the rank vector — and BOTH sides already

@@ -682,6 +682,67 @@ def q_edge_table_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "edge_table_retract",
+    oracle="""
+WITH bridge AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem
+                WHERE l_orderkey % 13 <> 2),
+pairs AS (
+  SELECT a.m AS m1, b.m AS m2, CAST(count(*) AS BIGINT) AS w
+  FROM bridge a JOIN bridge b ON a.g = b.g AND a.m < b.m GROUP BY 1, 2
+),
+edges AS (SELECT m1 AS src, m2 AS dst, w FROM pairs
+          UNION ALL SELECT m2, m1, w FROM pairs)
+SELECT CAST(count(*) AS BIGINT) AS n_arcs,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_nodes,
+       CAST(sum(w) AS BIGINT) AS total_weight
+FROM edges
+""",
+    tags=("graph", "materialize", "incremental"),
+)
+def q_edge_table_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order deletion folded into the maintained co-purchase graph
+    (plans/indexes.py::edge_table_retract): build the bucketed arc
+    table from the full lineitem, then RETRACT the ``l_orderkey %% 13
+    == 2`` orders by appending their arcs with NEGATED weights — arc
+    additivity makes deletion the same O(batch) pair-gen as ingest,
+    and the merge-on-read view's strictly-positive filter makes fully
+    retracted pairs VANISH (weight-0 edges would poison BFS/k-core
+    connectivity). Returns the summary of the merged view; the oracle
+    recomputes it from the SURVIVING lineitem — retract ==
+    never-ingested. Bit-identity per (src,dst,w,ow) row, compaction
+    reclamation, and the emptied-pb partition drop are
+    pytest-asserted (tests/test_indexes.py)."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        _sweep_stale_location,
+        _tag,
+        _write_pb_bucketed,
+        copurchase_edge_arcs,
+        edge_table_retract,
+        merged_edge_norm,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    table = f"retractq_arcs_{_tag(sf_dir)}"
+    for t in (table, f"{table}_touched"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _sweep_stale_location(spark, t)
+    _write_pb_bucketed(copurchase_edge_arcs(li), table, 16)
+    edge_table_retract(
+        spark,
+        table,
+        li.filter(F.col("l_orderkey") % 13 == 2),
+        compact_max_files=None,
+        compact_delta_frac=None,
+    )
+    e = merged_edge_norm(spark, table)
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_arcs"),
+        F.countDistinct("src").cast("long").alias("n_nodes"),
+        F.sum("w").cast("long").alias("total_weight"),
+    )
+
+
 @register("pagerank_from_edges", oracle=_PAGERANK_ORACLE, tags=("graph", "iterative", "materialize"))
 def q_pagerank_from_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """copurchase_pagerank's amortized twin: identical result (same

@@ -966,6 +966,13 @@ def test_ann_index_delete_prunes_and_matches_surviving_encode(spark):
     )
     from is3107datapipelineproject_spark.sources.tables import load_table
 
+    # rebuild from scratch: sibling tests append SYNTHETIC vectors into
+    # the canonical ivfpqa codes table (ids ≥ 500), so reuse would break
+    # the encode-of-embeddings comparison below
+    probe = ann_appended_index_tables(spark, SF)
+    prefix = probe["codes"].removesuffix("_codes")
+    for t in (*probe.values(), f"{prefix}_ready"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
     tabs = ann_appended_index_tables(spark, SF)
     emb = load_table(spark, SF, "embeddings")
     codes = spark.table(tabs["codes"])
@@ -1023,6 +1030,92 @@ def test_ann_index_delete_prunes_and_matches_surviving_encode(spark):
     # the query path runs unchanged over the purged index
     q = emb.filter(F.col("vec_id") < 3)
     assert ivfpq_topk_from_index(spark, tabs, q, "vec_id", "embedding", topn=5).count() > 0
-    # restore canonical artifacts for other tests
-    for t in tabs.values():
+    # restore canonical artifacts for other tests: drop the MARKER too,
+    # or the builder would latch the dropped tables as complete
+    for t in (*tabs.values(), f"{prefix}_ready"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_edge_table_retract_matches_scratch_and_compaction(spark):
+    """Arc retraction (negative-arc append) == scratch build on the
+    surviving orders, exactly — through the merge-on-read view AND
+    through compaction (which physically reclaims the negative partials
+    and stores only strictly-positive weights)."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        _sweep_stale_location,
+        _write_pb_bucketed,
+        compact_arc_table,
+        copurchase_edge_arcs,
+        edge_table_retract,
+        merged_edge_norm,
+    )
+    from is3107datapipelineproject_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    table = "retract_arcs_test"
+    for t in (table, f"{table}_touched", f"{table}_ready", f"{table}__compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _sweep_stale_location(spark, t)
+    _write_pb_bucketed(copurchase_edge_arcs(li), table, 16)
+
+    deleted = li.filter(F.col("l_orderkey") % 13 == 2)
+    assert deleted.count() > 0
+    edge_table_retract(
+        spark, table, deleted, compact_max_files=None, compact_delta_frac=None
+    )
+    surv = li.filter(F.col("l_orderkey") % 13 != 2)
+    a = copurchase_edge_arcs(surv)
+    m = a.groupBy("src", "dst").agg(F.sum("w").cast("long").alias("w")).filter(
+        F.col("w") > 0
+    )
+    ow = m.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    want = {
+        (r.src, r.dst, r.w, r.ow)
+        for r in m.join(ow, "src").select("src", "dst", "w", "ow").collect()
+    }
+    got = {(r.src, r.dst, r.w, r.ow) for r in merged_edge_norm(spark, table).collect()}
+    assert got == want and len(got) > 0
+
+    # compaction reclaims the negative partials: view unchanged, stored
+    # arcs strictly positive, and the retracted rows are really gone
+    compact_arc_table(spark, table, n_buckets=16)
+    got2 = {(r.src, r.dst, r.w, r.ow) for r in merged_edge_norm(spark, table).collect()}
+    assert got2 == want
+    assert spark.table(table).filter(F.col("w") <= 0).count() == 0
+    for t in (table, f"{table}_touched", f"{table}_ready", f"{table}__compacting", f"{table}_compactmeta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_edge_retract_empties_pb_partition_in_edges_twin(spark):
+    """Full retraction of everything in a pb partition: the incremental
+    edges refresh must DROP the emptied partition (dynamic overwrite
+    cannot write an empty one; a stale dir would resurrect its edges)."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        _renorm_incremental_tables,
+        _refresh_edges_from_arcs,
+        _sweep_stale_location,
+        _write_pb_bucketed,
+        copurchase_edge_arcs,
+        edge_table_retract,
+    )
+
+    li0 = spark.createDataFrame(
+        [(7, 101), (7, 102)], "l_orderkey long, l_partkey long"
+    )
+    arc, edges = "retract_pb_arcs_test", "retract_pb_edges_test"
+    for t in (arc, edges, f"{arc}_touched", f"{arc}_ready"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _sweep_stale_location(spark, t)
+    _write_pb_bucketed(copurchase_edge_arcs(li0), arc, 4)
+    _refresh_edges_from_arcs(spark, arc, edges, n_buckets=4)
+    assert spark.table(edges).count() == 2  # both arc directions
+
+    edge_table_retract(
+        spark, arc, li0, n_buckets=4, compact_max_files=None, compact_delta_frac=None
+    )
+    _renorm_incremental_tables(spark, arc, edges, 4)
+    assert spark.table(edges).count() == 0
+    parts = [str(r[0]) for r in spark.sql(f"SHOW PARTITIONS {edges}").collect()]
+    assert parts == [], parts
+    for t in (arc, edges, f"{arc}_touched", f"{arc}_ready"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
