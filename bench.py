@@ -247,6 +247,8 @@ HEADLINE = [
     # round 9: order deletion folded into the maintained co-purchase
     # graph (negative-arc retraction)
     "edge_table_retract",
+    # round 9: the cluster family's amortized twin (persisted labels)
+    "neardup_clusters_from_state",
 ]
 
 
@@ -278,6 +280,7 @@ BUILD_TIER = {
     "ann_index_build",
     "ann_index_append",
     "fact_bucket_build",
+    "neardup_clusters_from_state",  # first run in a fresh warehouse pays the label build
 }
 
 

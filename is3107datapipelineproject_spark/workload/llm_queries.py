@@ -537,6 +537,28 @@ def q_cluster_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_clusters_from_state",
+    oracle=CLUSTERS_ORACLE_CTES + "SELECT doc_id, cluster_id FROM clusters",
+    tags=("dedup", "incremental", "materialize", "llm"),
+)
+def q_neardup_clusters_from_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neardup_clusters' amortized twin (same oracle): the cluster
+    labels come from the PERSISTED table the ingest loop maintains
+    (plans/indexes.py::cluster_label_table — built once through the
+    incremental contraction path, read ever after), so query cost is a
+    2-column scan instead of the corpus-wide pair-gen + fixpoint both
+    demo queries pay per call. The *_from_edges pattern applied to the
+    dedup family: the oracle still replays the FULL recursive closure,
+    so the driver re-certifies build+incremental == one-shot on every
+    sample."""
+    from is3107datapipelineproject_spark.plans.indexes import cluster_label_table
+
+    return spark.table(cluster_label_table(spark, sf_dir)).select(
+        "doc_id", "cluster_id"
+    )
+
+
+@register(
     "corpus_dedup_keep",
     oracle=CLUSTERS_ORACLE_CTES
     + """
