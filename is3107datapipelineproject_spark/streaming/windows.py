@@ -1014,6 +1014,57 @@ def cluster_purge_state(
     )
 
 
+def purge_stream_state(
+    spark: SparkSession,
+    path: str,
+    id_cols: tuple[str, ...],
+    deleted: DataFrame,
+    deleted_col: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> tuple[int, int]:
+    """Generic right-to-be-forgotten purge for the per-ROW streaming
+    state dirs (MinHash signature/pair logs, semantic member/pair logs
+    — any ``batch=<id>`` log whose rows belong to exactly the ids they
+    name): drop every row where ANY of ``id_cols`` matches a deleted
+    id, through compact_stream_dir's commit-log-gated rename-aside
+    rewrite. One function covers both sides of a pair log (pass
+    ``("new_id", "old_id")``) and the one-row-per-doc member/signature
+    logs (pass ``("doc_id",)`` / ``("vid",)``).
+
+    This is the SIMPLE tier of the purge story: these logs need no
+    recomputation, only row removal. The label log additionally needs
+    retraction (cluster_purge_state), the ANN codes table is
+    partition-pruned in place (ann_index_delete), the arc table
+    retracts by negative append (edge_table_retract) — and the
+    edit-tier title state is the documented IMPOSSIBLE case from ids
+    alone (it stores only min-id representatives + group sizes, so a
+    purged REPRESENTATIVE cannot be re-elected without the member list;
+    purge there requires the deleted docs' titles and a grp-decrement
+    rewrite, or a rebuild from the surviving corpus).
+
+    ``deleted`` is a 1-column frame; ``deleted_col`` names it (defaults
+    to the frame's only column). Quiesced-stream caveat as for every
+    compaction. Returns ``(files_before, files_after)``."""
+    from is3107datapipelineproject_spark.plans.layout import compact_stream_dir
+
+    dc = deleted_col or deleted.columns[0]
+    dset = deleted.select(F.col(dc).alias("__purged")).distinct().localCheckpoint(
+        eager=True
+    )
+
+    def drop_rows(df: DataFrame) -> DataFrame:
+        out = df
+        for c in id_cols:
+            out = out.join(
+                F.broadcast(dset), out[c] == F.col("__purged"), "left_anti"
+            )
+        return out
+
+    return compact_stream_dir(
+        spark, path, pre_merge=drop_rows, checkpoint_dir=checkpoint_dir
+    )
+
+
 def semantic_ingest_sink(
     centroids_table: str,
     members_dir: str,

@@ -1245,3 +1245,52 @@ def test_cluster_purge_state_forgets_and_future_ingest_is_clean(spark, tmp_path)
         for r in W.cluster_labels_read(spark, labels_dir).collect()
     }
     assert after == {(1, 1), (31, 1), (3, 3), (11, 3)}
+
+
+def test_purge_stream_state_semantic_and_minhash(spark, tmp_path):
+    """Generic row-removal purge over the per-row streaming state logs:
+    after purging vec 2 from the semantic sink's state, the member log
+    holds no purged rows, every pair NAMING the purged id is gone
+    (both sides of the pair log), survivors' rows are intact, and a
+    post-purge arrival pairs only against surviving members."""
+    from is3107datapipelineproject_spark.operators.clustering import kmeans_fit
+
+    schema = "vec_id LONG, embedding ARRAY<DOUBLE>"
+    b1 = [(1, [10.0, 0.0, 0.0]), (2, [10.0, 0.2, 0.0]), (3, [0.0, 10.0, 0.0])]
+    b2 = [(11, [10.0, 0.1, 0.0]), (12, [0.0, 10.0, 0.3])]
+    cents_table = "purge_sem_cents_test"
+    spark.sql(f"DROP TABLE IF EXISTS {cents_table}")
+    kmeans_fit(
+        spark.createDataFrame(b1, schema), "vec_id", "embedding", k=2, iters=2
+    ).write.mode("overwrite").format("parquet").saveAsTable(cents_table)
+    members_dir = str(tmp_path / "pg_members")
+    pairs_dir = str(tmp_path / "pg_pairs")
+    sink = W.semantic_ingest_sink(cents_table, members_dir, pairs_dir, threshold=0.99)
+    sink(spark.createDataFrame(b1, schema), 0)
+    sink(spark.createDataFrame(b2, schema), 1)
+    pre_pairs = {
+        (r.new_id, r.old_id) for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert (11, 2) in pre_pairs  # the pair the purge must erase
+
+    deleted = spark.createDataFrame([(2,)], "vec_id LONG")
+    W.purge_stream_state(spark, members_dir, ("vid",), deleted)
+    W.purge_stream_state(spark, pairs_dir, ("new_id", "old_id"), deleted)
+
+    vids = {r.vid for r in spark.read.parquet(members_dir).collect()}
+    assert vids == {1, 3, 11, 12}
+    post_pairs = {
+        (r.new_id, r.old_id) for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert post_pairs == {p for p in pre_pairs if 2 not in p}
+    assert (11, 1) in post_pairs  # survivor pair intact
+
+    # forgotten stays forgotten: a new arrival near the purged vector
+    # pairs only with surviving members
+    sink(spark.createDataFrame([(21, [10.0, 0.15, 0.0])], schema), 2)
+    newp = {
+        (r.new_id, r.old_id)
+        for r in spark.read.parquet(pairs_dir).filter(F.col("batch") == 2).collect()
+    }
+    assert all(o != 2 for _, o in newp) and (21, 1) in newp
+    spark.sql(f"DROP TABLE IF EXISTS {cents_table}")
