@@ -69,6 +69,12 @@ DEFAULT_OPS = [
     "tfidf_top_terms",
     "events_dedup_keys",
     "click_purchase_attribution",
+    # round 9: incremental/lifecycle surfaces
+    "incremental_neardup_clusters",
+    "cluster_retract",
+    "ann_index_delete",
+    "edge_table_retract",
+    "neardup_clusters_from_state",
 ]
 
 
