@@ -247,8 +247,9 @@ HEADLINE = [
     # round 9: order deletion folded into the maintained co-purchase
     # graph (negative-arc retraction)
     "edge_table_retract",
-    # round 9: the cluster family's amortized twin (persisted labels)
+    # round 9: the cluster family's amortized twins (persisted labels)
     "neardup_clusters_from_state",
+    "corpus_dedup_keep_from_state",
 ]
 
 
@@ -281,6 +282,7 @@ BUILD_TIER = {
     "ann_index_append",
     "fact_bucket_build",
     "neardup_clusters_from_state",  # first run in a fresh warehouse pays the label build
+    "corpus_dedup_keep_from_state",
 }
 
 

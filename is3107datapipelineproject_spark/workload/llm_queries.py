@@ -559,6 +559,35 @@ def q_neardup_clusters_from_state(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "corpus_dedup_keep_from_state",
+    oracle=CLUSTERS_ORACLE_CTES
+    + """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.cluster_id
+""",
+    tags=("dedup", "incremental", "materialize", "llm"),
+)
+def q_corpus_dedup_keep_from_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_dedup_keep's amortized twin (same oracle): the keep list
+    — one min-id survivor per near-dup cluster — read from the
+    PERSISTED label table instead of re-running pair-gen + fixpoint per
+    call. The production dedup chain end to end: ingest maintains
+    labels (cluster_ingest_sink), purge repairs them
+    (cluster_purge_state), and the keep decision is a filter + join
+    (label == own id) over the maintained state."""
+    from is3107datapipelineproject_spark.plans.indexes import cluster_label_table
+
+    labels = spark.table(cluster_label_table(spark, sf_dir))
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        labels.filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id")
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+    )
+
+
+@register(
     "corpus_dedup_keep",
     oracle=CLUSTERS_ORACLE_CTES
     + """

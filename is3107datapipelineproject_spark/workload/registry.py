@@ -63,8 +63,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # ordered by last-driver-verified round ASCENDING, ties alphabetical,
 # truncated to the 50-slot window. `tools/evidence_gap.py --rotation`
 # computes the ordering mechanically from CORRECTNESS_r*.json; regenerate
-# the list below each round. Round-9 window: 3 edited + 7 new + ALL 39
-# remaining r3 rows + the oldest r4 row (the list runs five past the
+# the list below each round. Round-9 window: 3 edited + 8 new + ALL 39
+# remaining r3 rows (the list runs six past the
 # 50-slot window; the driver truncates, so the trailing r4 entries rotate
 # into r10). After this round no green row predates r4, and the remaining
 # 47 r4 rows fill most of the r10 window.
@@ -76,8 +76,8 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "title_edit_neardup",
     "pagerank_from_merged_edges",
     "edge_table_build",
-    # --- new in round 9: no external evidence yet (7; budget:
-    # 50 - 0 backlog - 3 edited = 47 allowed, 7 used) ---
+    # --- new in round 9: no external evidence yet (8; budget:
+    # 50 - 0 backlog - 3 edited = 47 allowed, 8 used) ---
     "incremental_edit_neardup",
     "incremental_semantic_neardup",
     "incremental_neardup_clusters",
@@ -85,6 +85,7 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "ann_index_delete",
     "edge_table_retract",
     "neardup_clusters_from_state",
+    "corpus_dedup_keep_from_state",
     # --- last driver-verified in r3 (oldest first, 39) ---
     "cosine_topk_bucketed",
     "curation_pipeline",
