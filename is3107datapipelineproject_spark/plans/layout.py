@@ -427,6 +427,75 @@ def assert_stream_dir_healthy(spark: SparkSession, path: str) -> None:
             )
 
 
+def _purge_intent_path(state_dir: str) -> str:
+    return f"{state_dir}.purge_intent"
+
+
+def write_purge_intent(spark: SparkSession, state_dir: str, deleted_ids: DataFrame) -> None:
+    """Stage a durable PURGE-INTENT marker before a multi-directory purge
+    (cluster_purge_state rewrites labels THEN bands; edit_purge_state
+    rewrites four dirs): the marker holds the deleted-id set as parquet,
+    so a crash between the component rewrites is recoverable — the next
+    purge call (or an explicit resume) re-runs every rewrite with the
+    stored set (each component rewrite is idempotent for an
+    already-purged set), and the ingest sinks REFUSE to run while the
+    marker exists, closing the window where purged docs' surviving
+    partial state could re-enter the corpus. Without it, a crash after
+    the labels rewrite but before the bands rewrite leaves purged bands
+    live: the next ingest pairs against them and the label-less purged
+    id can be resurrected as a cluster root.
+
+    The marker itself is staged atomically (write to a ``.tmp`` sibling,
+    then a single rename): at no crash point does a half-written marker
+    block or corrupt recovery."""
+    marker = _purge_intent_path(state_dir)
+    tmp = f"{marker}.tmp"
+    mp, fs = _hadoop_fs(spark, marker)
+    tp, _ = _hadoop_fs(spark, tmp)
+    if fs.exists(tp):
+        fs.delete(tp, True)
+    deleted_ids.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if fs.exists(mp):
+        fs.delete(mp, True)
+    if not fs.rename(tp, mp):
+        raise IOError(f"purge-intent rename {tmp} -> {marker} failed")
+
+
+def read_purge_intent(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The pending deleted-id frame staged by :func:`write_purge_intent`,
+    or None when no purge is in flight."""
+    marker = _purge_intent_path(state_dir)
+    mp, fs = _hadoop_fs(spark, marker)
+    if not fs.exists(mp):
+        return None
+    return spark.read.parquet(marker)
+
+
+def clear_purge_intent(spark: SparkSession, state_dir: str) -> None:
+    """Drop the marker — called ONLY after every component rewrite of
+    the composite purge has completed."""
+    marker = _purge_intent_path(state_dir)
+    mp, fs = _hadoop_fs(spark, marker)
+    if fs.exists(mp):
+        fs.delete(mp, True)
+
+
+def assert_no_purge_intent(spark: SparkSession, state_dir: str, what: str) -> None:
+    """Ingest-sink guard: refuse to fold a batch into state while a
+    composite purge is incomplete (marker present). Running anyway would
+    pair the batch against partially-purged state — e.g. purged bands
+    whose labels are already gone — and write forgotten ids back into
+    surviving rows, which a purge re-run can no longer repair."""
+    mp, fs = _hadoop_fs(spark, _purge_intent_path(state_dir))
+    if fs.exists(mp):
+        raise RuntimeError(
+            f"{what}: a purge over {state_dir} is incomplete "
+            f"({_purge_intent_path(state_dir)} exists) — re-run the purge "
+            "(any deleted set, the pending one is merged in) to complete "
+            "it before ingesting"
+        )
+
+
 def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S7 (`main_dag.py:248-262`): single-file headered CSV cache — the
     reference's inter-stage handoff format. coalesce(1) is deliberate

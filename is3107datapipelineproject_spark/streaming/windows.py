@@ -858,9 +858,11 @@ def cluster_ingest_sink(
         incremental_neardup_from_bands,
         minhash_neardup_pairs,
     )
+    from is3107datapipelineproject_spark.plans.layout import assert_no_purge_intent
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        assert_no_purge_intent(spark, labels_dir, "cluster_ingest_sink")
         nb = band_signature_frame(batch_df, text_col, id_col, k).localCheckpoint(
             eager=True
         )
@@ -967,16 +969,38 @@ def cluster_purge_state(
     stream caveat as for every compaction; after the purge, subsequent
     ingest batches pair only against surviving state (asserted in
     tests — the forgotten docs stay forgotten).
+
+    The TWO rewrites are made atomic-in-effect by a PURGE-INTENT marker
+    (plans/layout.py::write_purge_intent on ``labels_dir``): the
+    deleted-id set is staged durably BEFORE the first rewrite and
+    cleared only after the second, cluster_ingest_sink refuses to fold
+    batches while the marker exists, and a crashed purge is completed
+    by simply calling this function again (any ``deleted`` frame — the
+    pending set is merged in; both purging pre-merges are idempotent
+    for already-purged ids, and sequential purges compose: state after
+    purge(A) then purge(B) equals purge(A ∪ B) equals never-ingested,
+    asserted in tests across every crash window).
     """
     from is3107datapipelineproject_spark.operators.dedup import (
         pairs_from_band_table,
         retract_from_cluster_state,
     )
-    from is3107datapipelineproject_spark.plans.layout import compact_stream_dir
-
-    dset = deleted.select(F.col(id_col).alias("did")).distinct().localCheckpoint(
-        eager=True
+    from is3107datapipelineproject_spark.plans.layout import (
+        clear_purge_intent,
+        compact_stream_dir,
+        read_purge_intent,
+        write_purge_intent,
     )
+
+    dset = deleted.select(F.col(id_col).alias("did")).distinct()
+    pending = read_purge_intent(spark, labels_dir)
+    if pending is not None:
+        # A prior purge crashed between its rewrites: merge its staged
+        # set in, so this run completes BOTH purges (exact — purges
+        # compose by union) before the marker clears.
+        dset = dset.unionByName(pending.toDF("did")).distinct()
+    dset = dset.localCheckpoint(eager=True)
+    write_purge_intent(spark, labels_dir, dset)
     # the labels pre-merge re-derives affected pairs from the PRE-purge
     # band table: safe lazily (no corpus-sized checkpoint — the round-8
     # convention) because the labels rewrite completes before the bands
@@ -1012,6 +1036,7 @@ def cluster_purge_state(
     compact_stream_dir(
         spark, sig_dir, pre_merge=purge_bands, checkpoint_dir=checkpoint_dir
     )
+    clear_purge_intent(spark, labels_dir)
 
 
 def purge_stream_state(

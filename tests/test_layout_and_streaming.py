@@ -1247,6 +1247,99 @@ def test_cluster_purge_state_forgets_and_future_ingest_is_clean(spark, tmp_path)
     assert after == {(1, 1), (31, 1), (3, 3), (11, 3)}
 
 
+def test_cluster_purge_crash_windows_recoverable(spark, tmp_path, monkeypatch):
+    """The composite purge's crash protocol (round-10 fix): the
+    deleted-id set is staged as a durable purge-intent marker BEFORE
+    the labels rewrite and cleared only after the bands rewrite, so the
+    previously-unrecoverable window — labels purged, bands still live —
+    (a) blocks ingest (the sink refuses while the marker exists, instead
+    of pairing against purged bands and resurrecting a forgotten id as
+    a cluster root) and (b) completes on the next purge call, whose
+    deleted set unions with the staged one (purges compose by union).
+    Both crash windows are simulated: before any rewrite, and between
+    the two rewrites; each resume must land on never-ingested state."""
+    from is3107datapipelineproject_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        neardup_clusters,
+    )
+
+    ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    tb = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    schema = "doc_id LONG, text STRING"
+    b1 = [(0, ta), (1, ta), (2, ta)]
+    b2 = [(3, tb), (11, tb)]
+
+    real_compact = L.compact_stream_dir
+
+    def crash_after(n_calls):
+        state = {"n": 0}
+
+        def wrapper(*a, **kw):
+            if state["n"] >= n_calls:
+                raise RuntimeError("injected crash")
+            state["n"] += 1
+            return real_compact(*a, **kw)
+
+        return wrapper
+
+    for crash_at, window in ((0, "before any rewrite"), (1, "between the rewrites")):
+        sig_dir = str(tmp_path / f"pgc_sigs_{crash_at}")
+        labels_dir = str(tmp_path / f"pgc_labels_{crash_at}")
+        sink = W.cluster_ingest_sink(sig_dir, labels_dir)
+        sink(spark.createDataFrame(b1, schema), 0)
+        sink(spark.createDataFrame(b2, schema), 1)
+
+        monkeypatch.setattr(L, "compact_stream_dir", crash_after(crash_at))
+        try:
+            W.cluster_purge_state(
+                spark, labels_dir, sig_dir, spark.createDataFrame([(0,)], "doc_id LONG")
+            )
+            raise AssertionError(f"injected crash did not fire ({window})")
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+        monkeypatch.setattr(L, "compact_stream_dir", real_compact)
+
+        # the marker survives the crash and the ingest sink refuses
+        assert L.read_purge_intent(spark, labels_dir) is not None
+        try:
+            sink(spark.createDataFrame([(31, ta)], schema), 2)
+            raise AssertionError("sink ingested during an incomplete purge")
+        except RuntimeError as e:
+            assert "purge" in str(e) and labels_dir in str(e)
+
+        # resume: a later purge request for doc 2 must ALSO complete the
+        # staged purge of doc 0 (union composition)
+        W.cluster_purge_state(
+            spark, labels_dir, sig_dir, spark.createDataFrame([(2,)], "doc_id LONG")
+        )
+        assert L.read_purge_intent(spark, labels_dir) is None
+        surv = spark.createDataFrame([(1, ta), (3, tb), (11, tb)], schema)
+        want = {
+            (r.doc_id, r.cluster_id)
+            for r in neardup_clusters(
+                surv, minhash_neardup_pairs(surv, "text", "doc_id"), "doc_id"
+            ).collect()
+        }
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in W.cluster_labels_read(spark, labels_dir).collect()
+        }
+        assert got == want == {(1, 1), (3, 3), (11, 3)}, window
+        sig_ids = {
+            r.doc_id
+            for r in spark.read.parquet(sig_dir).select("doc_id").distinct().collect()
+        }
+        assert sig_ids == {1, 3, 11}, window
+
+        # ingest unblocks and the forgotten docs stay forgotten
+        sink(spark.createDataFrame([(31, ta)], schema), 2)
+        after = {
+            (r.doc_id, r.cluster_id)
+            for r in W.cluster_labels_read(spark, labels_dir).collect()
+        }
+        assert after == {(1, 1), (31, 1), (3, 3), (11, 3)}, window
+
+
 def test_purge_stream_state_semantic_and_minhash(spark, tmp_path):
     """Generic row-removal purge over the per-row streaming state logs:
     after purging vec 2 from the semantic sink's state, the member log
