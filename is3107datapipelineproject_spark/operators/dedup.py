@@ -763,12 +763,15 @@ def retract_from_cluster_state(
 
     Scale shape: corpus label table and docs table are each touched by
     one broadcast-keyed join; re-derivation and fixpoint are bounded by
-    the affected-cluster mass (hot boilerplate clusters inherit
-    minhash_neardup_pairs' bounded-work guards). A deletion burst whose
-    affected mass approaches the corpus should take the one-shot
-    rebuild instead — the broadcast of the affected-member set is the
-    deliberate pressure valve that fails loudly rather than silently
-    degrading.
+    the affected-cluster mass. Hot boilerplate clusters inherit
+    minhash_neardup_pairs' bounded-work guards on the default text
+    re-derivation, and :func:`pairs_from_band_table` applies the same
+    sub-band + star tiers on the persisted-band-table path
+    (cluster_purge_state) — a custom ``pairs_fn`` is responsible for
+    its own bounds. A deletion burst whose affected mass approaches
+    the corpus should take the one-shot rebuild instead — the
+    broadcast of the affected-member set is the deliberate pressure
+    valve that fails loudly rather than silently degrading.
 
     ``pairs_fn`` (DataFrame of surviving affected docs → (doc1, doc2)
     pairs) overrides the default MinHash re-derivation — the seam the
@@ -912,18 +915,31 @@ def incremental_neardup(
 
 
 def band_signature_frame(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, with_sig: bool = False
 ) -> DataFrame:
     """``(doc_id, hs, band)`` — the exploded LSH band/signature frame,
     the thing a production ingest PERSISTS per document so the corpus
     text is hashed exactly once, at ingest (see neardup_ingest_sink in
     streaming.windows). spread_small_input parallelizes the CPU-bound
     signature stage (an under-partitioned scan would serialize it on one
-    core — measured 3.7× on the corpus side at sf0.1)."""
+    core — measured 3.7× on the corpus side at sf0.1).
+
+    ``with_sig=True`` additionally carries the packed 16-minhash ``sig``
+    array (``(doc_id, hs, sig, band)``) — the column
+    :func:`pairs_from_band_table`'s hot-band second pass needs to
+    sub-band a boilerplate bucket, so state that may later be RETRACTED
+    (cluster_ingest_sink's band table) stores it; the default stays the
+    3-column shape the pure new×old join paths use."""
     sigs = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"), shingle_hash_set(text_col, k).alias("hs")
     ).select("doc_id", "hs", *minhash_signature_cols("hs"))
-    return sigs.select("doc_id", "hs", F.explode(F.array(*lsh_band_keys())).alias("band"))
+    keep = ["doc_id", "hs"]
+    if with_sig:
+        sigs = sigs.withColumn(
+            "sig", F.array(*[F.col(f"mh{j}") for j in range(MINHASH_K)])
+        )
+        keep.append("sig")
+    return sigs.select(*keep, F.explode(F.array(*lsh_band_keys())).alias("band"))
 
 
 def incremental_neardup_from_bands(
@@ -953,26 +969,138 @@ def incremental_neardup_from_bands(
     )
 
 
-def pairs_from_band_table(bands: DataFrame, threshold: float = 0.8) -> DataFrame:
+def pairs_from_band_table(
+    bands: DataFrame, threshold: float = 0.8, max_bucket: int = 1024
+) -> DataFrame:
     """Symmetric within-set MinHash pairs from a persisted band table
-    (``(doc_id, hs, band)`` — band_signature_frame's output): band-key
-    self-equi-join with doc1 < doc2, exact Jaccard verified on the
-    carried shingle sets, band-duplicate pairs collapsed. The
+    (band_signature_frame's output): bucket the rows by band key, emit
+    candidate pairs bucket-locally with their exact Jaccard (verified on
+    the carried shingle sets), collapse band duplicates. The
     re-derivation path for state that stores SIGNATURES but not text —
     cluster_purge_state retracts labels from the streaming sink's band
     table through this (the corpus text was hashed once at ingest and
-    never needs re-reading)."""
-    a = bands.toDF("doc1", "hs1", "band")
-    b = bands.toDF("doc2", "hs2", "band")
-    inter = F.size(F.array_intersect(F.col("hs1"), F.col("hs2"))).cast("double")
-    union = (F.size(F.col("hs1")) + F.size(F.col("hs2"))).cast("double") - inter
-    return (
-        a.join(b, "band")
-        .filter(F.col("doc1") < F.col("doc2"))
-        .select("doc1", "doc2", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .distinct()
+    never needs re-reading).
+
+    Hot-band handling mirrors :func:`minhash_neardup_pairs`'s bounded-
+    work contract (deliberately the same shapes, kept un-factored this
+    round so that function's round-9-verified plan stays untouched —
+    see SCALING part 21): buckets over ``max_bucket`` take a finer
+    second banding pass on the out-of-band minhashes when the table
+    carries the packed ``sig`` column (``band_signature_frame(...,
+    with_sig=True)`` — what cluster_ingest_sink persists), and residual
+    hot sub-buckets degrade to a min-id STAR — O(n) connectivity-
+    preserving pairs, never an unbounded self-join. A LEGACY 3-column
+    table (no ``sig``) cannot sub-band, so its hot buckets go straight
+    to the star tier; either way a boilerplate band costs O(n), which
+    is what cluster_purge_state's re-derivation needs to stay bounded
+    by the affected-cluster mass. Note the guard tiers fire on the
+    bucket sizes of the frame THIS call sees: a retraction restricted
+    to affected survivors sees smaller buckets than the full-corpus
+    build did, so around the ``max_bucket`` boundary the star tier may
+    legitimately produce edges the build-time star dropped (both are
+    true ≥ threshold pairs); below the guard boundary — every planted
+    fixture and both testdata SFs — the pair sets are identical."""
+    has_sig = "sig" in bands.columns
+    base = bands.select(
+        "doc_id",
+        F.col("hs").alias("shingles"),
+        *(["sig"] if has_sig else []),
+        "band",
     )
+    item = (
+        F.struct("doc_id", "shingles", "sig") if has_sig else F.struct("doc_id", "shingles")
+    )
+    buckets = (
+        base.groupBy("band")
+        .agg(F.array_sort(F.collect_list(item)).alias("items"))
+        .filter(F.size("items") > 1)
+        .localCheckpoint(eager=True)
+    )
+
+    def pair_with_jaccard(x, y):
+        inter = F.size(F.array_intersect(x["shingles"], y["shingles"])).cast("double")
+        union = (F.size(x["shingles"]) + F.size(y["shingles"])).cast("double") - inter
+        return F.struct(
+            x["doc_id"].alias("doc1"),
+            y["doc_id"].alias("doc2"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+
+    def all_pairs(bucketed: DataFrame) -> DataFrame:
+        combos = F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x, i: F.transform(
+                        F.slice("items", i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))),
+                        lambda y: pair_with_jaccard(x, y),
+                    ),
+                )
+            )
+        )
+        return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
+
+    def star_pairs(bucketed: DataFrame) -> DataFrame:
+        combos = F.explode(
+            F.transform(
+                F.slice("items", 2, F.size("items") - 1),
+                lambda y: pair_with_jaccard(F.element_at("items", 1), y),
+            )
+        )
+        return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
+
+    small = buckets.filter(F.size("items") <= max_bucket)
+    hot = buckets.filter(F.size("items") > max_bucket)
+    if hot.limit(1).count() == 0:
+        return all_pairs(small).filter(F.col("jaccard") >= threshold).distinct()
+
+    if not has_sig:
+        pairs = all_pairs(small).unionByName(star_pairs(hot))
+        return pairs.filter(F.col("jaccard") >= threshold).distinct()
+
+    # second pass on the out-of-band minhashes (sig persisted): 2-row
+    # sub-bands collide at s² vs the first pass's s⁴ — recall inside the
+    # hot bucket strictly improves while chance collisions split.
+    b_idx = F.element_at(F.split("band", "-"), 1).cast("int")
+    hot_rows = hot.select(
+        F.col("band").alias("band0"), b_idx.alias("b0"), F.explode("items").alias("it")
+    ).select(
+        "band0",
+        "b0",
+        F.col("it.doc_id").alias("doc_id"),
+        F.col("it.shingles").alias("shingles"),
+        F.col("it.sig").alias("sig"),
+    )
+    indexed = F.transform("sig", lambda mh, i: F.struct(mh.alias("mh"), i.alias("idx")))
+    others = F.filter(
+        indexed,
+        lambda s: (s["idx"] < F.col("b0") * LSH_ROWS)
+        | (s["idx"] >= (F.col("b0") + 1) * LSH_ROWS),
+    )
+    hot_rows = hot_rows.select("band0", "doc_id", "shingles", others.alias("rest"))
+    sub_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(MINHASH_K - LSH_ROWS - 2), F.lit(2)),
+        lambda i: F.concat_ws(
+            ":",
+            F.col("band0"),
+            i,
+            F.element_at("rest", i + 1)["mh"],
+            F.element_at("rest", i + 2)["mh"],
+        ),
+    )
+    sub_buckets = (
+        hot_rows.select("doc_id", "shingles", F.explode(sub_keys).alias("band"))
+        .groupBy("band")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "shingles"))).alias("items"))
+        .filter(F.size("items") > 1)
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        all_pairs(small)
+        .unionByName(all_pairs(sub_buckets.filter(F.size("items") <= max_bucket)))
+        .unionByName(star_pairs(sub_buckets.filter(F.size("items") > max_bucket)))
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).distinct()
 
 
 def containment_pairs(

@@ -408,6 +408,64 @@ def compact_stream_dir(
     return before, _data_files(spark, path)
 
 
+def rewrite_stream_dir(
+    spark: SparkSession,
+    path: str,
+    rewrite,
+    checkpoint_dir: str | None = None,
+) -> tuple[int, int]:
+    """In-place transform of a ``batch=<id>`` stream-state dir that
+    PRESERVES per-batch provenance — the sibling of
+    :func:`compact_stream_dir` for state whose batch column is data,
+    not just log structure (the edit tier's member ledger: a future
+    purge recomputes each pair batch's values from the members with
+    strictly smaller batch ids, so flattening would overcount).
+
+    ``rewrite`` is ``DataFrame -> DataFrame`` over the frame WITH its
+    ``batch`` column and must keep that column; the result is written
+    back partitioned by ``batch`` through the same rename-aside swap
+    (full copy at ``path`` or a sibling at every instant, stale-sibling
+    auto-recovery) and the same committed-max-id gate as compaction.
+    Returns ``(files_before, files_after)``."""
+    p, fs = _hadoop_fs(spark, path)
+    old = f"{path}.compact_old"
+    op, _ = _hadoop_fs(spark, old)
+    if fs.exists(op):
+        if fs.exists(p):
+            fs.delete(op, True)
+        else:
+            if not fs.rename(op, p):
+                raise IOError(f"recovery rename {old} -> {path} failed")
+    before = _data_files(spark, path)
+    df = spark.read.parquet(path)
+    if checkpoint_dir is not None:
+        max_batch = int(df.agg(F.max("batch")).first()[0])
+        committed = committed_stream_batches(spark, checkpoint_dir)
+        if max_batch not in committed:
+            raise RuntimeError(
+                f"refusing to rewrite {path}: on-disk batch={max_batch} is not in "
+                f"{checkpoint_dir}/commits; a restart would replay it and its "
+                "per-batch overwrite would clash with the rewritten state"
+            )
+    out = rewrite(df)
+    if "batch" not in out.columns:
+        raise ValueError("rewrite_stream_dir: the rewrite must keep the `batch` column")
+    tmp = f"{path}.compact_tmp"
+    tp, tfs = _hadoop_fs(spark, tmp)
+    if tfs.exists(tp):
+        tfs.delete(tp, True)
+    out.repartition(F.col("batch")).write.mode("overwrite").partitionBy("batch").parquet(tmp)
+    if not fs.rename(p, op):
+        raise IOError(f"aside rename {path} -> {old} failed; corpus untouched at {path}")
+    if not fs.rename(tp, p):
+        raise IOError(
+            f"swap rename failed; complete data is at {old} (original) and {tmp} "
+            f"(rewritten) — rename either to {path}"
+        )
+    fs.delete(op, True)
+    return before, _data_files(spark, path)
+
+
 def assert_stream_dir_healthy(spark: SparkSession, path: str) -> None:
     """Cold-start guard for the ingest sinks: a MISSING corpus dir is a
     legitimate first-batch state ONLY if no crashed compaction left a

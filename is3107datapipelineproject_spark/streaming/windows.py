@@ -612,6 +612,7 @@ def edit_ingest_sink(
     titles_dir: str,
     keys_dir: str,
     pairs_dir: str,
+    members_dir: str | None = None,
     id_col: str = "doc_id",
     title_col: str = "title",
     hot_key_cap: int = 4096,
@@ -662,7 +663,17 @@ def edit_ingest_sink(
     matter). Retry-safe via the ``batch=<id>`` OVERWRITE pattern with
     corpus reads filtered to strictly EARLIER batch ids — a replayed
     micro-batch rewrites its own titles/keys/pairs and never treats
-    its own partial output as pre-existing corpus."""
+    its own partial output as pre-existing corpus.
+
+    ``members_dir`` (strongly recommended) additionally persists the
+    per-batch MEMBER LEDGER ``(doc_id, tt)`` — one narrow row per
+    arriving doc. The titles state alone stores only batch-local
+    representatives, so a purged representative could not be re-elected
+    from it; the ledger is what makes :func:`edit_purge_state` exact
+    (decrement group sizes, re-elect the next-min surviving member,
+    recompute each historical pair batch from the members that preceded
+    it). Without it the sink behaves as before and the edit state's
+    right-to-be-forgotten path is a documented seam."""
     from pyspark.errors import AnalysisException
 
     from is3107datapipelineproject_spark.operators.dedup import (
@@ -670,9 +681,11 @@ def edit_ingest_sink(
         _edit_index_keys,
         _edit_probe_keys,
     )
+    from is3107datapipelineproject_spark.plans.layout import assert_no_purge_intent
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        assert_no_purge_intent(spark, titles_dir, "edit_ingest_sink")
         b = _edit_distinct_titles(batch_df, id_col, title_col).localCheckpoint(eager=True)
         keys_b = _edit_index_keys(b, "tid").localCheckpoint(eager=True)
         t_new = batch_df.select(
@@ -741,6 +754,10 @@ def edit_ingest_sink(
             pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={int(batch_id)}")
         keys_b.write.mode("overwrite").parquet(f"{keys_dir}/batch={int(batch_id)}")
         b.write.mode("overwrite").parquet(f"{titles_dir}/batch={int(batch_id)}")
+        if members_dir is not None:
+            batch_df.select(
+                F.col(id_col).alias("doc_id"), F.col(title_col).alias("tt")
+            ).write.mode("overwrite").parquet(f"{members_dir}/batch={int(batch_id)}")
 
     return apply
 
@@ -782,6 +799,19 @@ def edit_compact_state(
     out = compact_stream_dir(
         spark, titles_dir, pre_merge=collapse, checkpoint_dir=checkpoint_dir
     )
+    _rebuild_edit_keys(spark, titles_dir, keys_dir)
+    return out
+
+
+def _rebuild_edit_keys(spark: SparkSession, titles_dir: str, keys_dir: str) -> None:
+    """Swap in a fresh ``keys_dir`` derived from the CURRENT titles
+    state under its max batch id (rename-aside; the keys are a pure
+    function of the titles — DERIVED state, rebuildable from titles_dir
+    if a crash is ever suspected). Shared by edit_compact_state and
+    edit_purge_state."""
+    from is3107datapipelineproject_spark.operators.dedup import _edit_index_keys
+    from is3107datapipelineproject_spark.plans.layout import _hadoop_fs
+
     titles = spark.read.parquet(titles_dir)
     maxb = titles.agg(F.max("batch")).first()[0]
     keys = _edit_index_keys(titles.drop("batch"), "tid")
@@ -800,7 +830,150 @@ def edit_compact_state(
     if not fs.rename(tp, p):
         raise IOError(f"rename {tmp} -> {keys_dir} failed")
     fs.delete(op, True)
-    return out
+
+
+def edit_purge_state(
+    spark: SparkSession,
+    titles_dir: str,
+    keys_dir: str,
+    pairs_dir: str,
+    members_dir: str,
+    deleted: DataFrame,
+    id_col: str = "doc_id",
+    title_col: str = "title",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Right-to-be-forgotten purge of the edit-tier streaming state —
+    closing the purge matrix's last hole (SURVEY §5.6 documented this
+    as impossible from ids alone, because the titles state stores only
+    batch-local min-id representatives + group sizes: a purged
+    REPRESENTATIVE cannot be re-elected without knowing the other
+    members). Two things make it exact:
+
+    - a real deletion request carries the doomed docs' ids AND titles
+      (``deleted`` must have ``id_col`` and ``title_col``), and
+    - the sink's per-batch MEMBER LEDGER (``members_dir`` — one
+      ``(doc_id, tt)`` row per ingested doc), which holds exactly the
+      membership the titles state collapsed away.
+
+    The purge leaves every state dir as if the docs had never been
+    ingested (asserted in tests against a parallel never-ingested run):
+
+    1. ``members_dir``: drop the deleted rows, PRESERVING per-batch
+       provenance (rewrite_stream_dir) — later purges recompute
+       historical pair batches from it;
+    2. ``titles_dir``: re-collapse the surviving members globally
+       (min id, count — the exact never-ingested merge-on-read view;
+       a fully-deleted title vanishes, a purged representative is
+       re-elected to the next-min survivor);
+    3. ``keys_dir``: rebuilt from the collapsed titles (pure function);
+    4. ``pairs_dir``: rows whose ``new_id`` was deleted are dropped;
+       rows whose matched title group contained a deleted member are
+       RECOMPUTED from the surviving members that preceded their batch
+       (``old_id`` → min surviving earlier member, ``n_old`` → their
+       count, row dropped when none survive) — exactly what a replay
+       without the deleted docs would have produced, per batch;
+       untouched titles' rows pass through bit-identical.
+
+    Atomicity across the four rewrites follows the cluster tier's
+    purge-intent protocol: the ``(id, title)`` set is staged on
+    ``titles_dir`` before the first rewrite and cleared after the last;
+    edit_ingest_sink refuses to fold batches while the marker exists;
+    a crashed purge completes on the next call (every step is
+    idempotent for an already-purged set, and purges compose by union).
+
+    Scale shape: the deletion set broadcasts everywhere; the pair
+    recompute's per-title member collect is bounded by the AFFECTED
+    title groups' mass (the retract_from_cluster_state pressure valve —
+    a request hitting a corpus-sized boilerplate group should rebuild
+    instead); everything else is one narrow rewrite per state dir.
+    Quiesced-stream caveat as for every compaction."""
+    from is3107datapipelineproject_spark.plans.layout import (
+        clear_purge_intent,
+        compact_stream_dir,
+        read_purge_intent,
+        rewrite_stream_dir,
+        write_purge_intent,
+    )
+
+    dset = deleted.select(
+        F.col(id_col).alias("did"), F.col(title_col).alias("dtt")
+    ).distinct()
+    pending = read_purge_intent(spark, titles_dir)
+    if pending is not None:
+        dset = dset.unionByName(pending.toDF("did", "dtt")).distinct()
+    dset = dset.localCheckpoint(eager=True)
+    write_purge_intent(spark, titles_dir, dset)
+    dids = dset.select("did")
+
+    # 1. member ledger: row removal, batch layout preserved
+    def drop_members(df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(dids), df["doc_id"] == F.col("did"), "left_anti")
+
+    rewrite_stream_dir(spark, members_dir, drop_members, checkpoint_dir=checkpoint_dir)
+    mem = spark.read.parquet(members_dir)  # post-purge = never-ingested members
+
+    # 2. titles: the never-ingested collapse over surviving members
+    def recollapse(_df: DataFrame) -> DataFrame:
+        return (
+            mem.drop("batch")
+            .groupBy("tt")
+            .agg(F.min("doc_id").alias("tid"), F.count(F.lit(1)).cast("long").alias("grp"))
+            .select("tid", "tt", "grp")
+        )
+
+    compact_stream_dir(
+        spark, titles_dir, pre_merge=recollapse, checkpoint_dir=checkpoint_dir
+    )
+
+    # 3. keys: pure function of the collapsed titles
+    _rebuild_edit_keys(spark, titles_dir, keys_dir)
+
+    # 4. pairs: exact per-batch replay over surviving members
+    aff_titles = dset.select(F.col("dtt").alias("tt")).distinct()
+    id2tt = (
+        mem.select(F.col("doc_id").alias("old_id"), "tt")
+        .unionByName(dset.select(F.col("did").alias("old_id"), F.col("dtt").alias("tt")))
+        .distinct()
+    )
+    aff_mem = (
+        mem.join(F.broadcast(aff_titles), "tt", "left_semi")
+        .groupBy("tt")
+        .agg(F.collect_list(F.struct(F.col("batch").alias("b"), F.col("doc_id").alias("i"))).alias("ms"))
+    )
+
+    def rewrite_pairs(df: DataFrame) -> DataFrame:
+        kept = df.join(F.broadcast(dids), df["new_id"] == F.col("did"), "left_anti")
+        tagged = kept.join(id2tt, "old_id", "left")
+        unresolved = tagged.filter(F.col("tt").isNull()).limit(1).collect()
+        if unresolved:
+            raise ValueError(
+                f"edit_purge_state: pair row names old_id "
+                f"{unresolved[0].old_id} with no member-ledger or request "
+                f"title — the ledger must cover the sink's full history "
+                "(pass members_dir from the first batch on)"
+            )
+        untouched = tagged.join(
+            F.broadcast(aff_titles), "tt", "left_anti"
+        ).select("batch", "new_id", "old_id", "lev", "n_old")
+        before = F.filter("ms", lambda m: m["b"] < F.col("batch"))
+        affected = (
+            tagged.join(F.broadcast(aff_titles), "tt", "left_semi")
+            .join(aff_mem, "tt", "left")
+            .withColumn("__bf", F.coalesce(before, F.array()))
+            .withColumn("n_old", F.size("__bf").cast("long"))
+            .filter(F.col("n_old") >= 1)
+            .withColumn("old_id", F.array_min(F.transform("__bf", lambda m: m["i"])))
+            .select("batch", "new_id", "old_id", "lev", "n_old")
+        )
+        return untouched.unionByName(affected)
+
+    from is3107datapipelineproject_spark.plans.layout import _hadoop_fs
+
+    pp, pfs = _hadoop_fs(spark, pairs_dir)
+    if pfs.exists(pp):  # a one-batch corpus has no pair log yet
+        rewrite_stream_dir(spark, pairs_dir, rewrite_pairs, checkpoint_dir=checkpoint_dir)
+    clear_purge_intent(spark, titles_dir)
 
 
 def cluster_ingest_sink(
@@ -863,9 +1036,12 @@ def cluster_ingest_sink(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         assert_no_purge_intent(spark, labels_dir, "cluster_ingest_sink")
-        nb = band_signature_frame(batch_df, text_col, id_col, k).localCheckpoint(
-            eager=True
-        )
+        # with_sig: the persisted band table carries the packed minhash
+        # array so a later cluster_purge_state re-derivation keeps the
+        # hot-band sub-banding tier (pairs_from_band_table).
+        nb = band_signature_frame(
+            batch_df, text_col, id_col, k, with_sig=True
+        ).localCheckpoint(eager=True)
         older = F.col("batch") < batch_id
         try:
             corpus = spark.read.parquet(sig_dir).filter(older).drop("batch")
@@ -882,8 +1058,8 @@ def cluster_ingest_sink(
         ).select("doc1", "doc2")
         if corpus is not None:
             nx_old = incremental_neardup_from_bands(
-                corpus.toDF("old_id", "old_hs", "band"),
-                nb.toDF("new_id", "new_hs", "band"),
+                corpus.select("doc_id", "hs", "band").toDF("old_id", "old_hs", "band"),
+                nb.select("doc_id", "hs", "band").toDF("new_id", "new_hs", "band"),
                 threshold=threshold,
             ).select(F.col("new_id").alias("doc1"), F.col("old_id").alias("doc2"))
             edges = edges.unionByName(nx_old)
@@ -1060,12 +1236,12 @@ def purge_stream_state(
     recomputation, only row removal. The label log additionally needs
     retraction (cluster_purge_state), the ANN codes table is
     partition-pruned in place (ann_index_delete), the arc table
-    retracts by negative append (edge_table_retract) — and the
-    edit-tier title state is the documented IMPOSSIBLE case from ids
-    alone (it stores only min-id representatives + group sizes, so a
-    purged REPRESENTATIVE cannot be re-elected without the member list;
-    purge there requires the deleted docs' titles and a grp-decrement
-    rewrite, or a rebuild from the surviving corpus).
+    retracts by negative append (edge_table_retract), and the edit-tier
+    title state — impossible from ids alone, since it stores only
+    min-id representatives + group sizes — purges exactly through
+    :func:`edit_purge_state`, which combines the deletion request's
+    (id, title) pairs with the sink's member ledger to re-elect
+    representatives and replay historical pair batches over survivors.
 
     ``deleted`` is a 1-column frame; ``deleted_col`` names it (defaults
     to the frame's only column). Quiesced-stream caveat as for every

@@ -307,3 +307,100 @@ class TestIncrementalEditBoundaries:
         assert out == truth, (
             f"missed={set(truth) - set(out)} spurious={set(out) - set(truth)}"
         )
+
+
+class TestBandTableRetraction:
+    """The round-10 ADVICE-low finding: pairs_from_band_table (the
+    cluster purge's re-derivation over the persisted band table) was an
+    unguarded band self-join — a boilerplate band made the retraction
+    O(n²) and its semantics diverged from the guarded build path. It now
+    applies the same bounded-work tiers as minhash_neardup_pairs:
+    all-pairs below max_bucket, a sub-banding second pass when the table
+    carries the packed ``sig`` (what cluster_ingest_sink persists), and
+    a min-id star for residual hot buckets; legacy 3-column tables go
+    straight to the star tier. These cases fail on the unguarded
+    self-join (boilerplate case emits C(n,2)=15 pairs, not n-1=5)."""
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def test_parity_with_build_path_when_no_guard_fires(self, spark):
+        from is3107datapipelineproject_spark.operators.dedup import (
+            band_signature_frame,
+            minhash_neardup_pairs,
+            pairs_from_band_table,
+        )
+
+        ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        tb = ta.replace("india", "oscar")
+        tc = "one two three four five six seven eight nine ten eleven twelve"
+        docs = self._docs(spark, [(1, ta), (2, ta), (3, tb), (4, tc), (9, tc)])
+        want = {
+            (r.doc1, r.doc2, r.jaccard)
+            for r in minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+        }
+        for with_sig in (True, False):
+            table = band_signature_frame(docs, "text", "doc_id", with_sig=with_sig)
+            got = {
+                (r.doc1, r.doc2, r.jaccard)
+                for r in pairs_from_band_table(table, threshold=0.5).collect()
+            }
+            assert got == want and len(got) >= 2, f"with_sig={with_sig}"
+
+    def test_hot_band_degrades_to_star_not_quadratic(self, spark):
+        from is3107datapipelineproject_spark.operators.dedup import (
+            band_signature_frame,
+            pairs_from_band_table,
+        )
+
+        # 6 identical docs: every band (and every sub-band) is one hot
+        # bucket. With max_bucket=4 the guard must emit the 5-edge star
+        # to the min id, NOT the 15-edge clique — yet keep the cluster
+        # connected (retraction only needs connectivity).
+        t = "quick brown fox jumps over the lazy dog again and again ok"
+        docs = self._docs(spark, [(i, t) for i in (7, 3, 11, 5, 9, 13)])
+        star = {(3, d) for d in (5, 7, 9, 11, 13)}
+        for with_sig in (True, False):
+            table = band_signature_frame(docs, "text", "doc_id", with_sig=with_sig)
+            got = {
+                (r.doc1, r.doc2)
+                for r in pairs_from_band_table(table, max_bucket=4).collect()
+            }
+            assert got == star, f"with_sig={with_sig}: {got}"
+
+    def test_purge_rederivation_over_hot_state_stays_bounded(self, spark, tmp_path):
+        from is3107datapipelineproject_spark.operators.dedup import (
+            minhash_neardup_pairs,
+            neardup_clusters,
+        )
+        from is3107datapipelineproject_spark.streaming import windows as W
+
+        # end to end: ingest a boilerplate-heavy corpus through the
+        # cluster sink (persists sig), purge one member — the label
+        # rewrite re-derives pairs from the band table through the
+        # guarded path and must still equal one-shot-over-survivors.
+        t = "quick brown fox jumps over the lazy dog again and again ok"
+        u = "completely different text about ships and harbors at dawn yes"
+        rows = [(i, t) for i in (0, 1, 2, 4, 5, 6)] + [(8, u)]
+        sig_dir = str(tmp_path / "hot_sigs")
+        labels_dir = str(tmp_path / "hot_labels")
+        sink = W.cluster_ingest_sink(sig_dir, labels_dir)
+        sink(spark.createDataFrame(rows, "doc_id LONG, text STRING"), 0)
+        assert "sig" in spark.read.parquet(sig_dir).columns
+        W.cluster_purge_state(
+            spark, labels_dir, sig_dir, spark.createDataFrame([(0,)], "doc_id LONG")
+        )
+        surv = spark.createDataFrame(
+            [r for r in rows if r[0] != 0], "doc_id LONG, text STRING"
+        )
+        want = {
+            (r.doc_id, r.cluster_id)
+            for r in neardup_clusters(
+                surv, minhash_neardup_pairs(surv, "text", "doc_id"), "doc_id"
+            ).collect()
+        }
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in W.cluster_labels_read(spark, labels_dir).collect()
+        }
+        assert got == want == {(i, 1) for i in (1, 2, 4, 5, 6)} | {(8, 8)}

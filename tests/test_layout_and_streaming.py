@@ -1116,6 +1116,244 @@ def test_semantic_ingest_sink_matches_batch_incremental(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {cents_table}")
 
 
+def _edit_state_views(spark, titles_dir, keys_dir, pairs_dir, members_dir):
+    """Comparable merge-on-read views of the four edit-tier state dirs
+    (titles compare COLLAPSED — a purge rewrite flattens batch layout
+    by design, like compaction, so per-batch title rows are not part of
+    the contract; members and pairs keep batch provenance)."""
+    members = {
+        (r.batch, r.doc_id, r.tt) for r in spark.read.parquet(members_dir).collect()
+    }
+    titles = {
+        (r.tt, r.tid, r.grp)
+        for r in spark.read.parquet(titles_dir)
+        .drop("batch")
+        .groupBy("tt")
+        .agg(F.min("tid").alias("tid"), F.sum("grp").cast("long").alias("grp"))
+        .collect()
+    }
+    keys = {
+        (r.chunk, r.clen, r.sub, r.tid)
+        for r in spark.read.parquet(keys_dir).drop("batch").distinct().collect()
+    }
+    try:
+        pairs = {
+            (r.batch, r.new_id, r.old_id, r.lev, r.n_old)
+            for r in spark.read.parquet(pairs_dir).collect()
+        }
+    except Exception:
+        pairs = set()
+    return members, titles, keys, pairs
+
+
+def test_edit_purge_state_equals_never_ingested(spark, tmp_path):
+    """The purge matrix's last hole (SURVEY §5.6 called the edit-tier
+    state the one impossible-from-ids-alone case): with the sink's
+    member ledger and the deletion request's (id, title) pairs,
+    edit_purge_state must leave every state dir as if the deleted docs
+    had never been ingested. Planted hazards: doc 1 is the GLOBAL
+    REPRESENTATIVE of the boilerplate group (purge must re-elect doc 2
+    and decrement historical n_old per batch), doc 33 appears as a
+    new_id in a pair row (row must drop), and doc 7's title group
+    empties entirely (its partner's pair row must drop, and the title
+    must vanish from titles/keys). Verified by mutation during
+    development: skipping the pair recompute (pure row-drop) leaves
+    (21,1,0,2)/(31,1,0,3) rows naming the forgotten id and fails the
+    pair comparison."""
+    from is3107datapipelineproject_spark.streaming.windows import (
+        edit_ingest_sink,
+        edit_purge_state,
+    )
+
+    boiler = "frequently repeated boilerplate heading"  # 39 chars, long tier
+    b1 = [(1, boiler), (2, boiler), (5, "hello worl"), (7, "unique gone")]
+    b2 = [(21, boiler), (22, "short one")]
+    b3 = [(31, boiler), (33, "hallo worl"), (34, "short on"), (35, "unique gon")]
+    deleted = [(1, boiler), (33, "hallo worl"), (7, "unique gone")]
+    schema = "doc_id LONG, title STRING"
+
+    def ingest(tag, batches):
+        dirs = tuple(str(tmp_path / f"{tag}_{d}") for d in ("titles", "keys", "pairs", "members"))
+        sink = edit_ingest_sink(*dirs)
+        for i, b in enumerate(batches):
+            sink(spark.createDataFrame(b, schema), i)
+        return dirs
+
+    a = ingest("full", (b1, b2, b3))
+    edit_purge_state(spark, *a, spark.createDataFrame(deleted, schema))
+    dids = {d for d, _ in deleted}
+    b = ingest(
+        "never",
+        tuple([r for r in batch if r[0] not in dids] for batch in (b1, b2, b3)),
+    )
+    # the purge rewrite collapses titles/keys to global representatives
+    # (the compacted physical form); compact the never-ingested state so
+    # both sides are in canonical form — compaction is merge-on-read
+    # invariant (asserted in test_edit_ingest_sink_matches_batch_incremental)
+    from is3107datapipelineproject_spark.streaming.windows import edit_compact_state
+
+    edit_compact_state(spark, b[0], b[1])
+    va, vb = _edit_state_views(spark, *a), _edit_state_views(spark, *b)
+    for name, xa, xb in zip(("members", "titles", "keys", "pairs"), va, vb):
+        assert xa == xb, f"{name}: purged={xa - xb} never={xb - xa}"
+    # the planted hazards actually fired
+    _, titles, _, pairs = va
+    assert (boiler, 2, 3) in titles          # representative re-elected, size decremented
+    assert not any(t == "unique gone" for t, _, _ in titles)  # emptied group vanished
+    assert (1, 21, 2, 0, 1) in pairs         # historical row re-pointed to doc 2
+    assert (2, 31, 2, 0, 2) in pairs
+    assert not any(n in dids or o in dids for _, n, o, _, _ in pairs)
+    assert (2, 34, 22, 1, 1) in pairs        # untouched title bit-identical
+
+    # forgotten stays forgotten: identical post-purge arrivals pair
+    # identically in both worlds (re-elected rep, decremented group)
+    b4 = [(41, boiler), (42, "unique gon")]
+    for dirs in (a, b):
+        edit_ingest_sink(*dirs)(spark.createDataFrame(b4, schema), 3)
+    p_a = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in spark.read.parquet(a[2]).filter(F.col("batch") == 3).collect()
+    }
+    p_b = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in spark.read.parquet(b[2]).filter(F.col("batch") == 3).collect()
+    }
+    assert p_a == p_b
+    assert (41, 2, 0, 3) in p_a and not any(o in dids for _, o, _, _ in p_a)
+
+
+def test_edit_purge_crash_windows_recoverable(spark, tmp_path, monkeypatch):
+    """edit_purge_state inherits the cluster tier's purge-intent
+    protocol: the (id, title) set is staged before the first of the
+    four rewrites and cleared after the last; the sink refuses while
+    the marker exists; a crashed purge completes on the next call
+    (steps idempotent, purges compose by union). Crash windows: before
+    any rewrite, and between the member-ledger rewrite and the pair
+    rewrite."""
+    from is3107datapipelineproject_spark.streaming.windows import (
+        edit_ingest_sink,
+        edit_purge_state,
+    )
+
+    boiler = "frequently repeated boilerplate heading"
+    b1 = [(1, boiler), (2, boiler)]
+    b2 = [(21, boiler)]
+    schema = "doc_id LONG, title STRING"
+    real_rewrite = L.rewrite_stream_dir
+
+    def crash_after(n_calls):
+        state = {"n": 0}
+
+        def wrapper(*args, **kw):
+            if state["n"] >= n_calls:
+                raise RuntimeError("injected crash")
+            state["n"] += 1
+            return real_rewrite(*args, **kw)
+
+        return wrapper
+
+    for crash_at, window in ((0, "before any rewrite"), (1, "after members, before pairs")):
+        dirs = tuple(
+            str(tmp_path / f"ec{crash_at}_{d}") for d in ("titles", "keys", "pairs", "members")
+        )
+        sink = edit_ingest_sink(*dirs)
+        sink(spark.createDataFrame(b1, schema), 0)
+        sink(spark.createDataFrame(b2, schema), 1)
+
+        monkeypatch.setattr(L, "rewrite_stream_dir", crash_after(crash_at))
+        try:
+            edit_purge_state(spark, *dirs, spark.createDataFrame([(1, boiler)], schema))
+            raise AssertionError(f"injected crash did not fire ({window})")
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+        monkeypatch.setattr(L, "rewrite_stream_dir", real_rewrite)
+
+        assert L.read_purge_intent(spark, dirs[0]) is not None
+        try:
+            sink(spark.createDataFrame([(31, boiler)], schema), 2)
+            raise AssertionError("sink ingested during an incomplete purge")
+        except RuntimeError as e:
+            assert "purge" in str(e)
+
+        # resume completes the staged purge (empty new request)
+        edit_purge_state(
+            spark, *dirs, spark.createDataFrame([], schema)
+        )
+        assert L.read_purge_intent(spark, dirs[0]) is None
+        titles = {
+            (r.tt, r.tid, r.grp)
+            for r in spark.read.parquet(dirs[0]).drop("batch").collect()
+        }
+        assert titles == {(boiler, 2, 2)}, window  # re-elected, decremented
+        pairs = {
+            (r.new_id, r.old_id, r.lev, r.n_old)
+            for r in spark.read.parquet(dirs[2]).collect()
+        }
+        assert pairs == {(21, 2, 0, 1)}, window
+
+        sink(spark.createDataFrame([(31, boiler)], schema), 2)
+        got = {
+            (r.new_id, r.old_id, r.lev, r.n_old)
+            for r in spark.read.parquet(dirs[2]).filter(F.col("batch") == 2).collect()
+        }
+        assert got == {(31, 2, 0, 2)}, window  # forgotten stays forgotten
+
+
+def test_edit_sink_cross_batch_recollapse_seams(spark, tmp_path):
+    """Round-10 verdict item 6 — the cross-batch seams of the edit
+    sink's re-collapse, beyond the existing two-batch case: the same
+    title split across THREE batches; a later batch UNDERCUTTING an
+    earlier representative id (the global min arrives last); and the
+    hot boilerplate title spanning a compaction. Verified by mutation
+    during development: replacing the re-collapse's F.min(old_id) with
+    F.max fails the undercut case ((70,10,…) becomes (70,61,…))."""
+    from is3107datapipelineproject_spark.operators.dedup import (
+        incremental_edit_neardup,
+    )
+    from is3107datapipelineproject_spark.streaming.windows import (
+        edit_compact_state,
+        edit_ingest_sink,
+    )
+
+    t = "frequently repeated boilerplate heading"
+    t1 = t[:25] + "Z" + t[26:]
+    schema = "doc_id LONG, title STRING"
+    batches = ([(50, t)], [(10, t)], [(60, t), (61, t)])  # 3-way split; 10 undercuts 50
+    dirs = tuple(str(tmp_path / f"seam_{d}") for d in ("titles", "keys", "pairs", "members"))
+    sink = edit_ingest_sink(*dirs)
+    for i, b in enumerate(batches):
+        sink(spark.createDataFrame(b, schema), i)
+
+    # probe across all three seams: global min rep, summed group
+    sink(spark.createDataFrame([(70, t), (71, t1)], schema), 3)
+    got = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in spark.read.parquet(dirs[2]).filter(F.col("batch") == 3).collect()
+    }
+    want = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in incremental_edit_neardup(
+            spark.createDataFrame([r for b in batches for r in b], schema),
+            spark.createDataFrame([(70, t), (71, t1)], schema),
+            "doc_id",
+            "title",
+        ).collect()
+    }
+    assert got == want and (70, 10, 0, 4) in got and (71, 10, 1, 4) in got
+
+    # the hot title spans a compaction: state collapses to one global
+    # representative row and the NEXT batch re-collapses identically
+    edit_compact_state(spark, dirs[0], dirs[1])
+    assert spark.read.parquet(dirs[0]).filter(F.col("tt") == t).count() == 1
+    sink(spark.createDataFrame([(80, t)], schema), 7)
+    got7 = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in spark.read.parquet(dirs[2]).filter(F.col("batch") == 7).collect()
+    }
+    # (80, 71, 1, 1) is the lev-1 edge to batch 3's variant title
+    assert got7 == {(80, 10, 0, 5), (80, 71, 1, 1)}
+
+
 def test_cluster_ingest_sink_matches_oneshot_and_compacts(spark, tmp_path):
     """Streaming label maintenance == one-shot neardup_clusters over
     the full corpus: three document micro-batches through
