@@ -250,6 +250,11 @@ HEADLINE = [
     # round 9: the cluster family's amortized twins (persisted labels)
     "neardup_clusters_from_state",
     "corpus_dedup_keep_from_state",
+    # round 10: the purge story's amortized twin — retraction off the
+    # persisted label + band/signature tables (affected-cluster-bounded
+    # work; the tables are built during the warm-up run, so the timed
+    # row is the steady-state retraction cost → amortized tier)
+    "cluster_retract_from_state",
 ]
 
 

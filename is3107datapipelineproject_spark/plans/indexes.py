@@ -1028,6 +1028,32 @@ def cluster_label_table(spark: SparkSession, sf_dir: str) -> str:
     return table
 
 
+def band_signature_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once, marker-guarded) the PERSISTED LSH band/
+    signature table over documents — the ``sig_dir`` state
+    cluster_ingest_sink maintains in production, including the packed
+    minhash ``sig`` column so hot-band re-derivation keeps the
+    sub-banding tier (operators/dedup.py::pairs_from_band_table). This
+    is what lets a retraction re-derive affected clusters' pairs from
+    STORED signatures: the corpus text was hashed once at ingest and
+    never needs re-reading — it may not even exist anymore, which is
+    the point of a right-to-be-forgotten purge."""
+    from is3107datapipelineproject_spark.operators.dedup import band_signature_frame
+
+    table = f"neardup_bands_{_tag(sf_dir)}"
+    marker = f"{table}_ready"
+    if not spark.catalog.tableExists(marker):
+        for t in (table, marker):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            _sweep_stale_location(spark, t)
+        docs = load_table(spark, sf_dir, "documents")
+        band_signature_frame(docs, "text", "doc_id", with_sig=True).write.mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(table)
+        spark.range(1).coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(marker)
+    return table
+
+
 # Purge split for the delete demo surface: vectors with
 # vec_id % 11 == 7 are "forgotten" after the build+append cycle.
 ANN_DELETE_MOD = 11

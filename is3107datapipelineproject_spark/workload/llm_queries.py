@@ -537,6 +537,45 @@ def q_cluster_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cluster_retract_from_state",
+    oracle=_clusters_oracle("(SELECT * FROM documents WHERE doc_id % 17 <> 3)")
+    + "SELECT doc_id, cluster_id FROM clusters",
+    tags=("dedup", "incremental", "materialize", "iterative", "llm"),
+)
+def q_cluster_retract_from_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster_retract's amortized twin (same filtered-closure oracle):
+    the production right-to-be-forgotten shape. Labels come from the
+    PERSISTED label table (plans/indexes.py::cluster_label_table) and
+    the affected clusters' pairs are RE-DERIVED from the PERSISTED
+    band/signature table (band_signature_table → guarded
+    pairs_from_band_table) — neither the corpus text nor the untouched
+    clusters are re-read, so per-retraction cost is two narrow scans
+    plus work bounded by the affected-cluster mass, vs the full
+    pair-gen + corpus fixpoint the `cluster_retract` demo pays per call
+    (its oracle verifies the whole build). Same deletion set
+    (doc_id %% 17 == 3); the driver hash compare asserts
+    from-state retraction == one-shot-over-survivors."""
+    from is3107datapipelineproject_spark.plans.indexes import (
+        band_signature_table,
+        cluster_label_table,
+    )
+
+    labels = spark.table(cluster_label_table(spark, sf_dir))
+    bands = spark.table(band_signature_table(spark, sf_dir))
+    deleted = labels.filter(F.col("doc_id") % 17 == 3).select("doc_id")
+    return D.retract_from_cluster_state(
+        labels.select("doc_id"),
+        labels,
+        deleted,
+        id_col="doc_id",
+        pairs_fn=lambda aff: D.pairs_from_band_table(
+            bands.join(F.broadcast(aff.select("doc_id")), "doc_id", "left_semi"),
+            threshold=0.8,
+        ),
+    )
+
+
+@register(
     "neardup_clusters_from_state",
     oracle=CLUSTERS_ORACLE_CTES + "SELECT doc_id, cluster_id FROM clusters",
     tags=("dedup", "incremental", "materialize", "llm"),
