@@ -889,6 +889,7 @@ def edit_purge_state(
     instead); everything else is one narrow rewrite per state dir.
     Quiesced-stream caveat as for every compaction."""
     from is3107datapipelineproject_spark.plans.layout import (
+        _hadoop_fs,
         clear_purge_intent,
         compact_stream_dir,
         read_purge_intent,
@@ -967,8 +968,6 @@ def edit_purge_state(
             .select("batch", "new_id", "old_id", "lev", "n_old")
         )
         return untouched.unionByName(affected)
-
-    from is3107datapipelineproject_spark.plans.layout import _hadoop_fs
 
     pp, pfs = _hadoop_fs(spark, pairs_dir)
     if pfs.exists(pp):  # a one-batch corpus has no pair log yet
