@@ -140,25 +140,45 @@ def repetition_stats(df, text_col: str, id_col: str):
     - ``dup_2gram_frac``: 1 − distinct-bigram / bigram count (catches
       looping phrase repetition).
 
-    The bigram fraction is a narrow column expression carried through
-    the token-frequency aggregation as a grouping constant, so the whole
-    operator is one scan and one exchange chain on the doc id — no join
-    back to the corpus.
+    Both signals are per-row ARRAY expressions over the tokenized
+    document — ONE narrow scan, zero shuffles; the per-row cost is
+    O(distinct × len) string compares, trivially small next to the
+    tokenization itself.
+
+    Round-10 rewrite (the first sf0.1 annex-bench of this query caught
+    it at 243 s): the original shape exploded the tokens and carried
+    the bigram fraction through the aggregation as a grouping constant
+    — but that expression sat in the projection ABOVE the Generate, so
+    the O(len²) bigram/array_distinct work re-evaluated PER TOKEN ROW
+    (~50× per doc), on the single input partition a small parquet file
+    plans to. The lesson generalizes: an expensive expression in the
+    same select as an explode lands post-Generate and multiplies by
+    the fan-out — compute it per document in the Generate's CHILD, or
+    avoid the explode entirely (done here; spread_small_input restores
+    parallelism for small files). 243 s → <1 s; values bit-identical
+    (same integer counts, same 4-dp rounding), driver-oracle-verified.
     """
-    from is3107datapipelineproject_spark.operators.dedup import word_shingles
+    from is3107datapipelineproject_spark.operators.dedup import (
+        spread_small_input,
+        word_shingles,
+    )
 
     bigrams = word_shingles(text_col, k=2)
     dup = F.round(
         F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams).cast("double"),
         4,
     )
-    exploded = df.select(
-        F.col(id_col), dup.alias("dup_2gram_frac"), F.explode(ws_tokens(text_col)).alias("token")
+    toks = ws_tokens(text_col)
+    top_tf = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
     )
-    tf = exploded.groupBy(id_col, "dup_2gram_frac", "token").agg(F.count(F.lit(1)).alias("tf"))
-    return tf.groupBy(id_col, "dup_2gram_frac").agg(
-        F.round(F.max("tf").cast("double") / F.sum("tf").cast("double"), 4).alias("top_token_frac")
-    ).select(id_col, "top_token_frac", "dup_2gram_frac")
+    frac = F.round(top_tf.cast("double") / F.size(toks).cast("double"), 4)
+    return spread_small_input(df).select(
+        F.col(id_col), frac.alias("top_token_frac"), dup.alias("dup_2gram_frac")
+    )
 
 
 def tfidf_top_terms(df, text_col: str, id_col: str, top_n: int = 3):

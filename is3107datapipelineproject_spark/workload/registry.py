@@ -63,20 +63,25 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # ordered by last-driver-verified round ASCENDING, ties alphabetical,
 # truncated to the 50-slot window. `tools/evidence_gap.py --rotation`
 # computes the ordering mechanically from CORRECTNESS_r*.json; regenerate
-# the list below each round. Round-10 window: 1 new query + ALL 50
-# remaining r4 rows (the list runs ONE past the 50-slot window; the
-# driver truncates, so `xml_flatten` — which independently carries the
-# golden-fixture XML test — rotates into r11, where it joins a window
-# otherwise holding only the 47-row r5 cohort). The round-10 verdict
-# asked for both "no green row predates r5 after r10" and a new
-# registered from-state retraction query; with exactly 50 slots those
-# are arithmetically exclusive by one row — the new-query-first rule
-# wins (it has NO external evidence yet) and the one displaced r4 row
-# is named here. No round-9-verified query's executed plan changed in
-# round 10 (the purge/guard work lives on pytest-only sink paths;
-# band_signature_frame's new with_sig flag defaults off and the default
-# output is column-identical), so no edited-plan entries lead.
+# the list below each round. Round-10 window: 1 edited + 1 new query +
+# 48 of the 50 remaining r4 rows (the list runs TWO past the 50-slot
+# window; the driver truncates, so `window_rank_dense` and
+# `xml_flatten` — the latter independently carries the golden-fixture
+# XML test — rotate into r11, where they join a window otherwise
+# holding only the 47-row r5 cohort). The round-10 verdict asked for
+# both "no green row predates r5 after r10" and a new registered
+# from-state retraction query; with exactly 50 slots those are
+# arithmetically exclusive — edited/new-first wins (stale or absent
+# evidence is worse than old evidence) and the displaced r4 rows are
+# named here. The other round-10 code paths (purge/guard work) live on
+# pytest-only sink paths and band_signature_frame's new with_sig flag
+# defaults off with column-identical output, so they stale nothing.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
+    # --- plan edited in round 10 -> re-sample first (1):
+    # repetition_stats was rewritten as a narrow per-row scan after the
+    # first-ever sf0.1 annex bench caught the explode-sibling
+    # re-evaluation pathology (243 s -> ~1 s; same values) ---
+    "repetition_stats",
     # --- new in round 10: no external evidence yet (1) ---
     "cluster_retract_from_state",
     # --- last driver-verified in r4 (oldest-first rotation, 50) ---
