@@ -808,23 +808,30 @@ def _rebuild_edit_keys(spark: SparkSession, titles_dir: str, keys_dir: str) -> N
     state under its max batch id (rename-aside; the keys are a pure
     function of the titles — DERIVED state, rebuildable from titles_dir
     if a crash is ever suspected). Shared by edit_compact_state and
-    edit_purge_state."""
+    edit_purge_state. Same stale-sibling recovery prologue as
+    compact_stream_dir: a crash between the two renames leaves
+    ``keys_dir`` missing with the aside copy holding the old keys —
+    restore it first so a purge/compact RESUME rebuilds from a
+    consistent dir instead of failing on the aside rename."""
     from is3107datapipelineproject_spark.operators.dedup import _edit_index_keys
     from is3107datapipelineproject_spark.plans.layout import _hadoop_fs
 
+    old = f"{keys_dir}.compact_old"
+    p, fs = _hadoop_fs(spark, keys_dir)
+    op, _ = _hadoop_fs(spark, old)
+    if fs.exists(op):
+        if fs.exists(p):
+            fs.delete(op, True)
+        elif not fs.rename(op, p):
+            raise IOError(f"recovery rename {old} -> {keys_dir} failed")
     titles = spark.read.parquet(titles_dir)
     maxb = titles.agg(F.max("batch")).first()[0]
     keys = _edit_index_keys(titles.drop("batch"), "tid")
     tmp = f"{keys_dir}.compact_tmp"
-    p, fs = _hadoop_fs(spark, keys_dir)
     tp, _ = _hadoop_fs(spark, tmp)
     if fs.exists(tp):
         fs.delete(tp, True)
     keys.write.parquet(f"{tmp}/batch={int(maxb)}")
-    old = f"{keys_dir}.compact_old"
-    op, _ = _hadoop_fs(spark, old)
-    if fs.exists(op):
-        fs.delete(op, True)
     if not fs.rename(p, op):
         raise IOError(f"rename {keys_dir} -> {old} failed")
     if not fs.rename(tp, p):

@@ -1298,6 +1298,30 @@ def test_edit_purge_crash_windows_recoverable(spark, tmp_path, monkeypatch):
         }
         assert got == {(31, 2, 0, 2)}, window  # forgotten stays forgotten
 
+    # third window: crash INSIDE the keys rebuild's rename swap —
+    # keys_dir is gone, the aside copy holds the old keys, the marker
+    # is still staged. Resume must restore the aside copy and complete.
+    import os
+
+    dirs = tuple(str(tmp_path / f"eck_{d}") for d in ("titles", "keys", "pairs", "members"))
+    sink = edit_ingest_sink(*dirs)
+    sink(spark.createDataFrame(b1, schema), 0)
+    sink(spark.createDataFrame(b2, schema), 1)
+    L.write_purge_intent(
+        spark, dirs[0], spark.createDataFrame([(1, boiler)], schema).toDF("did", "dtt")
+    )
+    os.rename(dirs[1], dirs[1] + ".compact_old")
+    edit_purge_state(spark, *dirs, spark.createDataFrame([], schema))
+    assert L.read_purge_intent(spark, dirs[0]) is None
+    keys_tids = {r.tid for r in spark.read.parquet(dirs[1]).collect()}
+    assert keys_tids == {2}  # rebuilt from the re-elected representative
+    sink(spark.createDataFrame([(31, boiler)], schema), 2)
+    got = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in spark.read.parquet(dirs[2]).filter(F.col("batch") == 2).collect()
+    }
+    assert got == {(31, 2, 0, 2)}
+
 
 def test_edit_sink_cross_batch_recollapse_seams(spark, tmp_path):
     """Round-10 verdict item 6 — the cross-batch seams of the edit
