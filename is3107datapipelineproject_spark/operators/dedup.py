@@ -275,40 +275,81 @@ def minhash_neardup_pairs(
         .localCheckpoint(eager=True)
     )
 
-    def pair_with_jaccard(x, y):
-        inter = F.size(F.array_intersect(x["shingles"], y["shingles"])).cast("double")
-        union = (F.size(x["shingles"]) + F.size(y["shingles"])).cast("double") - inter
-        return F.struct(
-            x["doc_id"].alias("doc1"),
-            y["doc_id"].alias("doc2"),
-            F.round(inter / union, 4).alias("jaccard"),
-        )
-
-    def all_pairs(bucketed: DataFrame) -> DataFrame:
-        """C(n,2) combination generator over a bucketed frame's sorted
-        ``items`` (narrow; quadratic confined to the bucket)."""
-        combos = F.explode(
-            F.flatten(
-                F.transform(
-                    "items",
-                    lambda x, i: F.transform(
-                        F.slice("items", i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))),
-                        lambda y: pair_with_jaccard(x, y),
-                    ),
-                )
-            )
-        )
-        return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
-
     small = buckets.filter(F.size("items") <= max_bucket)
     hot = buckets.filter(F.size("items") > max_bucket)
 
     # Cheap existence probe on the materialized buckets: the common case
     # (no hot bands) skips planning the two extra shuffle chains.
     if hot.limit(1).count() == 0:
-        return all_pairs(small).filter(F.col("jaccard") >= threshold).distinct()
+        return _bucket_all_pairs(small).filter(F.col("jaccard") >= threshold).distinct()
 
-    # --- second pass: re-band hot buckets on the out-of-band minhashes.
+    sub_buckets = _hot_subband_buckets(hot)
+    pairs = (
+        _bucket_all_pairs(small)
+        .unionByName(_bucket_all_pairs(sub_buckets.filter(F.size("items") <= max_bucket)))
+        .unionByName(_bucket_star_pairs(sub_buckets.filter(F.size("items") > max_bucket)))
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).distinct()
+
+
+def _bucket_pair_with_jaccard(x, y):
+    """(item, item) → (doc1, doc2, jaccard) struct — the shared verify
+    expression of every bucket-local pair generator (items carry the
+    exact shingle sets, so no join back to the corpus)."""
+    inter = F.size(F.array_intersect(x["shingles"], y["shingles"])).cast("double")
+    union = (F.size(x["shingles"]) + F.size(y["shingles"])).cast("double") - inter
+    return F.struct(
+        x["doc_id"].alias("doc1"),
+        y["doc_id"].alias("doc2"),
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+def _bucket_all_pairs(bucketed: DataFrame) -> DataFrame:
+    """C(n,2) combination generator over a bucketed frame's sorted
+    ``items`` (narrow; quadratic confined to the bucket)."""
+    combos = F.explode(
+        F.flatten(
+            F.transform(
+                "items",
+                lambda x, i: F.transform(
+                    F.slice("items", i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))),
+                    lambda y: _bucket_pair_with_jaccard(x, y),
+                ),
+            )
+        )
+    )
+    return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
+
+
+def _bucket_star_pairs(bucketed: DataFrame) -> DataFrame:
+    """Residual-hot-bucket fallback: every member pairs with the min-id
+    member — O(n) connectivity-preserving pairs, never O(n²)."""
+    combos = F.explode(
+        F.transform(
+            F.slice("items", 2, F.size("items") - 1),
+            lambda y: _bucket_pair_with_jaccard(F.element_at("items", 1), y),
+        )
+    )
+    return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
+
+
+def _hot_subband_buckets(hot: DataFrame, guard_null_sig: bool = False) -> DataFrame:
+    """Second, finer banding pass over hot buckets: 6 sub-bands × 2 rows
+    drawn from the 12 minhashes OUTSIDE the hot band (the 4 inside it
+    are constant across the bucket and cannot subdivide it). A 2-row
+    band collides with probability s² vs the first pass's s⁴, so recall
+    for true near-dups inside the bucket strictly improves while chance
+    collisions split. Input: a bucketed frame ``(band, items)`` whose
+    items carry ``(doc_id, shingles, sig)``; output: the sub-bucketed
+    frame (materialized — consumed by both the fine and star tiers).
+
+    ``guard_null_sig`` (the persisted-band-table path): a sig_dir whose
+    old batches predate the with_sig sink reads those rows with
+    sig=NULL, and concat_ws would silently collapse every null-sig doc
+    into one degenerate sub-band key — old×new pairs in the hot band
+    would be dropped with no error. Fail loudly with the migration path
+    instead (bounded: the check scans hot rows only)."""
     b_idx = F.element_at(F.split("band", "-"), 1).cast("int")
     hot_rows = hot.select(
         F.col("band").alias("band0"),
@@ -321,6 +362,15 @@ def minhash_neardup_pairs(
         F.col("it.shingles").alias("shingles"),
         F.col("it.sig").alias("sig"),
     )
+    if guard_null_sig and hot_rows.filter(F.col("sig").isNull()).limit(1).count() > 0:
+        raise ValueError(
+            "pairs_from_band_table: a hot band contains rows with NULL sig "
+            "(legacy 3-column batches mixed with with_sig batches) — the "
+            "sub-banding second pass cannot split them and would silently "
+            "drop cross-era pairs. Rebuild or compact the band table to a "
+            "uniform schema first (re-run band_signature_frame with_sig=True "
+            "over the corpus), or drop the sig column to take the star tier."
+        )
     indexed = F.transform("sig", lambda mh, i: F.struct(mh.alias("mh"), i.alias("idx")))
     others = F.filter(
         indexed,
@@ -338,30 +388,13 @@ def minhash_neardup_pairs(
             F.element_at("rest", i + 2)["mh"],
         ),
     )
-    sub_buckets = (
+    return (
         hot_rows.select("doc_id", "shingles", F.explode(sub_keys).alias("band"))
         .groupBy("band")
         .agg(F.array_sort(F.collect_list(F.struct("doc_id", "shingles"))).alias("items"))
         .filter(F.size("items") > 1)
-        .localCheckpoint(eager=True)  # consumed by both fine and star
+        .localCheckpoint(eager=True)
     )
-    fine = sub_buckets.filter(F.size("items") <= max_bucket)
-
-    # --- residual hot sub-buckets: star-link to the min-id member.
-    star_combos = F.explode(
-        F.transform(
-            F.slice("items", 2, F.size("items") - 1),
-            lambda y: pair_with_jaccard(F.element_at("items", 1), y),
-        )
-    )
-    star = (
-        sub_buckets.filter(F.size("items") > max_bucket)
-        .select(star_combos.alias("p"))
-        .select("p.doc1", "p.doc2", "p.jaccard")
-    )
-
-    pairs = all_pairs(small).unionByName(all_pairs(fine)).unionByName(star)
-    return pairs.filter(F.col("jaccard") >= threshold).distinct()
 
 
 def simhash_signatures(
@@ -981,10 +1014,12 @@ def pairs_from_band_table(
     table through this (the corpus text was hashed once at ingest and
     never needs re-reading).
 
-    Hot-band handling mirrors :func:`minhash_neardup_pairs`'s bounded-
-    work contract (deliberately the same shapes, kept un-factored this
-    round so that function's round-9-verified plan stays untouched —
-    see SCALING part 21): buckets over ``max_bucket`` take a finer
+    Hot-band handling IS :func:`minhash_neardup_pairs`'s bounded-work
+    contract — both call the same ``_bucket_all_pairs`` /
+    ``_hot_subband_buckets`` / ``_bucket_star_pairs`` helpers, so the
+    build path and this re-derivation path cannot silently diverge
+    (the extraction was verified plan-identical for the build path):
+    buckets over ``max_bucket`` take a finer
     second banding pass on the out-of-band minhashes when the table
     carries the packed ``sig`` column (``band_signature_frame(...,
     with_sig=True)`` — what cluster_ingest_sink persists), and residual
@@ -1017,88 +1052,20 @@ def pairs_from_band_table(
         .localCheckpoint(eager=True)
     )
 
-    def pair_with_jaccard(x, y):
-        inter = F.size(F.array_intersect(x["shingles"], y["shingles"])).cast("double")
-        union = (F.size(x["shingles"]) + F.size(y["shingles"])).cast("double") - inter
-        return F.struct(
-            x["doc_id"].alias("doc1"),
-            y["doc_id"].alias("doc2"),
-            F.round(inter / union, 4).alias("jaccard"),
-        )
-
-    def all_pairs(bucketed: DataFrame) -> DataFrame:
-        combos = F.explode(
-            F.flatten(
-                F.transform(
-                    "items",
-                    lambda x, i: F.transform(
-                        F.slice("items", i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))),
-                        lambda y: pair_with_jaccard(x, y),
-                    ),
-                )
-            )
-        )
-        return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
-
-    def star_pairs(bucketed: DataFrame) -> DataFrame:
-        combos = F.explode(
-            F.transform(
-                F.slice("items", 2, F.size("items") - 1),
-                lambda y: pair_with_jaccard(F.element_at("items", 1), y),
-            )
-        )
-        return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
-
     small = buckets.filter(F.size("items") <= max_bucket)
     hot = buckets.filter(F.size("items") > max_bucket)
     if hot.limit(1).count() == 0:
-        return all_pairs(small).filter(F.col("jaccard") >= threshold).distinct()
+        return _bucket_all_pairs(small).filter(F.col("jaccard") >= threshold).distinct()
 
     if not has_sig:
-        pairs = all_pairs(small).unionByName(star_pairs(hot))
+        pairs = _bucket_all_pairs(small).unionByName(_bucket_star_pairs(hot))
         return pairs.filter(F.col("jaccard") >= threshold).distinct()
 
-    # second pass on the out-of-band minhashes (sig persisted): 2-row
-    # sub-bands collide at s² vs the first pass's s⁴ — recall inside the
-    # hot bucket strictly improves while chance collisions split.
-    b_idx = F.element_at(F.split("band", "-"), 1).cast("int")
-    hot_rows = hot.select(
-        F.col("band").alias("band0"), b_idx.alias("b0"), F.explode("items").alias("it")
-    ).select(
-        "band0",
-        "b0",
-        F.col("it.doc_id").alias("doc_id"),
-        F.col("it.shingles").alias("shingles"),
-        F.col("it.sig").alias("sig"),
-    )
-    indexed = F.transform("sig", lambda mh, i: F.struct(mh.alias("mh"), i.alias("idx")))
-    others = F.filter(
-        indexed,
-        lambda s: (s["idx"] < F.col("b0") * LSH_ROWS)
-        | (s["idx"] >= (F.col("b0") + 1) * LSH_ROWS),
-    )
-    hot_rows = hot_rows.select("band0", "doc_id", "shingles", others.alias("rest"))
-    sub_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(MINHASH_K - LSH_ROWS - 2), F.lit(2)),
-        lambda i: F.concat_ws(
-            ":",
-            F.col("band0"),
-            i,
-            F.element_at("rest", i + 1)["mh"],
-            F.element_at("rest", i + 2)["mh"],
-        ),
-    )
-    sub_buckets = (
-        hot_rows.select("doc_id", "shingles", F.explode(sub_keys).alias("band"))
-        .groupBy("band")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "shingles"))).alias("items"))
-        .filter(F.size("items") > 1)
-        .localCheckpoint(eager=True)
-    )
+    sub_buckets = _hot_subband_buckets(hot, guard_null_sig=True)
     pairs = (
-        all_pairs(small)
-        .unionByName(all_pairs(sub_buckets.filter(F.size("items") <= max_bucket)))
-        .unionByName(star_pairs(sub_buckets.filter(F.size("items") > max_bucket)))
+        _bucket_all_pairs(small)
+        .unionByName(_bucket_all_pairs(sub_buckets.filter(F.size("items") <= max_bucket)))
+        .unionByName(_bucket_star_pairs(sub_buckets.filter(F.size("items") > max_bucket)))
     )
     return pairs.filter(F.col("jaccard") >= threshold).distinct()
 

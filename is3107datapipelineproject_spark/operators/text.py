@@ -176,8 +176,12 @@ def repetition_stats(df, text_col: str, id_col: str):
         )
     )
     frac = F.round(top_tf.cast("double") / F.size(toks).cast("double"), 4)
-    return spread_small_input(df).select(
-        F.col(id_col), frac.alias("top_token_frac"), dup.alias("dup_2gram_frac")
+    # NULL-text docs produced no row under the old explode shape (and
+    # produce none in the oracle's unnest) — keep that contract.
+    return (
+        spread_small_input(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), frac.alias("top_token_frac"), dup.alias("dup_2gram_frac"))
     )
 
 

@@ -351,22 +351,10 @@ def compact_stream_dir(
     also RE-SUM on compaction (hist_compact passes the per-bin re-sum;
     it must be merge-on-read-invariant or the compaction changes
     results)."""
-    p, fs = _hadoop_fs(spark, path)
-    old = f"{path}.compact_old"
-    op, _ = _hadoop_fs(spark, old)
-    if fs.exists(op):
-        if fs.exists(p):
-            # Prior swap completed but crashed before deleting the aside
-            # copy — it is superseded, reclaim it.
-            fs.delete(op, True)
-        else:
-            # Prior swap crashed between the two renames: the aside copy
-            # IS the corpus. Restore it and compact from there.
-            if not fs.rename(op, p):
-                raise IOError(f"recovery rename {old} -> {path} failed")
+    recover_stale_sibling(spark, path)
     before = _data_files(spark, path)
     df = spark.read.parquet(path)
-    max_batch = int(df.agg(F.max("batch")).first()[0])
+    max_batch = int(df.agg(F.max("batch")).first()[0] or 0)
     if checkpoint_dir is not None:
         committed = committed_stream_batches(spark, checkpoint_dir)
         if max_batch not in committed:
@@ -395,17 +383,46 @@ def compact_stream_dir(
             .parquet(tmp_batch)
         )
     else:
+        # coalesce(1) writes one schema-carrying part file even for an
+        # EMPTY frame (a purge that removed every row), so the rewritten
+        # dir always stays readable for resume and future ingest.
         compacted.coalesce(1).write.mode("overwrite").parquet(tmp_batch)
-    # Rename-aside swap: a full corpus copy survives every crash point.
+    staged_swap(spark, path, tmp)
+    return before, _data_files(spark, path)
+
+
+def recover_stale_sibling(spark: SparkSession, path: str) -> None:
+    """Shared crash-recovery prologue of every rename-aside rewrite
+    (compact_stream_dir, rewrite_stream_dir, the edit keys rebuild): a
+    completed-swap leftover ``.compact_old`` is superseded and
+    reclaimed; a mid-swap crash (``path`` missing) restores the aside
+    copy, which IS the corpus at that crash point."""
+    p, fs = _hadoop_fs(spark, path)
+    op, _ = _hadoop_fs(spark, f"{path}.compact_old")
+    if fs.exists(op):
+        if fs.exists(p):
+            fs.delete(op, True)
+        elif not fs.rename(op, p):
+            raise IOError(f"recovery rename {path}.compact_old -> {path} failed")
+
+
+def staged_swap(spark: SparkSession, path: str, tmp: str) -> None:
+    """Shared rename-aside swap: ``path → path.compact_old``,
+    ``tmp → path``, delete the aside — a complete copy of the state
+    exists at ``path`` or at a sibling at every instant, and
+    :func:`recover_stale_sibling` repairs every crash point."""
+    p, fs = _hadoop_fs(spark, path)
+    old = f"{path}.compact_old"
+    op, _ = _hadoop_fs(spark, old)
+    tp, _ = _hadoop_fs(spark, tmp)
     if not fs.rename(p, op):
         raise IOError(f"aside rename {path} -> {old} failed; corpus untouched at {path}")
     if not fs.rename(tp, p):
         raise IOError(
             f"swap rename failed; complete data is at {old} (original) and {tmp} "
-            f"(compacted) — rename either to {path}"
+            f"(rewritten) — rename either to {path}"
         )
     fs.delete(op, True)
-    return before, _data_files(spark, path)
 
 
 def rewrite_stream_dir(
@@ -426,20 +443,17 @@ def rewrite_stream_dir(
     back partitioned by ``batch`` through the same rename-aside swap
     (full copy at ``path`` or a sibling at every instant, stale-sibling
     auto-recovery) and the same committed-max-id gate as compaction.
+    A rewrite that drops EVERY row (a purge of the whole corpus) writes
+    one schema-carrying empty file under the pre-rewrite max batch id —
+    a partitioned write of an empty frame would otherwise emit no data
+    files at all, leaving the dir unreadable and (with the purge-intent
+    marker still staged) wedging both resume and ingest.
     Returns ``(files_before, files_after)``."""
-    p, fs = _hadoop_fs(spark, path)
-    old = f"{path}.compact_old"
-    op, _ = _hadoop_fs(spark, old)
-    if fs.exists(op):
-        if fs.exists(p):
-            fs.delete(op, True)
-        else:
-            if not fs.rename(op, p):
-                raise IOError(f"recovery rename {old} -> {path} failed")
+    recover_stale_sibling(spark, path)
     before = _data_files(spark, path)
     df = spark.read.parquet(path)
+    max_batch = int(df.agg(F.max("batch")).first()[0] or 0)
     if checkpoint_dir is not None:
-        max_batch = int(df.agg(F.max("batch")).first()[0])
         committed = committed_stream_batches(spark, checkpoint_dir)
         if max_batch not in committed:
             raise RuntimeError(
@@ -454,15 +468,13 @@ def rewrite_stream_dir(
     tp, tfs = _hadoop_fs(spark, tmp)
     if tfs.exists(tp):
         tfs.delete(tp, True)
-    out.repartition(F.col("batch")).write.mode("overwrite").partitionBy("batch").parquet(tmp)
-    if not fs.rename(p, op):
-        raise IOError(f"aside rename {path} -> {old} failed; corpus untouched at {path}")
-    if not fs.rename(tp, p):
-        raise IOError(
-            f"swap rename failed; complete data is at {old} (original) and {tmp} "
-            f"(rewritten) — rename either to {path}"
+    if out.limit(1).count() == 0:
+        out.drop("batch").coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp}/batch={max_batch}"
         )
-    fs.delete(op, True)
+    else:
+        out.repartition(F.col("batch")).write.mode("overwrite").partitionBy("batch").parquet(tmp)
+    staged_swap(spark, path, tmp)
     return before, _data_files(spark, path)
 
 
@@ -504,28 +516,50 @@ def write_purge_intent(spark: SparkSession, state_dir: str, deleted_ids: DataFra
     id can be resurrected as a cluster root.
 
     The marker itself is staged atomically (write to a ``.tmp`` sibling,
-    then a single rename): at no crash point does a half-written marker
-    block or corrupt recovery."""
+    then rename). Replacing an EXISTING marker (a resume restaging the
+    merged set) renames the old marker ASIDE rather than deleting it —
+    a delete-then-rename would open a window where a crash erases the
+    staged set while the state is still half-purged, which is exactly
+    the resurrection hazard the marker closes. read_purge_intent
+    restores a stranded aside copy, so every crash point leaves a
+    readable pending set."""
     marker = _purge_intent_path(state_dir)
     tmp = f"{marker}.tmp"
+    old = f"{marker}.old"
     mp, fs = _hadoop_fs(spark, marker)
     tp, _ = _hadoop_fs(spark, tmp)
+    op, _ = _hadoop_fs(spark, old)
     if fs.exists(tp):
         fs.delete(tp, True)
     deleted_ids.coalesce(1).write.mode("overwrite").parquet(tmp)
-    if fs.exists(mp):
-        fs.delete(mp, True)
+    if fs.exists(op):
+        fs.delete(op, True)
+    if fs.exists(mp) and not fs.rename(mp, op):
+        raise IOError(f"purge-intent aside rename {marker} -> {old} failed")
     if not fs.rename(tp, mp):
-        raise IOError(f"purge-intent rename {tmp} -> {marker} failed")
+        raise IOError(
+            f"purge-intent rename {tmp} -> {marker} failed; the prior set "
+            f"(if any) is intact at {old}"
+        )
+    if fs.exists(op):
+        fs.delete(op, True)
 
 
 def read_purge_intent(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The pending deleted-id frame staged by :func:`write_purge_intent`,
-    or None when no purge is in flight."""
+    or None when no purge is in flight. A marker stranded at the
+    ``.old`` aside path (a restage crashed between its two renames) is
+    restored first — its set is a subset of the crashed restage's, and
+    the resume re-merges, so recovery is exact."""
     marker = _purge_intent_path(state_dir)
     mp, fs = _hadoop_fs(spark, marker)
     if not fs.exists(mp):
-        return None
+        old = f"{marker}.old"
+        op, _ = _hadoop_fs(spark, old)
+        if not fs.exists(op):
+            return None
+        if not fs.rename(op, mp):
+            raise IOError(f"purge-intent recovery rename {old} -> {marker} failed")
     return spark.read.parquet(marker)
 
 
@@ -544,14 +578,15 @@ def assert_no_purge_intent(spark: SparkSession, state_dir: str, what: str) -> No
     pair the batch against partially-purged state — e.g. purged bands
     whose labels are already gone — and write forgotten ids back into
     surviving rows, which a purge re-run can no longer repair."""
-    mp, fs = _hadoop_fs(spark, _purge_intent_path(state_dir))
-    if fs.exists(mp):
-        raise RuntimeError(
-            f"{what}: a purge over {state_dir} is incomplete "
-            f"({_purge_intent_path(state_dir)} exists) — re-run the purge "
-            "(any deleted set, the pending one is merged in) to complete "
-            "it before ingesting"
-        )
+    marker = _purge_intent_path(state_dir)
+    for path in (marker, f"{marker}.old"):  # .old = a restage crashed mid-rename
+        mp, fs = _hadoop_fs(spark, path)
+        if fs.exists(mp):
+            raise RuntimeError(
+                f"{what}: a purge over {state_dir} is incomplete "
+                f"({path} exists) — re-run the purge (any deleted set, the "
+                "pending one is merged in) to complete it before ingesting"
+            )
 
 
 def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -814,29 +814,28 @@ def _rebuild_edit_keys(spark: SparkSession, titles_dir: str, keys_dir: str) -> N
     restore it first so a purge/compact RESUME rebuilds from a
     consistent dir instead of failing on the aside rename."""
     from is3107datapipelineproject_spark.operators.dedup import _edit_index_keys
-    from is3107datapipelineproject_spark.plans.layout import _hadoop_fs
+    from is3107datapipelineproject_spark.plans.layout import (
+        _hadoop_fs,
+        recover_stale_sibling,
+        staged_swap,
+    )
 
-    old = f"{keys_dir}.compact_old"
-    p, fs = _hadoop_fs(spark, keys_dir)
-    op, _ = _hadoop_fs(spark, old)
-    if fs.exists(op):
-        if fs.exists(p):
-            fs.delete(op, True)
-        elif not fs.rename(op, p):
-            raise IOError(f"recovery rename {old} -> {keys_dir} failed")
+    recover_stale_sibling(spark, keys_dir)
     titles = spark.read.parquet(titles_dir)
-    maxb = titles.agg(F.max("batch")).first()[0]
+    maxb = int(titles.agg(F.max("batch")).first()[0] or 0)
     keys = _edit_index_keys(titles.drop("batch"), "tid")
+    if titles.limit(1).count() == 0:
+        # a fully-purged corpus: force one schema-carrying empty file so
+        # the rebuilt dir stays readable (an empty multi-partition write
+        # emits no data files at all)
+        keys = keys.coalesce(1)
     tmp = f"{keys_dir}.compact_tmp"
+    _, fs = _hadoop_fs(spark, keys_dir)
     tp, _ = _hadoop_fs(spark, tmp)
     if fs.exists(tp):
         fs.delete(tp, True)
-    keys.write.parquet(f"{tmp}/batch={int(maxb)}")
-    if not fs.rename(p, op):
-        raise IOError(f"rename {keys_dir} -> {old} failed")
-    if not fs.rename(tp, p):
-        raise IOError(f"rename {tmp} -> {keys_dir} failed")
-    fs.delete(op, True)
+    keys.write.parquet(f"{tmp}/batch={maxb}")
+    staged_swap(spark, keys_dir, tmp)
 
 
 def edit_purge_state(
@@ -908,7 +907,54 @@ def edit_purge_state(
         F.col(id_col).alias("did"), F.col(title_col).alias("dtt")
     ).distinct()
     pending = read_purge_intent(spark, titles_dir)
-    if pending is not None:
+    if pending is None:
+        # Fail-fast completeness gate, BEFORE the marker or any rewrite:
+        # steps 2-3 derive titles/keys WHOLLY from the ledger, so a
+        # ledger that misses history (members_dir configured after the
+        # sink's first batch) would silently drop every pre-ledger title
+        # — and the step-4 old_id check cannot catch titles that never
+        # appear in a pair row. The ledger is complete iff its collapse
+        # reproduces the titles view exactly. On RESUME the state is
+        # legitimately mid-rewrite (members may already be purged), so
+        # the gate is skipped — the fresh purge that staged the marker
+        # already passed it.
+        mpp, mpfs = _hadoop_fs(spark, members_dir)
+        if not mpfs.exists(mpp):
+            raise ValueError(
+                f"edit_purge_state: no member ledger at {members_dir} — the "
+                "sink must persist it (members_dir) from its FIRST batch for "
+                "the purge to be exact; without it the representative state "
+                "cannot be repaired from ids+titles alone"
+            )
+        titles_view = (
+            spark.read.parquet(titles_dir)
+            .drop("batch")
+            .groupBy("tt")
+            .agg(F.min("tid").alias("tid"), F.sum("grp").cast("long").alias("grp"))
+            .select("tt", "tid", "grp")
+        )
+        ledger_view = (
+            spark.read.parquet(members_dir)
+            .drop("batch")
+            .groupBy("tt")
+            .agg(F.min("doc_id").alias("tid"), F.count(F.lit(1)).cast("long").alias("grp"))
+            .select("tt", "tid", "grp")
+        )
+        bad = (
+            titles_view.exceptAll(ledger_view)
+            .unionByName(ledger_view.exceptAll(titles_view))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                f"edit_purge_state: the member ledger at {members_dir} does "
+                f"not reproduce the titles state (first divergence: "
+                f"{bad[0].asDict()}) — it must cover the sink's FULL history "
+                "(configured from batch 0). Refusing before any rewrite; "
+                "state untouched"
+            )
+    else:
         dset = dset.unionByName(pending.toDF("did", "dtt")).distinct()
     dset = dset.localCheckpoint(eager=True)
     write_purge_intent(spark, titles_dir, dset)

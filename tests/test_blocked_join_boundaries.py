@@ -404,3 +404,34 @@ class TestBandTableRetraction:
             for r in W.cluster_labels_read(spark, labels_dir).collect()
         }
         assert got == want == {(i, 1) for i in (1, 2, 4, 5, 6)} | {(8, 8)}
+
+    def test_mixed_legacy_sig_hot_band_fails_loud(self, spark):
+        """Round-10 review fix: legacy 3-column batches mixed into a
+        with_sig band table read as sig=NULL; the sub-banding pass
+        cannot split those rows (concat_ws collapses every NULL-sig doc
+        into one degenerate key) and would silently drop cross-era
+        pairs in the hot band — the guard raises with the migration
+        path instead. Small buckets are unaffected (sig unused there)."""
+        import pytest as _pytest
+
+        from is3107datapipelineproject_spark.operators.dedup import (
+            band_signature_frame,
+            pairs_from_band_table,
+        )
+
+        t = "quick brown fox jumps over the lazy dog again and again ok"
+        newer = band_signature_frame(
+            self._docs(spark, [(i, t) for i in (1, 2, 3)]), "text", "doc_id", with_sig=True
+        )
+        legacy = band_signature_frame(
+            self._docs(spark, [(i, t) for i in (11, 12, 13)]), "text", "doc_id"
+        ).select("doc_id", "hs", F.lit(None).cast("array<bigint>").alias("sig"), "band")
+        mixed = newer.unionByName(legacy)
+        with _pytest.raises(ValueError, match="NULL sig"):
+            pairs_from_band_table(mixed, max_bucket=4).collect()
+        # below the hot threshold the mixed table is fine (sig unused)
+        got = {
+            (r.doc1, r.doc2)
+            for r in pairs_from_band_table(mixed, max_bucket=1024).collect()
+        }
+        assert len(got) == 15  # C(6,2): all-pairs within the shared band

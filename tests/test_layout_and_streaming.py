@@ -1649,3 +1649,100 @@ def test_purge_stream_state_semantic_and_minhash(spark, tmp_path):
     }
     assert all(o != 2 for _, o in newp) and (21, 1) in newp
     spark.sql(f"DROP TABLE IF EXISTS {cents_table}")
+
+
+def test_purge_intent_restage_and_empty_state_hardening(spark, tmp_path):
+    """Round-10 review fixes, exercised end to end:
+
+    1. restaging an existing purge-intent marker renames the old set
+       ASIDE instead of deleting it — a crash between the two renames
+       leaves a recoverable ``.old`` copy that read_purge_intent
+       restores and assert_no_purge_intent refuses on;
+    2. a purge that deletes EVERY remaining doc leaves all state dirs
+       readable (schema-carrying empty files, not file-less dirs), the
+       marker clears, and ingest resumes cleanly from the emptied
+       corpus."""
+    from is3107datapipelineproject_spark.streaming.windows import (
+        edit_ingest_sink,
+        edit_purge_state,
+    )
+
+    # --- 1. marker restage crash window
+    sdir = str(tmp_path / "mk_state")
+    L.write_purge_intent(spark, sdir, spark.createDataFrame([(1,)], "did LONG"))
+    # simulate the crash inside a restage: old marker renamed aside,
+    # new marker not yet in place
+    import os
+
+    os.rename(sdir + ".purge_intent", sdir + ".purge_intent.old")
+    try:
+        L.assert_no_purge_intent(spark, sdir, "test_sink")
+        raise AssertionError("sink accepted a stranded .old marker")
+    except RuntimeError as e:
+        assert "purge" in str(e)
+    pending = L.read_purge_intent(spark, sdir)  # restores the aside copy
+    assert pending is not None and {r.did for r in pending.collect()} == {1}
+    L.clear_purge_intent(spark, sdir)
+    L.assert_no_purge_intent(spark, sdir, "test_sink")
+
+    # --- 2. total purge leaves readable empty state and ingest resumes
+    boiler = "frequently repeated boilerplate heading"
+    schema = "doc_id LONG, title STRING"
+    dirs = tuple(str(tmp_path / f"tp_{d}") for d in ("titles", "keys", "pairs", "members"))
+    sink = edit_ingest_sink(*dirs)
+    sink(spark.createDataFrame([(1, boiler), (2, boiler)], schema), 0)
+    sink(spark.createDataFrame([(21, boiler)], schema), 1)
+    everything = [(1, boiler), (2, boiler), (21, boiler)]
+    edit_purge_state(spark, *dirs, spark.createDataFrame(everything, schema))
+    assert L.read_purge_intent(spark, dirs[0]) is None
+    for d in dirs:
+        assert spark.read.parquet(d).count() == 0, d  # readable, empty
+    # the emptied corpus behaves as a cold start for the next batch
+    sink(spark.createDataFrame([(31, boiler)], schema), 2)
+    titles = {(r.tid, r.tt, r.grp) for r in spark.read.parquet(dirs[0]).drop("batch").collect()}
+    assert titles == {(31, boiler, 1)}
+    pairs = spark.read.parquet(dirs[2]).filter(F.col("batch") == 2).count()
+    assert pairs == 0  # no forgotten partner resurfaced
+
+
+def test_edit_purge_refuses_incomplete_member_ledger(spark, tmp_path):
+    """The fail-fast completeness gate: the purge derives titles/keys
+    wholly from the member ledger, so a ledger that misses history
+    (members_dir configured after the sink's first batch) must be
+    refused BEFORE any rewrite — and with no marker staged, so ingest
+    is not wedged."""
+    from is3107datapipelineproject_spark.streaming.windows import (
+        edit_ingest_sink,
+        edit_purge_state,
+    )
+
+    boiler = "frequently repeated boilerplate heading"
+    schema = "doc_id LONG, title STRING"
+    dirs = tuple(str(tmp_path / f"il_{d}") for d in ("titles", "keys", "pairs", "members"))
+    # batch 0 ingested WITHOUT the ledger (legacy deployment)...
+    legacy = edit_ingest_sink(dirs[0], dirs[1], dirs[2])
+    legacy(spark.createDataFrame([(1, boiler), (2, boiler)], schema), 0)
+    # ...ledger switched on at batch 1
+    sink = edit_ingest_sink(*dirs)
+    sink(spark.createDataFrame([(21, boiler)], schema), 1)
+    before = {(r.tid, r.tt, r.grp) for r in spark.read.parquet(dirs[0]).drop("batch").collect()}
+    try:
+        edit_purge_state(spark, *dirs, spark.createDataFrame([(2, boiler)], schema))
+        raise AssertionError("purge accepted an incomplete member ledger")
+    except ValueError as e:
+        assert "ledger" in str(e)
+    # state untouched, no marker staged, ingest keeps working
+    assert L.read_purge_intent(spark, dirs[0]) is None
+    after = {(r.tid, r.tt, r.grp) for r in spark.read.parquet(dirs[0]).drop("batch").collect()}
+    assert after == before
+    sink(spark.createDataFrame([(31, boiler)], schema), 2)
+
+    # missing ledger dir entirely: same refusal
+    dirs2 = tuple(str(tmp_path / f"nl_{d}") for d in ("titles", "keys", "pairs", "members"))
+    legacy2 = edit_ingest_sink(dirs2[0], dirs2[1], dirs2[2])
+    legacy2(spark.createDataFrame([(1, boiler)], schema), 0)
+    try:
+        edit_purge_state(spark, *dirs2, spark.createDataFrame([(1, boiler)], schema))
+        raise AssertionError("purge accepted a missing member ledger")
+    except ValueError as e:
+        assert "member ledger" in str(e)

@@ -134,3 +134,30 @@ def test_naive_bayes_smoothing_uses_label_specific_denominator(spark):
     # hand-check the winning score: V=2, T_aa=3 -> logp(rare|aa)=ln(4/5)
     expected = round(math.log((3 + 1) / (3 + 2)), 6) + round(math.log(1 / 2), 6)
     assert expected > round(math.log(1 / 5), 6) + round(math.log(1 / 2), 6)
+
+
+def test_repetition_stats_matches_hand_computed_and_drops_null_text(spark):
+    """Round-10 rewrite contract for operators/text.py::repetition_stats
+    (narrow per-row scan, no explode): hand-computed signal values, and
+    NULL-text docs produce NO row — the old explode shape dropped them
+    and the oracle's unnest drops them, so the rewrite must too."""
+    from is3107datapipelineproject_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # top token 'a' 3/4; bigrams [a a, a a, a b] -> dup 1-2/3
+            (2, "x y z"),            # all distinct: top 1/3; bigrams distinct -> dup 0.0
+            (3, None),               # NULL text: no output row
+            (4, "loop loop"),        # top 2/2 = 1.0; one bigram -> dup 0.0
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.top_token_frac, r.dup_2gram_frac)
+        for r in repetition_stats(df, "text", "doc_id").collect()
+    }
+    assert got == {
+        (1, 0.75, round(1 - 2 / 3, 4)),
+        (2, round(1 / 3, 4), 0.0),
+        (4, 1.0, 0.0),
+    }
