@@ -158,29 +158,52 @@ def repetition_stats(df, text_col: str, id_col: str):
     parallelism for small files). 243 s → <1 s; values bit-identical
     (same integer counts, same 4-dp rounding), driver-oracle-verified.
     """
-    from is3107datapipelineproject_spark.operators.dedup import (
-        spread_small_input,
-        word_shingles,
-    )
+    from is3107datapipelineproject_spark.operators.dedup import spread_small_input
 
-    bigrams = word_shingles(text_col, k=2)
+    # EVERY per-row stage here is linear-or-n-log-n in the token count,
+    # with the token array materialized as a COLUMN first: an expression
+    # inlined into a higher-order-function lambda re-evaluates per
+    # ELEMENT (codegen does not CSE across lambda scopes), so
+    # word_shingles' inline tokenize — and the obvious
+    # transform(array_distinct, t -> count(filter(toks, ==t))) counter —
+    # are O(n²) per row (measured: 47 s for ONE 16k-token doc; see
+    # SCALING part 21, which names the word_shingles generalization).
+    t = F.col("__toks")
+    # bigrams by zipping the two shifted views (word_shingles k=2
+    # semantics: one truncated shingle for single-token docs)
+    bigrams = F.when(F.size(t) <= 1, F.array(F.concat_ws(" ", t))).otherwise(
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    )
     dup = F.round(
         F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams).cast("double"),
         4,
     )
-    toks = ws_tokens(text_col)
-    top_tf = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    # top token count by sort-then-count-runs
+    run_step = lambda acc, x: F.struct(  # noqa: E731 — hof step, not a def
+        x.alias("prev"),
+        F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+        ).alias("best"),
     )
-    frac = F.round(top_tf.cast("double") / F.size(toks).cast("double"), 4)
+    top_tf = F.aggregate(
+        F.array_sort(t),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        run_step,
+        lambda acc: acc["best"],
+    )
+    frac = F.round(top_tf.cast("double") / F.size(t).cast("double"), 4)
     # NULL-text docs produced no row under the old explode shape (and
     # produce none in the oracle's unnest) — keep that contract.
     return (
         spread_small_input(df)
         .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), ws_tokens(text_col).alias("__toks"))
         .select(F.col(id_col), frac.alias("top_token_frac"), dup.alias("dup_2gram_frac"))
     )
 

@@ -310,6 +310,26 @@ def committed_stream_batches(spark: SparkSession, checkpoint_dir: str) -> set[in
     return out
 
 
+def _max_batch_id(spark: SparkSession, path: str) -> int:
+    """Max committed batch id of a ``batch=<id>`` stream-state dir, from
+    the PARTITION DIRECTORY NAMES — not ``max('batch')`` over the rows:
+    a fully-purged dir holds one empty file under its last batch
+    partition, where the row-max is NULL and an ``or 0`` fallback would
+    silently re-home the state to batch 0 AND make the commit-log gate
+    validate batch 0 (long pruned from the checkpoint's commits),
+    wedging every later compaction."""
+    p, fs = _hadoop_fs(spark, path)
+    best = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("batch="):
+            try:
+                best = max(best, int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return best
+
+
 def compact_stream_dir(
     spark: SparkSession,
     path: str,
@@ -354,7 +374,7 @@ def compact_stream_dir(
     recover_stale_sibling(spark, path)
     before = _data_files(spark, path)
     df = spark.read.parquet(path)
-    max_batch = int(df.agg(F.max("batch")).first()[0] or 0)
+    max_batch = _max_batch_id(spark, path)
     if checkpoint_dir is not None:
         committed = committed_stream_batches(spark, checkpoint_dir)
         if max_batch not in committed:
@@ -452,7 +472,7 @@ def rewrite_stream_dir(
     recover_stale_sibling(spark, path)
     before = _data_files(spark, path)
     df = spark.read.parquet(path)
-    max_batch = int(df.agg(F.max("batch")).first()[0] or 0)
+    max_batch = _max_batch_id(spark, path)
     if checkpoint_dir is not None:
         committed = committed_stream_batches(spark, checkpoint_dir)
         if max_batch not in committed:
@@ -468,12 +488,14 @@ def rewrite_stream_dir(
     tp, tfs = _hadoop_fs(spark, tmp)
     if tfs.exists(tp):
         tfs.delete(tp, True)
-    if out.limit(1).count() == 0:
+    # Write first, then patch emptiness from the FILE COUNT — probing
+    # with limit(1).count() up front would execute the rewrite plan
+    # (a join-heavy pair replay, for the edit purge) a second time.
+    out.repartition(F.col("batch")).write.mode("overwrite").partitionBy("batch").parquet(tmp)
+    if _data_files(spark, tmp) == 0:
         out.drop("batch").coalesce(1).write.mode("overwrite").parquet(
             f"{tmp}/batch={max_batch}"
         )
-    else:
-        out.repartition(F.col("batch")).write.mode("overwrite").partitionBy("batch").parquet(tmp)
     staged_swap(spark, path, tmp)
     return before, _data_files(spark, path)
 

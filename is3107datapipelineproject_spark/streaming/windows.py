@@ -789,18 +789,36 @@ def edit_compact_state(
         compact_stream_dir,
     )
 
-    def collapse(df: DataFrame) -> DataFrame:
-        return (
-            df.groupBy("tt")
-            .agg(F.min("tid").alias("tid"), F.sum("grp").cast("long").alias("grp"))
-            .select("tid", "tt", "grp")
-        )
-
     out = compact_stream_dir(
-        spark, titles_dir, pre_merge=collapse, checkpoint_dir=checkpoint_dir
+        spark,
+        titles_dir,
+        pre_merge=lambda df: _collapse_title_rows(df).select("tid", "tt", "grp"),
+        checkpoint_dir=checkpoint_dir,
     )
     _rebuild_edit_keys(spark, titles_dir, keys_dir)
     return out
+
+
+def _collapse_title_rows(titles: DataFrame) -> DataFrame:
+    """Global representative view of per-batch title rows ``(tid, tt,
+    grp)``: min id, summed group size. One definition shared by
+    edit_compact_state's pre-merge and edit_purge_state's completeness
+    gate — the gate validates against exactly the collapse the state
+    uses."""
+    return titles.groupBy("tt").agg(
+        F.min("tid").alias("tid"), F.sum("grp").cast("long").alias("grp")
+    ).select("tt", "tid", "grp")
+
+
+def _collapse_member_rows(members: DataFrame) -> DataFrame:
+    """The same representative view derived from the member ledger
+    ``(doc_id, tt)``: min member id, member count. Shared by
+    edit_purge_state's titles rebuild and its completeness gate (ledger
+    complete ⟺ this equals :func:`_collapse_title_rows` of the titles
+    state)."""
+    return members.groupBy("tt").agg(
+        F.min("doc_id").alias("tid"), F.count(F.lit(1)).cast("long").alias("grp")
+    ).select("tt", "tid", "grp")
 
 
 def _rebuild_edit_keys(spark: SparkSession, titles_dir: str, keys_dir: str) -> None:
@@ -816,13 +834,14 @@ def _rebuild_edit_keys(spark: SparkSession, titles_dir: str, keys_dir: str) -> N
     from is3107datapipelineproject_spark.operators.dedup import _edit_index_keys
     from is3107datapipelineproject_spark.plans.layout import (
         _hadoop_fs,
+        _max_batch_id,
         recover_stale_sibling,
         staged_swap,
     )
 
     recover_stale_sibling(spark, keys_dir)
     titles = spark.read.parquet(titles_dir)
-    maxb = int(titles.agg(F.max("batch")).first()[0] or 0)
+    maxb = _max_batch_id(spark, titles_dir)
     keys = _edit_index_keys(titles.drop("batch"), "tid")
     if titles.limit(1).count() == 0:
         # a fully-purged corpus: force one schema-carrying empty file so
@@ -899,6 +918,7 @@ def edit_purge_state(
         clear_purge_intent,
         compact_stream_dir,
         read_purge_intent,
+        recover_stale_sibling,
         rewrite_stream_dir,
         write_purge_intent,
     )
@@ -918,6 +938,11 @@ def edit_purge_state(
         # legitimately mid-rewrite (members may already be purged), so
         # the gate is skipped — the fresh purge that staged the marker
         # already passed it.
+        # A crashed compaction may have left either dir renamed aside
+        # (a purge is a legitimate next step after such a crash) —
+        # recover before reading, like every rewrite's own prologue.
+        recover_stale_sibling(spark, titles_dir)
+        recover_stale_sibling(spark, members_dir)
         mpp, mpfs = _hadoop_fs(spark, members_dir)
         if not mpfs.exists(mpp):
             raise ValueError(
@@ -926,20 +951,8 @@ def edit_purge_state(
                 "the purge to be exact; without it the representative state "
                 "cannot be repaired from ids+titles alone"
             )
-        titles_view = (
-            spark.read.parquet(titles_dir)
-            .drop("batch")
-            .groupBy("tt")
-            .agg(F.min("tid").alias("tid"), F.sum("grp").cast("long").alias("grp"))
-            .select("tt", "tid", "grp")
-        )
-        ledger_view = (
-            spark.read.parquet(members_dir)
-            .drop("batch")
-            .groupBy("tt")
-            .agg(F.min("doc_id").alias("tid"), F.count(F.lit(1)).cast("long").alias("grp"))
-            .select("tt", "tid", "grp")
-        )
+        titles_view = _collapse_title_rows(spark.read.parquet(titles_dir).drop("batch"))
+        ledger_view = _collapse_member_rows(spark.read.parquet(members_dir).drop("batch"))
         bad = (
             titles_view.exceptAll(ledger_view)
             .unionByName(ledger_view.exceptAll(titles_view))
@@ -969,12 +982,7 @@ def edit_purge_state(
 
     # 2. titles: the never-ingested collapse over surviving members
     def recollapse(_df: DataFrame) -> DataFrame:
-        return (
-            mem.drop("batch")
-            .groupBy("tt")
-            .agg(F.min("doc_id").alias("tid"), F.count(F.lit(1)).cast("long").alias("grp"))
-            .select("tid", "tt", "grp")
-        )
+        return _collapse_member_rows(mem.drop("batch")).select("tid", "tt", "grp")
 
     compact_stream_dir(
         spark, titles_dir, pre_merge=recollapse, checkpoint_dir=checkpoint_dir

@@ -1746,3 +1746,33 @@ def test_edit_purge_refuses_incomplete_member_ledger(spark, tmp_path):
         raise AssertionError("purge accepted a missing member ledger")
     except ValueError as e:
         assert "member ledger" in str(e)
+
+
+def test_edit_purge_recovers_crashed_compaction_before_gating(spark, tmp_path):
+    """Round-10 second-review fix: a fresh purge is a legitimate next
+    step after a compaction crashed mid-swap (state dir renamed aside),
+    so the completeness gate must run recover_stale_sibling before
+    reading — previously it failed with PATH_NOT_FOUND where the
+    pre-gate purge auto-recovered."""
+    import os
+
+    from is3107datapipelineproject_spark.streaming.windows import (
+        edit_ingest_sink,
+        edit_purge_state,
+    )
+
+    boiler = "frequently repeated boilerplate heading"
+    schema = "doc_id LONG, title STRING"
+    dirs = tuple(str(tmp_path / f"cr_{d}") for d in ("titles", "keys", "pairs", "members"))
+    sink = edit_ingest_sink(*dirs)
+    sink(spark.createDataFrame([(1, boiler), (2, boiler)], schema), 0)
+    sink(spark.createDataFrame([(21, boiler)], schema), 1)
+    # a compaction crashed between its two renames: titles_dir is gone,
+    # the aside copy IS the state
+    os.rename(dirs[0], dirs[0] + ".compact_old")
+    edit_purge_state(spark, *dirs, spark.createDataFrame([(1, boiler)], schema))
+    titles = {
+        (r.tt, r.tid, r.grp)
+        for r in spark.read.parquet(dirs[0]).drop("batch").collect()
+    }
+    assert titles == {(boiler, 2, 2)}
