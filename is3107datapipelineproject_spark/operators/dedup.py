@@ -888,31 +888,109 @@ def dedup_corpus(
 
 
 def blocked_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, block_col: str, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+    max_prefix_posting: int = 10_000,
 ) -> DataFrame:
     """Exact token-set Jaccard between all doc pairs sharing a blocking
-    key (source, domain, near-dup cluster …). The quadratic expansion is
-    confined to each block — the classic blocked-dedup pattern; at scale
-    the shuffle key is the block and AQE splits skewed blocks.
+    key (source, domain, near-dup cluster …) — via PPJoin prefix
+    filtering WITHIN the block, never a raw within-block self-join.
 
-    Returns ``(doc1, doc2, jaccard)`` with jaccard ≥ threshold, rounded 4.
+    Why not join on the block key alone: blocks grow linearly with the
+    corpus, so a raw block self-join is quadratic in corpus size inside
+    every block — at ×100 each block's pair count grows ×10⁴ (the one
+    scale-killer the round-10 audit found). Instead this composes the
+    block key into :func:`prefix_jaccard_pairs`' lossless candidate
+    machinery: tokens are ordered per-block by (block df ASC, token),
+    each doc keeps only its ``m − ⌈τ·m⌉ + 1`` rarest tokens (the
+    prefix — a pair with J ≥ τ provably shares a prefix token), and
+    candidates come from an equi-join on the COMPOSITE key
+    ``(block, token)`` with the lossless size filter
+    (τ·|x| ≤ |y| ≤ |x|/τ) and PPJoin positional filter applied in the
+    join condition. Both docs of any within-block pair see the same
+    per-block token order, so the prefix bound holds exactly as in the
+    global operator. Exact array_intersect verification after; filters
+    are built against τ−1e-4 so a pair that ROUNDS UP to τ is never
+    pruned (repo round-then-threshold contract).
+
+    Scale shape: the join key is (block, rare-token), so posting lists
+    are short by construction — within-block cost is Σ posting², not
+    Σ block², and grows ~linearly with the corpus. The degenerate case
+    (a block of near-identical docs: every token equally common, every
+    posting the block size) trips ``max_prefix_posting`` and raises
+    toward exact-dedup-first — the same count-guard contract as
+    prefix_jaccard_pairs / cosine_topk, never a silent quadratic.
+
+    Returns ``(doc1, doc2, jaccard)`` with jaccard ≥ threshold, rounded
+    to 4 decimals, doc1 < doc2, pairs within a block only.
     """
-    t = df.select(
+    from pyspark.sql import Window
+
+    tau = threshold - 1e-4  # filters honor the round-then-threshold contract
+    t = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
         F.array_distinct(ws_tokens(text_col)).alias("toks"),
     )
-    a, b = t.alias("a"), t.alias("b")
-    pairs = a.join(
-        b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    # Posting frame feeds the per-block df aggregate AND the ranked
+    # prefix — checkpoint once (same discipline as prefix_jaccard_pairs).
+    tok = t.select("doc_id", "block", F.explode("toks").alias("tok")).localCheckpoint(
+        eager=True
     )
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
-    union = (F.size(F.col("a.toks")) + F.size(F.col("b.toks"))).cast("double") - inter
+    dfreq = tok.groupBy("block", "tok").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    sized = tok.join(dfreq, ["block", "tok"]).select(
+        "doc_id",
+        "block",
+        "tok",
+        F.row_number().over(wdoc).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"),
+    )
+    prefix = sized.filter(
+        F.col("pos") <= F.col("m") - F.ceil(F.lit(tau) * F.col("m") - 1e-9) + 1
+    ).localCheckpoint(eager=True)
+
+    hottest = (
+        prefix.groupBy("block", "tok").agg(F.count(F.lit(1)).alias("p")).agg(F.max("p")).first()[0]
+    )
+    if hottest is not None and hottest > max_prefix_posting:
+        raise ValueError(
+            f"a (block, token) prefix posting list of size {hottest} exceeds "
+            f"max_prefix_posting={max_prefix_posting}: the block is duplicate-"
+            "saturated — run exact_dedup first, then blocked_jaccard_pairs on "
+            "the keepers"
+        )
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    need = F.ceil(F.lit(tau / (1.0 + tau)) * (F.col("a.m") + F.col("b.m")) - 1e-9)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.m").cast("double") >= F.lit(tau) * F.col("a.m"))
+            & (F.col("a.m").cast("double") >= F.lit(tau) * F.col("b.m"))
+            & (
+                F.least(F.col("a.m") - F.col("a.pos"), F.col("b.m") - F.col("b.pos")) + 1
+                >= need
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    x = t.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("__tx"))
+    y = t.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("__ty"))
+    inter = F.size(F.array_intersect(F.col("__tx"), F.col("__ty"))).cast("double")
+    union = (F.size("__tx") + F.size("__ty")).cast("double") - inter
     jac = F.round(inter / union, 4)
     return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"), jac.alias("jaccard")
-        )
+        cand.join(x, "doc1")
+        .join(y, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

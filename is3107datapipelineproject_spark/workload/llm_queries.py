@@ -226,7 +226,11 @@ WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard ≥ 0.5 between doc pairs sharing a source
-    (blocked pairwise dedup — quadratic only inside each block)."""
+    — blocked dedup via PPJoin prefix filtering WITHIN the block (the
+    candidate equi-join key is the composite (block, rare-token), with
+    the lossless size + positional prunes), so within-block cost is
+    Σ posting², not Σ block² — never a raw block self-join (the oracle
+    is that quadratic ground truth)."""
     return D.blocked_jaccard_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", "source", threshold=0.5
     )

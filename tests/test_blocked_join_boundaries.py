@@ -435,3 +435,102 @@ class TestBandTableRetraction:
             for r in pairs_from_band_table(mixed, max_bucket=1024).collect()
         }
         assert len(got) == 15  # C(6,2): all-pairs within the shared band
+
+
+class TestBlockedJaccardBoundaries:
+    """Round-11 battery for blocked_jaccard_pairs, reworked from a raw
+    within-block self-join (quadratic in corpus size inside every
+    block) to PPJoin prefix filtering on the composite (block, token)
+    key. Every prune must stay lossless, block confinement must hold,
+    and the hot-block degenerate case must raise, not silently
+    quadratic."""
+
+    @staticmethod
+    def _run(spark, rows, **kw):
+        from is3107datapipelineproject_spark.operators.dedup import blocked_jaccard_pairs
+
+        df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+        out = blocked_jaccard_pairs(df, "text", "doc_id", "src", threshold=0.5, **kw)
+        return {(r.doc1, r.doc2): float(r.jaccard) for r in out.collect()}
+
+    def test_pair_exactly_at_tau_kept(self, spark):
+        # |x|=3, |y|=3, i=2 -> J = 2/4 = 0.5 exactly: the tau-1e-4
+        # filter slack must not prune a pair AT the threshold
+        x = "alpha beta gamma"
+        y = "alpha beta delta"
+        assert self._run(spark, [(1, "b0", x), (2, "b0", y)]) == {(1, 2): 0.5}
+
+    def test_pair_just_below_tau_dropped(self, spark):
+        # |x|=3, |y|=4, i=2 -> J = 2/5 = 0.4 < 0.5: dropped by the
+        # exact verify, present or not in the candidate set
+        x = "alpha beta gamma"
+        y = "alpha beta delta epsilon"
+        assert self._run(spark, [(1, "b0", x), (2, "b0", y)]) == {}
+
+    def test_identical_docs_in_different_blocks_never_pair(self, spark):
+        # block confinement: byte-equal docs across blocks are NOT a
+        # pair (they share every token, so a candidate join missing the
+        # block key would fire)
+        t = "one two three four"
+        rows = [(1, "b0", t), (2, "b1", t), (3, "b0", t)]
+        assert self._run(spark, rows) == {(1, 3): 1.0}
+
+    def test_per_block_df_order_consistent_with_decoy_block(self, spark):
+        """The token order is per-block (block df ASC, token). A decoy
+        block where the tested pair's SHARED tokens are ultra-common
+        must not perturb block b0's prefix: inside b0 each doc's own
+        unshared token (df=1) sorts first and the shared tokens fill
+        the rest of the prefix — the pair is found via a shared token
+        at the last prefix slot. A global-df order would push the
+        decoy-inflated shared tokens out of b0's prefixes entirely on
+        one side only if the two sides disagreed; this asserts they
+        cannot."""
+        shared = [f"s{i:02d}" for i in range(9)]
+        x = " ".join(["only_x"] + shared)
+        y = " ".join(["only_y"] + shared)
+        rows = [(1, "b0", x), (2, "b0", y)]
+        # decoy block: every shared token appears in 40 docs
+        rows += [(100 + i, "decoy", " ".join(shared)) for i in range(40)]
+        out = self._run(spark, rows, max_prefix_posting=100)
+        assert out[(1, 2)] == round(9 / 11, 4)
+
+    def test_hot_block_cap_edge(self, spark):
+        # a block of n docs sharing every token except one: every
+        # shared token's (block, token) posting ~ block size. At the
+        # cap all C(n,2) pairs come back; one past it raises toward
+        # exact-dedup-first instead of running the quadratic.
+        from is3107datapipelineproject_spark.operators.dedup import blocked_jaccard_pairs
+
+        n = 8
+        rows = [(i, "hot", f"hot1 hot2 hot3 hot4 uniq{i}") for i in range(n)]
+        df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+        got = blocked_jaccard_pairs(
+            df, "text", "doc_id", "src", threshold=0.5, max_prefix_posting=n
+        )
+        assert got.count() == n * (n - 1) // 2  # J = 4/6 = 0.6667 each
+        with pytest.raises(ValueError, match="exact_dedup first"):
+            blocked_jaccard_pairs(
+                df, "text", "doc_id", "src", threshold=0.5, max_prefix_posting=n - 1
+            ).count()
+
+    def test_seeded_random_corpus_matches_brute_force(self, spark):
+        """Seeded random corpus over 4 blocks, brute-force per-block
+        Jaccard as ground truth — the same cross-check contract every
+        other blocked tier in this file carries."""
+        rng = random.Random(11)
+        vocab = [f"w{i:02d}" for i in range(30)]
+        rows = []
+        for i in range(60):
+            toks = rng.sample(vocab, rng.randint(2, 10))
+            rows.append((i, f"b{rng.randrange(4)}", " ".join(toks)))
+        truth = {}
+        sets = {i: (b, frozenset(t.split())) for i, b, t in rows}
+        for i in sets:
+            for j in sets:
+                if i < j and sets[i][0] == sets[j][0]:
+                    si, sj = sets[i][1], sets[j][1]
+                    u = len(si | sj)
+                    jac = round(len(si & sj) / u, 4) if u else None
+                    if jac is not None and jac >= 0.5:
+                        truth[(i, j)] = jac
+        assert self._run(spark, rows) == truth
