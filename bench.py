@@ -336,9 +336,28 @@ def _annex_names(all_names) -> list[str]:
         return pool
     here = os.path.dirname(os.path.abspath(__file__))
     import glob
+    import json as _json
 
     parity = len(glob.glob(os.path.join(here, "BENCH_r*.json"))) % 2
-    return [n for i, n in enumerate(pool) if i % 2 == parity]
+    half = [n for i, n in enumerate(pool) if i % 2 == parity]
+    # NEVER-BENCHED queries ride this round's annex regardless of their
+    # parity slot (SURVEY §5.7, round-11 standing rule): the oracle can
+    # be green while the plan is 240× off — repetition_stats was caught
+    # only by its FIRST annex bench — so no new registration may wait a
+    # round for its first timing. "Benched before" = present in the last
+    # committed BENCH_DETAIL.json (the full headline+annex detail of the
+    # previous run); anything absent from it AND outside this round's
+    # half is new since then.
+    benched: set[str] = set()
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            rec = _json.load(f)
+        benched.update(rec.get("queries", {}))
+        benched.update(rec.get("annex", {}))
+    except (OSError, ValueError):
+        return half  # no detail yet: the plain parity rotation
+    never = [n for n in pool if n not in benched and n not in half]
+    return never + half
 
 
 def main() -> None:

@@ -373,7 +373,11 @@ def compact_stream_dir(
     results)."""
     recover_stale_sibling(spark, path)
     before = _data_files(spark, path)
-    df = spark.read.parquet(path)
+    # mergeSchema: a mixed-era state dir (older batches missing a later-
+    # added column, e.g. the band table's `sig`) must compact to the
+    # UNION schema — default footer sampling could infer from a legacy
+    # file and silently drop the newer column for every row.
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     max_batch = _max_batch_id(spark, path)
     if checkpoint_dir is not None:
         committed = committed_stream_batches(spark, checkpoint_dir)
@@ -471,7 +475,7 @@ def rewrite_stream_dir(
     Returns ``(files_before, files_after)``."""
     recover_stale_sibling(spark, path)
     before = _data_files(spark, path)
-    df = spark.read.parquet(path)
+    df = spark.read.option("mergeSchema", "true").parquet(path)  # union schema, as in compaction
     max_batch = _max_batch_id(spark, path)
     if checkpoint_dir is not None:
         committed = committed_stream_batches(spark, checkpoint_dir)
@@ -569,19 +573,33 @@ def write_purge_intent(spark: SparkSession, state_dir: str, deleted_ids: DataFra
 
 def read_purge_intent(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The pending deleted-id frame staged by :func:`write_purge_intent`,
-    or None when no purge is in flight. A marker stranded at the
-    ``.old`` aside path (a restage crashed between its two renames) is
-    restored first — its set is a subset of the crashed restage's, and
-    the resume re-merges, so recovery is exact."""
+    or None when no purge is in flight. With the marker missing, a
+    COMPLETE ``.tmp`` (its parquet write finished — ``_SUCCESS``
+    present) is preferred over the ``.old`` aside: a restage that
+    crashed between its two renames had already fully written the
+    MERGED set to ``.tmp``, so restoring ``.tmp`` recovers the crashed
+    call's own new ids too, not just the pre-restage subset (``.old``
+    is then superseded and reclaimed). An incomplete ``.tmp`` falls
+    back to ``.old`` — still exact, because a caller that never saw
+    write_purge_intent return must retry with the same deleted set."""
     marker = _purge_intent_path(state_dir)
     mp, fs = _hadoop_fs(spark, marker)
     if not fs.exists(mp):
+        tmp = f"{marker}.tmp"
         old = f"{marker}.old"
+        tp, _ = _hadoop_fs(spark, tmp)
+        sp, _ = _hadoop_fs(spark, f"{tmp}/_SUCCESS")
         op, _ = _hadoop_fs(spark, old)
-        if not fs.exists(op):
+        if fs.exists(tp) and fs.exists(sp):
+            if not fs.rename(tp, mp):
+                raise IOError(f"purge-intent recovery rename {tmp} -> {marker} failed")
+            if fs.exists(op):
+                fs.delete(op, True)
+        elif fs.exists(op):
+            if not fs.rename(op, mp):
+                raise IOError(f"purge-intent recovery rename {old} -> {marker} failed")
+        else:
             return None
-        if not fs.rename(op, mp):
-            raise IOError(f"purge-intent recovery rename {old} -> {marker} failed")
     return spark.read.parquet(marker)
 
 

@@ -1030,6 +1030,12 @@ def edit_purge_state(
         )
         return untouched.unionByName(affected)
 
+    # A crash INSIDE a prior purge's pairs staged_swap leaves pairs_dir
+    # missing with the UNPURGED log at pairs_dir.compact_old; checking
+    # existence without recovering first would skip the pairs rewrite,
+    # clear the marker, and let a later recover resurrect forgotten ids
+    # (round-10 ADVICE-high). Recover BEFORE deciding "no pair log yet".
+    recover_stale_sibling(spark, pairs_dir)
     pp, pfs = _hadoop_fs(spark, pairs_dir)
     if pfs.exists(pp):  # a one-batch corpus has no pair log yet
         rewrite_stream_dir(spark, pairs_dir, rewrite_pairs, checkpoint_dir=checkpoint_dir)
@@ -1225,9 +1231,18 @@ def cluster_purge_state(
         clear_purge_intent,
         compact_stream_dir,
         read_purge_intent,
+        recover_stale_sibling,
         write_purge_intent,
     )
 
+    # A prior compaction (or this purge's own bands rewrite) may have
+    # crashed mid-swap, leaving either dir renamed aside — and the
+    # spark.read below resolves sig_dir EAGERLY, before
+    # compact_stream_dir's own recovery prologue could run (round-10
+    # ADVICE-medium: a missing sig_dir wedged the resume behind a
+    # PATH_NOT_FOUND while the staged marker kept blocking ingest).
+    recover_stale_sibling(spark, sig_dir)
+    recover_stale_sibling(spark, labels_dir)
     dset = deleted.select(F.col(id_col).alias("did")).distinct()
     pending = read_purge_intent(spark, labels_dir)
     if pending is not None:
@@ -1241,7 +1256,12 @@ def cluster_purge_state(
     # band table: safe lazily (no corpus-sized checkpoint — the round-8
     # convention) because the labels rewrite completes before the bands
     # dir is touched, in program order below.
-    bands = spark.read.parquet(sig_dir).drop("batch")
+    # mergeSchema: a mixed-era band table (legacy 3-column batches +
+    # with_sig batches) must ALWAYS surface the sig column — default
+    # schema sampling may infer from a legacy file and silently drop it,
+    # making pairs_from_band_table's hot-band tier choice (and its
+    # NULL-sig loud-fail guard) depend on which footer Spark sampled.
+    bands = spark.read.option("mergeSchema", "true").parquet(sig_dir).drop("batch")
 
     def purge_labels(df: DataFrame) -> DataFrame:
         labels = df.groupBy(F.col(id_col)).agg(F.min("cluster_id").alias("cluster_id"))

@@ -77,64 +77,65 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # pytest-only sink paths and band_signature_frame's new with_sig flag
 # defaults off with column-identical output, so they stale nothing.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # --- plan edited in round 10 -> re-sample first (1):
-    # repetition_stats was rewritten as a narrow per-row scan after the
-    # first-ever sf0.1 annex bench caught the explode-sibling
-    # re-evaluation pathology (243 s -> ~1 s; same values) ---
-    "repetition_stats",
-    # --- new in round 10: no external evidence yet (1) ---
-    "cluster_retract_from_state",
-    # --- last driver-verified in r4 (oldest-first rotation, 50) ---
-    "agg_cube",
-    "agg_percentiles",
-    "approx_distinct",
-    "cheapest_part_per_type",
-    "click_purchase_attribution",
-    "cms_heavy_hitters",
-    "cohort_retention",
-    "contamination_report",
-    "customer_order_distribution",
-    "dblp_collab_totals",
-    "dblp_contains_author",
-    "dblp_nth_author_count",
-    "disjunctive_part_revenue",
-    "document_features",
-    "dormant_rich_customers",
-    "events_dedup_keys",
-    "events_funnel",
-    "events_session_window",
-    "events_sessionize",
-    "events_sliding_window",
-    "f_null_fill",
-    "f_parse_int_map",
-    "filter_bool",
-    "hll_mergeable_sketch",
-    "importance_resample",
-    "key_skew_stats",
-    "lang_mismatch",
-    "large_order_customers",
-    "length_quantiles",
-    "local_supplier_volume",
-    "market_share",
-    "order_priority_exists",
-    "perplexity_buckets",
-    "pivot_priority_by_year",
-    "pricing_summary",
-    "product_profit",
-    "promo_revenue_share",
-    "returned_items",
-    "salted_join_agg",
-    "shipping_priority",
-    "small_qty_revenue",
-    "source_quality_filter",
-    "split_leakage",
-    "top_supplier_revenue",
-    "unpivot_lineitem_metrics",
-    "volume_shipping",
-    "window_lag_lead",
-    "window_moving_sum",
+    # --- plan edited in round 11 -> re-sample first (1):
+    # ngram_jaccard's blocked_jaccard_pairs was reworked from a raw
+    # within-block self-join to PPJoin prefix filtering on the
+    # composite (block, token) key (the round-10 verdict's one
+    # scale-killer); its r8 green row predates the new plan ---
+    "ngram_jaccard",
+    # --- last driver-verified in r4 (displaced by the r10 window's
+    # truncation; the round-10 verdict directed them to lead r11) (2) ---
     "window_rank_dense",
     "xml_flatten",
+    # --- last driver-verified in r5 (oldest-first rotation, 47 —
+    # exactly filling the 50-slot window; the r6 cohort heads r12) ---
+    "ab_test_summary",
+    "bigram_surprisal",
+    "blocklist_filter",
+    "bloom_contamination",
+    "bm25_search",
+    "boilerplate_flag",
+    "bpe_merge_candidates",
+    "char_entropy",
+    "containment_pairs",
+    "copurchase_triangles",
+    "corpus_diff",
+    "corpus_drift",
+    "corpus_shuffle",
+    "cosine_topk",
+    "daily_anomaly_zscore",
+    "data_card",
+    "decontaminate_fixed_bench",
+    "dup_cluster_sizes",
+    "dup_ngram_fraction",
+    "embedding_abtt",
+    "embedding_neardup_lsh",
+    "embedding_pc_projection",
+    "embedding_top_pc",
+    "entity_resolution",
+    "fuzzy_name_match",
+    "gap_fill_interpolate",
+    "graph_degree_stats",
+    "hard_negatives",
+    "incremental_curation",
+    "kmeans_assign",
+    "kmeans_assign_hier",
+    "minhash_topk_similar",
+    "numeric_corr",
+    "pretrain_pipeline",
+    "priority_sample",
+    "quality_classifier",
+    "quantile_sketch",
+    "readability_score",
+    "running_distinct_users",
+    "semantic_dedup",
+    "session_transition_matrix",
+    "simhash_neardup",
+    "similar_parts_jaccard",
+    "temperature_sample",
+    "vocab_growth",
+    "word_pmi",
+    "zipf_slope",
 )
 
 

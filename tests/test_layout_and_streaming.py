@@ -1776,3 +1776,210 @@ def test_edit_purge_recovers_crashed_compaction_before_gating(spark, tmp_path):
         for r in spark.read.parquet(dirs[0]).drop("batch").collect()
     }
     assert titles == {(boiler, 2, 2)}
+
+
+def test_edit_purge_pairs_midswap_crash_recoverable(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE-high: a crash INSIDE the pairs rewrite's
+    staged_swap (pairs_dir renamed aside, tmp not yet swapped in)
+    leaves pairs_dir missing with the UNPURGED pair log — rows naming
+    forgotten doc ids — at pairs_dir.compact_old. The resume must
+    recover that sibling and RE-RUN the pairs rewrite; the pre-fix
+    exists-check skipped the rewrite, cleared the marker, and a later
+    recovery resurrected the forgotten ids."""
+    from is3107datapipelineproject_spark.streaming.windows import (
+        edit_ingest_sink,
+        edit_purge_state,
+    )
+
+    boiler = "frequently repeated boilerplate heading"
+    schema = "doc_id LONG, title STRING"
+    dirs = tuple(str(tmp_path / f"pmw_{d}") for d in ("titles", "keys", "pairs", "members"))
+    sink = edit_ingest_sink(*dirs)
+    sink(spark.createDataFrame([(1, boiler), (2, boiler)], schema), 0)
+    sink(spark.createDataFrame([(21, boiler)], schema), 1)
+
+    pairs_dir = dirs[2]
+    real_swap = L.staged_swap
+
+    def midswap_crash(sp, path, tmp):
+        if path == pairs_dir:
+            os.rename(path, path + ".compact_old")  # the aside rename happened...
+            raise RuntimeError("injected mid-swap crash")  # ...the swap-in did not
+        return real_swap(sp, path, tmp)
+
+    monkeypatch.setattr(L, "staged_swap", midswap_crash)
+    try:
+        edit_purge_state(spark, *dirs, spark.createDataFrame([(1, boiler)], schema))
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "mid-swap" in str(e)
+    monkeypatch.setattr(L, "staged_swap", real_swap)
+    assert not os.path.exists(pairs_dir)  # the window under test
+    assert L.read_purge_intent(spark, dirs[0]) is not None
+
+    # resume: must restore the aside log AND re-run the pairs rewrite
+    edit_purge_state(spark, *dirs, spark.createDataFrame([], schema))
+    assert L.read_purge_intent(spark, dirs[0]) is None
+    assert not os.path.exists(pairs_dir + ".compact_old")
+    pairs = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert pairs == {(21, 2, 0, 1)}  # purged replay, NOT the resurrected (21,1,0,2)
+
+    # forgotten stays forgotten through the next ingest
+    sink(spark.createDataFrame([(31, boiler)], schema), 2)
+    got = {
+        (r.new_id, r.old_id, r.lev, r.n_old)
+        for r in spark.read.parquet(pairs_dir).filter(F.col("batch") == 2).collect()
+    }
+    assert got == {(31, 2, 0, 2)}
+
+
+def test_cluster_purge_bands_midswap_crash_recoverable(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE-medium: a crash inside the BANDS compaction's
+    staged_swap leaves sig_dir missing (corpus at sig_dir.compact_old)
+    with the marker staged. The resume's eager spark.read of sig_dir
+    runs BEFORE compact_stream_dir's own recovery prologue, so without
+    the top-of-function recover it raised PATH_NOT_FOUND and the
+    marker wedged ingest until a manual rename."""
+    from is3107datapipelineproject_spark.operators.dedup import (
+        minhash_neardup_pairs,
+        neardup_clusters,
+    )
+
+    ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    tb = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    schema = "doc_id LONG, text STRING"
+    sig_dir = str(tmp_path / "bmw_sigs")
+    labels_dir = str(tmp_path / "bmw_labels")
+    sink = W.cluster_ingest_sink(sig_dir, labels_dir)
+    sink(spark.createDataFrame([(0, ta), (1, ta), (2, ta)], schema), 0)
+    sink(spark.createDataFrame([(3, tb), (11, tb)], schema), 1)
+
+    real_swap = L.staged_swap
+
+    def midswap_crash(sp, path, tmp):
+        if path == sig_dir:
+            os.rename(path, path + ".compact_old")
+            raise RuntimeError("injected mid-swap crash")
+        return real_swap(sp, path, tmp)
+
+    monkeypatch.setattr(L, "staged_swap", midswap_crash)
+    try:
+        W.cluster_purge_state(
+            spark, labels_dir, sig_dir, spark.createDataFrame([(0,)], "doc_id LONG")
+        )
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "mid-swap" in str(e)
+    monkeypatch.setattr(L, "staged_swap", real_swap)
+    assert not os.path.exists(sig_dir)
+    assert L.read_purge_intent(spark, labels_dir) is not None
+
+    # resume (union composition with a second request) must recover
+    # sig_dir instead of raising PATH_NOT_FOUND, then complete both
+    # rewrites and clear the marker
+    W.cluster_purge_state(
+        spark, labels_dir, sig_dir, spark.createDataFrame([(2,)], "doc_id LONG")
+    )
+    assert L.read_purge_intent(spark, labels_dir) is None
+    surv = spark.createDataFrame([(1, ta), (3, tb), (11, tb)], schema)
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in neardup_clusters(
+            surv, minhash_neardup_pairs(surv, "text", "doc_id"), "doc_id"
+        ).collect()
+    }
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in W.cluster_labels_read(spark, labels_dir).collect()
+    }
+    assert got == want == {(1, 1), (3, 3), (11, 3)}
+    sig_ids = {
+        r.doc_id for r in spark.read.parquet(sig_dir).select("doc_id").distinct().collect()
+    }
+    assert sig_ids == {1, 3, 11}
+    sink(spark.createDataFrame([(31, ta)], schema), 2)
+    after = {
+        (r.doc_id, r.cluster_id)
+        for r in W.cluster_labels_read(spark, labels_dir).collect()
+    }
+    assert after == {(1, 1), (31, 1), (3, 3), (11, 3)}
+
+
+def test_read_purge_intent_prefers_complete_tmp(spark, tmp_path):
+    """Round-10 ADVICE-low: a restage that crashed AFTER renaming the
+    old marker aside but BEFORE renaming .tmp into place had already
+    fully written the MERGED set to .tmp — recovery must prefer that
+    complete .tmp (gated on _SUCCESS) over the pre-restage .old subset,
+    so the restaging call's own new ids are not lost. An INCOMPLETE
+    .tmp still falls back to .old."""
+    sdir = str(tmp_path / "tmppref_state")
+    marker = sdir + ".purge_intent"
+    # stage {1}, then simulate a restage of {1,2} crashing between its
+    # two renames: merged set complete at .tmp, old marker at .old
+    L.write_purge_intent(spark, sdir, spark.createDataFrame([(1,)], "did LONG"))
+    spark.createDataFrame([(1,), (2,)], "did LONG").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(marker + ".tmp")
+    os.rename(marker, marker + ".old")
+    pending = L.read_purge_intent(spark, sdir)
+    assert {r.did for r in pending.collect()} == {1, 2}  # merged set, not the subset
+    assert not os.path.exists(marker + ".old") and not os.path.exists(marker + ".tmp")
+    L.clear_purge_intent(spark, sdir)
+
+    # incomplete .tmp (no _SUCCESS): fall back to the .old subset
+    L.write_purge_intent(spark, sdir, spark.createDataFrame([(1,)], "did LONG"))
+    spark.createDataFrame([(1,), (2,)], "did LONG").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(marker + ".tmp")
+    os.remove(marker + ".tmp/_SUCCESS")
+    os.rename(marker, marker + ".old")
+    pending = L.read_purge_intent(spark, sdir)
+    assert {r.did for r in pending.collect()} == {1}
+    L.clear_purge_intent(spark, sdir)
+
+
+def test_cluster_purge_mixed_era_band_table(spark, tmp_path):
+    """Round-10 ADVICE-low: a mixed-era band table (legacy 3-column
+    batches + with_sig batches) must behave deterministically under a
+    purge — default parquet footer sampling could infer the schema from
+    a legacy file and silently drop `sig` for every row. With
+    mergeSchema the purge completes, survivors keep their sig values,
+    and legacy rows surface as explicit NULLs (so the hot-band loud-fail
+    guard fires deterministically, never sampling-dependently)."""
+    ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    tb = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    schema = "doc_id LONG, text STRING"
+    sig_dir = str(tmp_path / "mix_sigs")
+    labels_dir = str(tmp_path / "mix_labels")
+    sink = W.cluster_ingest_sink(sig_dir, labels_dir)
+    sink(spark.createDataFrame([(0, ta), (1, ta)], schema), 0)
+    sink(spark.createDataFrame([(3, tb), (11, tb)], schema), 1)
+    # age batch 0 into the legacy era: rewrite it without the sig column
+    b0 = spark.read.parquet(f"{sig_dir}/batch=0").select("doc_id", "hs", "band")
+    b0.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "mix_b0"))
+    import shutil
+
+    shutil.rmtree(f"{sig_dir}/batch=0")
+    shutil.move(str(tmp_path / "mix_b0"), f"{sig_dir}/batch=0")
+
+    W.cluster_purge_state(
+        spark, labels_dir, sig_dir, spark.createDataFrame([(0,)], "doc_id LONG")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(sig_dir)
+    assert "sig" in back.columns  # the compacted table carries the union schema
+    per_doc = {
+        r.doc_id: r.has_sig
+        for r in back.groupBy("doc_id")
+        .agg(F.max(F.col("sig").isNotNull()).alias("has_sig"))
+        .collect()
+    }
+    # survivor 1 was a legacy-era row (explicit NULL sig); 3/11 keep theirs
+    assert per_doc == {1: False, 3: True, 11: True}
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in W.cluster_labels_read(spark, labels_dir).collect()
+    }
+    assert got == {(1, 1), (3, 3), (11, 3)}

@@ -122,3 +122,165 @@ def test_window_allowlist_entries_are_live():
     qs = registry.queries()
     stale = [n for n in UNPARTITIONED_WINDOW_ALLOWLIST if n not in qs]
     assert not stale, f"stale allowlist entries: {stale}"
+
+
+# ---------------------------------------------------------------------------
+# Explode-sibling rule (round-11, mechanizing the round-10 repetition_stats
+# lesson): an expensive array expression written as a SIBLING of an explode
+# lands in the Project ABOVE the Generate and re-evaluates once per exploded
+# row (~fan-out× per document) — the oracle stays green while the plan is
+# 240× off. Flag every Project directly above a Generate (through Filters)
+# whose projectList evaluates an expensive array function over columns
+# computed BELOW the Generate and NOT over the generator's own output —
+# i.e. work that could (and should) be computed once per input row in the
+# Generate's child. Expressions that reference the generator output are
+# inherent per-row work (e.g. chunk_documents slicing a different token
+# window per chunk index) and are not flagged.
+
+EXPENSIVE_ARRAY_EXPRS = {
+    "ArrayDistinct", "ArraySort", "SortArray", "ArrayAggregate",
+    "ArrayFilter", "ArrayTransform", "ZipWith", "ArrayIntersect",
+    "ArrayExcept", "ArrayUnion", "ArraysOverlap", "ArrayRepeat",
+    "Slice", "Flatten", "ArrayJoin",
+}
+
+# query -> why its flagged Project-above-Generate expression is fine.
+# (Empty as of round 11: the one candidate, chunk_documents, references
+# the generator output and is therefore excluded by construction.)
+EXPLODE_SIBLING_ALLOWLIST: dict[str, str] = {}
+
+
+def _node_cls(n) -> str:
+    return n.get("class", "").split(".")[-1]
+
+
+def _expr_tree(flat, i=0):
+    """Rebuild one pre-order-flattened Catalyst expression tree."""
+    n = dict(flat[i])
+    n["_children"] = []
+    j = i + 1
+    for _ in range(n.get("num-children", 0)):
+        c, j = _expr_tree(flat, j)
+        n["_children"].append(c)
+    return n, j
+
+
+def _subtree_attr_ids(n, out):
+    if _node_cls(n) == "AttributeReference":
+        out.add(n["exprId"]["id"])
+    for c in n["_children"]:
+        _subtree_attr_ids(c, out)
+
+
+def _raw_attr_ids(obj, out):
+    """exprIds of every AttributeReference in raw (un-treeified) JSON."""
+    if isinstance(obj, dict):
+        if _node_cls(obj) == "AttributeReference":
+            out.add(obj["exprId"]["id"])
+        for v in obj.values():
+            _raw_attr_ids(v, out)
+    elif isinstance(obj, list):
+        for v in obj:
+            _raw_attr_ids(v, out)
+
+
+def explode_sibling_offenses(df) -> list[tuple[str, tuple[str, ...]]]:
+    """(expensive_expr_class, referenced_column_names) for every
+    hoistable expensive expression sitting in a Project directly above
+    a Generate in the optimized plan."""
+    nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+    root, _ = _expr_tree(nodes, 0)  # plan nodes flatten the same way
+    offenses: list[tuple[str, tuple[str, ...]]] = []
+
+    def scan_expr(n, gen_out):
+        if _node_cls(n) in EXPENSIVE_ARRAY_EXPRS:
+            attrs: set[int] = set()
+            _subtree_attr_ids(n, attrs)
+            if attrs and not (attrs & gen_out):
+                names = []
+
+                def nm(x):
+                    if _node_cls(x) == "AttributeReference":
+                        names.append(x["name"])
+                    for c in x["_children"]:
+                        nm(c)
+
+                nm(n)
+                offenses.append((_node_cls(n), tuple(sorted(set(names)))))
+                return  # don't double-report nested expensive children
+        for c in n["_children"]:
+            scan_expr(c, gen_out)
+
+    def walk(n):
+        if _node_cls(n) == "Project" and n["_children"]:
+            c = n["_children"][0]
+            while _node_cls(c) == "Filter" and c["_children"]:
+                c = c["_children"][0]
+            if _node_cls(c) == "Generate":
+                gen_out: set[int] = set()
+                _raw_attr_ids(c.get("generatorOutput"), gen_out)
+                for proj in n.get("projectList", []):
+                    flat = proj if isinstance(proj, list) else [proj]
+                    tree, _ = _expr_tree(flat, 0)
+                    scan_expr(tree, gen_out)
+        for c in n["_children"]:
+            walk(c)
+
+    walk(root)
+    return offenses
+
+
+def test_explode_sibling_rule_catches_the_prefix_repetition_stats(spark):
+    """The rule must be RED on the reverted pre-fix repetition_stats
+    shape (the O(len²) bigram expression as an explode sibling) and
+    GREEN on HEAD's narrow-scan rewrite — the round-10 verdict's
+    acceptance criterion for mechanizing the manual 73-site sweep."""
+    from pyspark.sql import functions as F
+
+    from is3107datapipelineproject_spark.operators.dedup import word_shingles
+    from is3107datapipelineproject_spark.operators.text import repetition_stats, ws_tokens
+
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    bigrams = word_shingles("text", k=2)
+    dup = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams).cast("double"),
+        4,
+    )
+    prefix_shape = (
+        df.select(
+            F.col("doc_id"), dup.alias("dup_2gram_frac"), F.explode(ws_tokens("text")).alias("token")
+        )
+        .groupBy("doc_id", "dup_2gram_frac", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("doc_id", "dup_2gram_frac")
+        .agg(F.round(F.max("tf").cast("double") / F.sum("tf").cast("double"), 4).alias("top_token_frac"))
+        .select("doc_id", "top_token_frac", "dup_2gram_frac")
+    )
+    assert explode_sibling_offenses(prefix_shape), "rule missed the pre-fix pathology"
+    assert explode_sibling_offenses(repetition_stats(df, "text", "doc_id")) == []
+
+    # inherent per-row work over the generator output must NOT flag
+    chunky = df.select(F.explode(F.sequence(F.lit(0), F.lit(2))).alias("i"), "text").select(
+        F.slice(F.split("text", " "), F.col("i") * 2 + 1, 2).alias("w")
+    )
+    assert explode_sibling_offenses(chunky) == []
+
+
+@pytest.mark.parametrize("name", sorted(registry.queries()))
+def test_plan_has_no_explode_sibling_reevaluation(spark, name):
+    off = explode_sibling_offenses(registry.queries()[name](spark, SF_SMOKE))
+    if off and name not in EXPLODE_SIBLING_ALLOWLIST:
+        pytest.fail(
+            f"{name}: expensive array expression(s) {off} in a Project "
+            "directly above a Generate, referencing only pre-Generate "
+            "columns — re-evaluated once per exploded row. Compute it in "
+            "the Generate's child (separate select before the explode), "
+            "or argue per-row necessity in EXPLODE_SIBLING_ALLOWLIST."
+        )
+
+
+def test_explode_allowlist_entries_are_live():
+    qs = registry.queries()
+    stale = [n for n in EXPLODE_SIBLING_ALLOWLIST if n not in qs]
+    assert not stale, f"stale allowlist entries: {stale}"
