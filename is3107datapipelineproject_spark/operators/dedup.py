@@ -995,6 +995,104 @@ def blocked_jaccard_pairs(
     )
 
 
+def incremental_blocked_jaccard(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+    max_prefix_posting: int = 10_000,
+) -> DataFrame:
+    """EXACT incremental BLOCKED near-dup: every (new, old) pair sharing
+    a blocking key with true token-set Jaccard ≥ τ between an arriving
+    batch and the existing corpus — the incremental tier of
+    :func:`blocked_jaccard_pairs`, completing the blocked family's
+    one-shot + batch-incremental symmetry every other dedup tier has
+    (minhash / prefix / edit / semantic).
+
+    Same machinery as :func:`incremental_prefix_jaccard` with the block
+    folded into the candidate equi-join key: postings are built per doc
+    under the corpus's per-block (df ASC, token) order (both sides under
+    the SAME snapshot in this run, so the prefix bound holds), the
+    candidate join runs on the composite ``(block, token)`` key — a
+    struct, so :func:`_prefix_candidates_verify`'s broadcast join and
+    lossless size/positional prunes apply unchanged — and candidates are
+    verified with exact array_intersect Jaccard, rounded to 4 dp before
+    the ≥ τ test. New×old only, never old×old; the batch's postings
+    broadcast onto the corpus posting stream, so the corpus never
+    shuffles (per-ingest cost = batch encode + one map-side join +
+    verify of survivors). ``max_prefix_posting`` guards the
+    duplicate-saturated block exactly as in the one-shot operator.
+
+    Returns ``(new_id, old_id, jaccard)``, jaccard ≥ τ rounded 4 dp.
+    """
+    from pyspark.sql import Window
+
+    tau = threshold - 1e-4
+
+    def prep(df: DataFrame) -> DataFrame:
+        return (
+            spread_small_input(df)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.col(block_col).alias("block"),
+                F.array_distinct(ws_tokens(text_col)).alias("toks"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    to, tn = prep(old), prep(new)
+
+    def toks(t: DataFrame) -> DataFrame:
+        return t.select("doc_id", "block", F.explode("toks").alias("tok"))
+
+    dfreq = (
+        toks(to)
+        .groupBy("block", "tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
+    )
+
+    def postings(t: DataFrame) -> DataFrame:
+        tk = toks(t).join(dfreq, ["block", "tok"], "left").withColumn(
+            "__o", F.coalesce("df", F.lit(0))
+        )
+        wdoc = Window.partitionBy("doc_id").orderBy("__o", "tok")
+        sized = tk.select(
+            "doc_id",
+            "block",
+            "tok",
+            F.row_number().over(wdoc).alias("pos"),
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"),
+        )
+        return sized.filter(
+            F.col("pos") <= F.col("m") - F.ceil(F.lit(tau) * F.col("m") - 1e-9) + 1
+        )
+
+    po = postings(to).localCheckpoint(eager=True)
+    pn = postings(tn)
+    hottest = (
+        po.groupBy("block", "tok").agg(F.count(F.lit(1)).alias("p")).agg(F.max("p")).first()[0]
+    )
+    if hottest is not None and hottest > max_prefix_posting:
+        raise ValueError(
+            f"a corpus (block, token) prefix posting list of size {hottest} "
+            f"exceeds max_prefix_posting={max_prefix_posting}: the block is "
+            "duplicate-saturated — run exact_dedup first, then the "
+            "incremental blocked join"
+        )
+    key = F.struct("block", "tok").alias("tok")
+    return _prefix_candidates_verify(
+        po.select("doc_id", key, "pos", "m"),
+        pn.select("doc_id", key, "pos", "m"),
+        to.select("doc_id", "toks"),
+        tn.select("doc_id", "toks"),
+        tau,
+        threshold,
+    )
+
+
 def incremental_neardup(
     old: DataFrame,
     new: DataFrame,

@@ -236,6 +236,38 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_blocked_jaccard",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, list_distinct({SQL_TOKS}) AS toks FROM documents)
+SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+       round(CAST(len(list_intersect(n.toks, o.toks)) AS DOUBLE)
+             / (CAST(len(n.toks) + len(o.toks) AS DOUBLE) - len(list_intersect(n.toks, o.toks))),
+             4) AS jaccard
+FROM t n JOIN t o ON n.source = o.source AND n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+WHERE round(CAST(len(list_intersect(n.toks, o.toks)) AS DOUBLE)
+            / (CAST(len(n.toks) + len(o.toks) AS DOUBLE) - len(list_intersect(n.toks, o.toks))),
+            4) >= 0.5
+""",
+    tags=("dedup", "incremental", "llm"),
+)
+def q_incremental_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT incremental BLOCKED ingest dedup (operators/dedup.py::
+    incremental_blocked_jaccard): the doc_id %% 5 == 0 slice plays the
+    arriving batch, checked against the rest of the corpus for true
+    token-set Jaccard >= 0.5 WITHIN the shared source block — the
+    incremental tier that completes the blocked family's symmetry with
+    the minhash/prefix/edit/semantic tiers (one-shot + every-batch).
+    The batch's prefix postings broadcast onto the corpus posting
+    stream on the composite (block, token) key — the corpus never
+    shuffles, and the oracle is the quadratic new x old within-block
+    ground truth."""
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_blocked_jaccard(old, new, "text", "doc_id", "source", threshold=0.5)
+
+
 # --- text analysis ----------------------------------------------------------
 
 _EN = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"])

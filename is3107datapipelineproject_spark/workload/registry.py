@@ -83,12 +83,15 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # composite (block, token) key (the round-10 verdict's one
     # scale-killer); its r8 green row predates the new plan ---
     "ngram_jaccard",
+    # --- new in round 11: no external evidence yet (1) ---
+    "incremental_blocked_jaccard",
     # --- last driver-verified in r4 (displaced by the r10 window's
     # truncation; the round-10 verdict directed them to lead r11) (2) ---
     "window_rank_dense",
     "xml_flatten",
-    # --- last driver-verified in r5 (oldest-first rotation, 47 —
-    # exactly filling the 50-slot window; the r6 cohort heads r12) ---
+    # --- last driver-verified in r5 (oldest-first rotation, 46 of 47 —
+    # exactly filling the 50-slot window; zipf_slope, the alphabetical
+    # tail of the r5 cohort, plus the r6 cohort head r12) ---
     "ab_test_summary",
     "bigram_surprisal",
     "blocklist_filter",
@@ -135,7 +138,6 @@ _EVIDENCE_PRIORITY: tuple[str, ...] = (
     "temperature_sample",
     "vocab_growth",
     "word_pmi",
-    "zipf_slope",
 )
 
 

@@ -534,3 +534,74 @@ class TestBlockedJaccardBoundaries:
                     if jac is not None and jac >= 0.5:
                         truth[(i, j)] = jac
         assert self._run(spark, rows) == truth
+
+
+class TestIncrementalBlockedJaccardBoundaries:
+    """Round-11 incremental tier of the blocked family: new×old within
+    the shared block only — brute-force parity, block confinement,
+    never old×old, and the (block, token) posting-cap edge."""
+
+    @staticmethod
+    def _run(spark, old, new, **kw):
+        from is3107datapipelineproject_spark.operators.dedup import (
+            incremental_blocked_jaccard,
+        )
+
+        cols = ["doc_id", "src", "text"]
+        out = incremental_blocked_jaccard(
+            spark.createDataFrame(old, cols),
+            spark.createDataFrame(new, cols),
+            "text",
+            "doc_id",
+            "src",
+            threshold=0.5,
+            **kw,
+        )
+        return {(r.new_id, r.old_id): float(r.jaccard) for r in out.collect()}
+
+    def test_block_confinement_and_no_old_x_old(self, spark):
+        t = "one two three four"
+        old = [(1, "b0", t), (2, "b0", t), (3, "b1", t)]
+        new = [(10, "b0", t), (11, "b2", t)]
+        # old 1 and 2 are an exact pair but must NOT appear (old×old);
+        # new 11's block b2 has no corpus members; new 10 pairs with both
+        # b0 corpus docs only
+        assert self._run(spark, old, new) == {(10, 1): 1.0, (10, 2): 1.0}
+
+    def test_at_tau_kept_below_dropped(self, spark):
+        old = [(1, "b0", "alpha beta gamma"), (2, "b0", "alpha beta delta epsilon")]
+        new = [(10, "b0", "alpha beta zeta")]
+        # (10,1): i=2, union 4 -> 0.5 kept; (10,2): i=2, union 5 -> 0.4 dropped
+        assert self._run(spark, old, new) == {(10, 1): 0.5}
+
+    def test_posting_cap_edge(self, spark):
+        import pytest as _pytest
+
+        n = 8
+        old = [(i, "hot", f"hot1 hot2 hot3 hot4 uniq{i}") for i in range(n)]
+        new = [(100, "hot", "hot1 hot2 hot3 hot4 uniqx")]
+        got = self._run(spark, old, new, max_prefix_posting=n)
+        assert len(got) == n  # J = 4/6 vs every corpus member
+        with _pytest.raises(ValueError, match="exact_dedup first"):
+            self._run(spark, old, new, max_prefix_posting=n - 1)
+
+    def test_seeded_random_matches_brute_force(self, spark):
+        rng = random.Random(23)
+        vocab = [f"w{i:02d}" for i in range(25)]
+        rows = [
+            (i, f"b{rng.randrange(3)}", " ".join(rng.sample(vocab, rng.randint(2, 9))))
+            for i in range(50)
+        ]
+        old = [r for r in rows if r[0] % 4 != 0]
+        new = [r for r in rows if r[0] % 4 == 0]
+        truth = {}
+        for ni, nb, nt in new:
+            for oi, ob, ot in old:
+                if nb != ob:
+                    continue
+                sn, so = set(nt.split()), set(ot.split())
+                u = len(sn | so)
+                jac = round(len(sn & so) / u, 4) if u else None
+                if jac is not None and jac >= 0.5:
+                    truth[(ni, oi)] = jac
+        assert self._run(spark, old, new) == truth

@@ -132,6 +132,40 @@ def _build_docs(spark, out: str, k: int) -> None:
     _union_write(reps, f"{out}/documents.parquet")
 
 
+def _build_docs_blockgrowth(spark, out: str, k: int) -> None:
+    """documents replicated k× with UNCHANGED source values but a
+    per-replica token namespace (every token prefixed ``r<i>x``): the
+    blocking key's blocks grow k× while cross-replica token-set Jaccard
+    is exactly 0, so TRUE within-block pairs grow k×, never k². This is
+    the corpus that distinguishes candidate-bound blocked dedup
+    (``blocked_jaccard_pairs``' PPJoin-within-block: per-(block, token)
+    posting lists never mix replicas, cost ~ true pairs) from a raw
+    within-block self-join (cost ~ block², ×k² here) — the standard
+    ``_build_docs`` salt corpus cannot make that distinction at τ=0.5,
+    because its ~0.65 cross-replica Jaccard sits ABOVE the ngram
+    threshold and the true output itself goes k²."""
+    docs = load_table(spark, BASE, "documents")
+    reps = []
+    for i in range(k):
+        ns = F.array_join(
+            F.transform(
+                F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " "),
+                lambda t: F.concat(F.lit(f"r{i}x"), t),
+            ),
+            " ",
+        )
+        reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                ns.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    _union_write(reps, f"{out}/documents.parquet")
+
+
 def _build_emb(spark, out: str, k: int) -> None:
     emb = load_table(spark, BASE, "embeddings")
     _union_write(
@@ -272,6 +306,16 @@ def main() -> None:
             time_funnel_stream(spark, small)  # warm-up: worker forks, state store init
             t1, r1 = time_funnel_stream(spark, small)
             tk, rk = time_funnel_stream(spark, big)
+        elif op == "ngram_blockgrowth":
+            # blocked_jaccard_pairs under k×-GROWING blocks with k×
+            # (not k²) true pairs — see _build_docs_blockgrowth.
+            bg = f"{ROOT}/x{args.factor}_blockgrowth"
+            os.makedirs(bg, exist_ok=True)
+            if not os.path.exists(f"{bg}/documents.parquet"):
+                _build_docs_blockgrowth(spark, bg, args.factor)
+            fn = qs["ngram_jaccard"]
+            t1, r1 = time_op(spark, fn, BASE)
+            tk, rk = time_op(spark, fn, bg)
         else:
             fn = qs.get(op)
             if fn is None:
