@@ -1093,6 +1093,46 @@ def incremental_blocked_jaccard(
     )
 
 
+def blocked_posting_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """``(sets, postings)`` for the BLOCKED tier under the FIXED
+    token-value order — the persistable form a streaming ingest stores
+    per document (the blocked sibling of :func:`prefix_posting_frame`
+    with ``dfreq=None``): ``sets`` = ``(doc_id, block, toks)``,
+    ``postings`` = ``(doc_id, block, tok, pos, m)`` with only each
+    doc's first ``m − ⌈τ·m⌉ + 1`` tokens. The fixed order never drifts
+    as the corpus grows, so postings persisted at any past ingest stay
+    jointly lossless against every future batch (a per-block df order
+    would silently invalidate the prefix bound once block frequencies
+    shift); the price is longer posting lists, never recall."""
+    from pyspark.sql import Window
+
+    tau = threshold - 1e-4
+    sets = spread_small_input(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("block"),
+        F.array_distinct(ws_tokens(text_col)).alias("toks"),
+    )
+    tok = sets.select("doc_id", "block", F.explode("toks").alias("tok"))
+    wdoc = Window.partitionBy("doc_id").orderBy("tok")
+    sized = tok.select(
+        "doc_id",
+        "block",
+        "tok",
+        F.row_number().over(wdoc).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"),
+    )
+    postings = sized.filter(
+        F.col("pos") <= F.col("m") - F.ceil(F.lit(tau) * F.col("m") - 1e-9) + 1
+    )
+    return sets, postings
+
+
 def incremental_neardup(
     old: DataFrame,
     new: DataFrame,

@@ -608,6 +608,89 @@ def prefix_ingest_sink(
     return apply
 
 
+def blocked_ingest_sink(
+    postings_dir: str,
+    sets_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    threshold: float = 0.5,
+):
+    """Streaming corpus ingest with every-batch EXACT near-dup detection
+    WITHIN metadata blocks — the blocked tier's streaming sink,
+    completing its one-shot (``blocked_jaccard_pairs``) + incremental
+    (``incremental_blocked_jaccard``) + stream symmetry with the other
+    text tiers. Per micro-batch of arriving documents,
+
+    1. builds the batch's blocked prefix postings + token sets ONCE
+       under the FIXED token-value order (``blocked_posting_frame`` —
+       positions never drift as blocks grow, so postings persisted at
+       any past ingest stay jointly lossless against every future
+       batch; a per-block df order would invalidate the bound once
+       block frequencies shift);
+    2. joins them (broadcast, new side) against the PERSISTED corpus
+       postings on the composite ``(block, token)`` struct key with the
+       lossless size/positional prunes, verifying candidates exactly
+       against the persisted sets — corpus text never re-read;
+    3. appends surviving ``(new_id, old_id, jaccard)`` pairs;
+    4. appends the batch's postings + sets for the next trigger.
+
+    New×old only; within-batch pairs are out of scope (run
+    blocked_jaccard_pairs on the batch if they matter). Retry-safe via
+    the standard ``batch=<id>`` overwrite + strictly-earlier corpus
+    filter. Right-to-be-forgotten: all three state dirs are per-ROW
+    logs keyed by the ids they name — the generic
+    :func:`purge_stream_state` tier covers them (``("doc_id",)`` for
+    postings/sets, ``("new_id", "old_id")`` for pairs); no
+    recomputation is needed because no row aggregates other docs'
+    data."""
+    from pyspark.errors import AnalysisException
+
+    from is3107datapipelineproject_spark.operators.dedup import (
+        _prefix_candidates_verify,
+        blocked_posting_frame,
+    )
+
+    tau = threshold - 1e-4
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sets_b, postings_b = blocked_posting_frame(
+            batch_df, text_col, id_col, block_col, threshold=threshold
+        )
+        sets_b = sets_b.localCheckpoint(eager=True)
+        postings_b = postings_b.localCheckpoint(eager=True)
+        older = F.col("batch") < batch_id
+        try:
+            corpus_postings = spark.read.parquet(postings_dir).filter(older).drop("batch")
+            corpus_sets = spark.read.parquet(sets_dir).filter(older).drop("batch")
+        except AnalysisException:  # cold start: first batch IS the corpus
+            from is3107datapipelineproject_spark.plans.layout import (
+                assert_stream_dir_healthy,
+            )
+
+            assert_stream_dir_healthy(spark, postings_dir)
+            assert_stream_dir_healthy(spark, sets_dir)
+            corpus_postings = None
+            corpus_sets = None
+        if corpus_postings is not None:
+            key = F.struct("block", "tok").alias("tok")
+            pairs = _prefix_candidates_verify(
+                corpus_postings.select("doc_id", key, "pos", "m"),
+                postings_b.select("doc_id", key, "pos", "m"),
+                corpus_sets.select("doc_id", "toks"),
+                sets_b.select("doc_id", "toks"),
+                tau,
+                threshold,
+            )
+            pairs.write.mode("overwrite").parquet(f"{pairs_dir}/batch={int(batch_id)}")
+        postings_b.write.mode("overwrite").parquet(f"{postings_dir}/batch={int(batch_id)}")
+        sets_b.write.mode("overwrite").parquet(f"{sets_dir}/batch={int(batch_id)}")
+
+    return apply
+
+
 def edit_ingest_sink(
     titles_dir: str,
     keys_dir: str,

@@ -1983,3 +1983,103 @@ def test_cluster_purge_mixed_era_band_table(spark, tmp_path):
         for r in W.cluster_labels_read(spark, labels_dir).collect()
     }
     assert got == {(1, 1), (3, 3), (11, 3)}
+
+
+def test_blocked_ingest_sink_matches_batch_incremental(spark, tmp_path):
+    """Blocked-tier streaming ingest == batch
+    incremental_blocked_jaccard: two micro-batches through the
+    foreachBatch sink; batch 2's pairs against the PERSISTED
+    fixed-order postings must equal the batch operator (per-block
+    df-rarest order) with batch 1 as corpus — both tiers' prunes are
+    lossless and the verify exact, so the order difference must not
+    change a pair. Block confinement holds across batches, replay is
+    bit-identical, and the generic purge tier erases a forgotten doc
+    from all three state dirs."""
+    from is3107datapipelineproject_spark.operators import dedup as D
+    from is3107datapipelineproject_spark.streaming.windows import blocked_ingest_sink
+
+    cols = ["doc_id", "source", "text"]
+    b1 = [
+        (1, "web", "the quick brown fox jumps over the lazy dog"),
+        (2, "web", "completely unrelated text about distributed query processing"),
+        (3, "books", "the quick brown fox jumps over the lazy dog"),
+    ]
+    b2 = [
+        (11, "web", "the quick brown fox jumps over the lazy dog"),  # dup of 1, NOT 3
+        (12, "books", "the quick brown fox jumps over the lazy dog today"),  # near 3
+        (13, "web", "fresh content matching nothing in the corpus"),
+    ]
+    docs_dir = tmp_path / "blk_docs"
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(str(docs_dir / "f0.parquet"))
+    spark.createDataFrame(b2, cols).coalesce(1).write.parquet(str(docs_dir / "f1.parquet"))
+    postings_dir = str(tmp_path / "blk_postings")
+    sets_dir = str(tmp_path / "blk_sets")
+    pairs_dir = str(tmp_path / "blk_pairs")
+
+    sink = blocked_ingest_sink(postings_dir, sets_dir, pairs_dir, threshold=0.5)
+    stream = (
+        spark.readStream.schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(docs_dir / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "blk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.new_id, r.old_id, r.jaccard) for r in spark.read.parquet(pairs_dir).collect()
+    }
+    want = {
+        (r.new_id, r.old_id, r.jaccard)
+        for r in D.incremental_blocked_jaccard(
+            spark.createDataFrame(b1, cols),
+            spark.createDataFrame(b2, cols),
+            "text",
+            "doc_id",
+            "source",
+            threshold=0.5,
+        ).collect()
+    }
+    assert got == want
+    assert (11, 1, 1.0) in got  # same block
+    assert not any(o == 3 for n, o, _ in got if n == 11)  # cross-block never pairs
+    assert any(n == 12 and o == 3 for n, o, _ in got)  # books-block near-dup found
+
+    # postings hold a PREFIX, never the full set
+    import pyspark.sql.functions as SF
+
+    pf = spark.read.parquet(postings_dir)
+    per_doc = pf.groupBy("doc_id").agg(
+        SF.count(SF.lit(1)).alias("np"), SF.max("m").alias("m")
+    )
+    assert per_doc.filter(SF.col("np") >= SF.col("m")).count() == 0
+
+    # at-least-once replay of batch 1: all three dirs bit-identical
+    sink(spark.createDataFrame(b2, cols), 1)
+    assert {
+        (r.new_id, r.old_id, r.jaccard) for r in spark.read.parquet(pairs_dir).collect()
+    } == want
+
+    # right-to-be-forgotten via the generic per-row tier
+    deleted = spark.createDataFrame([(1,)], "doc_id LONG")
+    W.purge_stream_state(spark, postings_dir, ("doc_id",), deleted)
+    W.purge_stream_state(spark, sets_dir, ("doc_id",), deleted)
+    W.purge_stream_state(spark, pairs_dir, ("new_id", "old_id"), deleted)
+    assert spark.read.parquet(postings_dir).filter(SF.col("doc_id") == 1).count() == 0
+    assert spark.read.parquet(sets_dir).filter(SF.col("doc_id") == 1).count() == 0
+    left = {
+        (r.new_id, r.old_id, r.jaccard) for r in spark.read.parquet(pairs_dir).collect()
+    }
+    assert left == {p for p in want if 1 not in (p[0], p[1])}
+    # forgotten stays forgotten: an identical post-purge arrival in the
+    # same block pairs only with surviving members
+    sink(spark.createDataFrame([(21, "web", b1[0][2])], cols), 2)
+    newp = {
+        (r.new_id, r.old_id)
+        for r in spark.read.parquet(pairs_dir).filter(SF.col("batch") == 2).collect()
+    }
+    assert (21, 11) in newp and not any(o == 1 for _, o in newp)
