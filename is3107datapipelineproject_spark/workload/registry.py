@@ -63,19 +63,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
 # ordered by last-driver-verified round ASCENDING, ties alphabetical,
 # truncated to the 50-slot window. `tools/evidence_gap.py --rotation`
 # computes the ordering mechanically from CORRECTNESS_r*.json; regenerate
-# the list below each round. Round-10 window: 1 edited + 1 new query +
-# 48 of the 50 remaining r4 rows (the list runs TWO past the 50-slot
-# window; the driver truncates, so `window_rank_dense` and
-# `xml_flatten` — the latter independently carries the golden-fixture
-# XML test — rotate into r11, where they join a window otherwise
-# holding only the 47-row r5 cohort). The round-10 verdict asked for
-# both "no green row predates r5 after r10" and a new registered
-# from-state retraction query; with exactly 50 slots those are
-# arithmetically exclusive — edited/new-first wins (stale or absent
-# evidence is worse than old evidence) and the displaced r4 rows are
-# named here. The other round-10 code paths (purge/guard work) live on
-# pytest-only sink paths and band_signature_frame's new with_sig flag
-# defaults off with column-identical output, so they stale nothing.
+# the list below each round. Round-11 window: 1 edited (ngram_jaccard,
+# reworked plan) + 1 new (incremental_blocked_jaccard) + the 2 r4 rows
+# the round-10 truncation deferred + 46 of the 47-row r5 cohort —
+# exactly 50 slots, no truncation; zipf_slope (the r5 alphabetical
+# tail) heads r12 with the r6 cohort. The other round-11 code paths
+# (purge crash-window fixes, blocked_ingest_sink, mergeSchema reads)
+# live on pytest-only sink paths and stale no registered plan.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
     # --- plan edited in round 11 -> re-sample first (1):
     # ngram_jaccard's blocked_jaccard_pairs was reworked from a raw

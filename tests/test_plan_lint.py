@@ -1,6 +1,6 @@
 """Physical-plan lint over the ENTIRE query registry.
 
-Three invariants every registered query's plan must satisfy — the
+Four invariants every registered query's plan must satisfy — the
 failure modes that silently kill a plan at 100 TB:
 
 - no ``CartesianProduct``: an un-broadcast cross join is O(n·m) shuffle
@@ -18,6 +18,10 @@ failure modes that silently kill a plan at 100 TB:
   / ``rfm_segmentation`` verdicts (both now ride
   operators.ranking.distributed_rank instead). Every new entry here
   must argue boundedness, or switch to the distributed rank.
+- no EXPLODE-SIBLING re-evaluation: an expensive array expression in a
+  Project directly above a Generate, referencing only pre-Generate
+  columns, re-runs once per exploded row (the round-10
+  ``repetition_stats`` 240× pathology) — see the rule block below.
 
 Planning at sf0.001 exercises exactly what the driver/bench will run;
 iterative operators execute their (tiny) fixpoint loops during plan
@@ -113,6 +117,17 @@ def test_plan_has_no_cartesian_or_row_python(spark, name):
             f"{name}: {n_unpart} unpartitioned Window node(s) — a single-task "
             "sort at scale. Use operators.ranking.distributed_rank, or argue "
             "boundedness in UNPARTITIONED_WINDOW_ALLOWLIST."
+        )
+    # explode-sibling rule (round 11; one plan build serves all lints —
+    # a separate parametrized test would double the suite's compile time)
+    off = explode_sibling_offenses(df)
+    if off and name not in EXPLODE_SIBLING_ALLOWLIST:
+        pytest.fail(
+            f"{name}: expensive array expression(s) {off} in a Project "
+            "directly above a Generate, referencing only pre-Generate "
+            "columns — re-evaluated once per exploded row. Compute it in "
+            "the Generate's child (separate select before the explode), "
+            "or argue per-row necessity in EXPLODE_SIBLING_ALLOWLIST."
         )
 
 
@@ -265,19 +280,6 @@ def test_explode_sibling_rule_catches_the_prefix_repetition_stats(spark):
         F.slice(F.split("text", " "), F.col("i") * 2 + 1, 2).alias("w")
     )
     assert explode_sibling_offenses(chunky) == []
-
-
-@pytest.mark.parametrize("name", sorted(registry.queries()))
-def test_plan_has_no_explode_sibling_reevaluation(spark, name):
-    off = explode_sibling_offenses(registry.queries()[name](spark, SF_SMOKE))
-    if off and name not in EXPLODE_SIBLING_ALLOWLIST:
-        pytest.fail(
-            f"{name}: expensive array expression(s) {off} in a Project "
-            "directly above a Generate, referencing only pre-Generate "
-            "columns — re-evaluated once per exploded row. Compute it in "
-            "the Generate's child (separate select before the explode), "
-            "or argue per-row necessity in EXPLODE_SIBLING_ALLOWLIST."
-        )
 
 
 def test_explode_allowlist_entries_are_live():
