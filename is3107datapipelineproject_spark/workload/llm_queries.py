@@ -244,7 +244,7 @@ SELECT n.doc_id AS new_id, o.doc_id AS old_id,
        round(CAST(len(list_intersect(n.toks, o.toks)) AS DOUBLE)
              / (CAST(len(n.toks) + len(o.toks) AS DOUBLE) - len(list_intersect(n.toks, o.toks))),
              4) AS jaccard
-FROM t n JOIN t o ON n.source = o.source AND n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+FROM t n JOIN t o ON n.source = o.source AND n.doc_id % 7 = 0 AND o.doc_id % 7 <> 0
 WHERE round(CAST(len(list_intersect(n.toks, o.toks)) AS DOUBLE)
             / (CAST(len(n.toks) + len(o.toks) AS DOUBLE) - len(list_intersect(n.toks, o.toks))),
             4) >= 0.5
@@ -253,7 +253,7 @@ WHERE round(CAST(len(list_intersect(n.toks, o.toks)) AS DOUBLE)
 )
 def q_incremental_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT incremental BLOCKED ingest dedup (operators/dedup.py::
-    incremental_blocked_jaccard): the doc_id %% 5 == 0 slice plays the
+    incremental_blocked_jaccard): the doc_id %% 7 == 0 slice plays the
     arriving batch, checked against the rest of the corpus for true
     token-set Jaccard >= 0.5 WITHIN the shared source block — the
     incremental tier that completes the blocked family's symmetry with
@@ -261,10 +261,14 @@ def q_incremental_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     The batch's prefix postings broadcast onto the corpus posting
     stream on the composite (block, token) key — the corpus never
     shuffles, and the oracle is the quadratic new x old within-block
-    ground truth."""
+    ground truth. Split on %% 7, NOT the %% 5 the other incremental
+    queries use: the testdata assigns source = src(doc_id %% 20), so a
+    divisor-of-20 split puts every source entirely on one side and the
+    query (and its oracle) would be vacuously empty; 7 is coprime with
+    20, giving every block members on both sides."""
     docs = _t(spark, sf_dir, "documents")
-    new = docs.filter(F.col("doc_id") % 5 == 0)
-    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
     return D.incremental_blocked_jaccard(old, new, "text", "doc_id", "source", threshold=0.5)
 
 

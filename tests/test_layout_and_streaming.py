@@ -2083,3 +2083,42 @@ def test_blocked_ingest_sink_matches_batch_incremental(spark, tmp_path):
         for r in spark.read.parquet(pairs_dir).filter(SF.col("batch") == 2).collect()
     }
     assert (21, 11) in newp and not any(o == 1 for _, o in newp)
+
+
+def test_blocked_ingest_state_compaction_invariant(spark, tmp_path):
+    """compact_stream_dir over the blocked sink's posting/set logs:
+    batch partials collapse to one batch=<max> partition with
+    bit-identical merge-on-read contents, and the NEXT ingest still
+    pairs correctly against the compacted corpus (the reused max id
+    keeps the strictly-earlier filter sound)."""
+    from is3107datapipelineproject_spark.plans.layout import compact_stream_dir
+    from is3107datapipelineproject_spark.streaming.windows import blocked_ingest_sink
+
+    cols = ["doc_id", "source", "text"]
+    sink = blocked_ingest_sink(
+        str(tmp_path / "bc_postings"),
+        str(tmp_path / "bc_sets"),
+        str(tmp_path / "bc_pairs"),
+        threshold=0.5,
+    )
+    t = "the quick brown fox jumps over the lazy dog"
+    sink(spark.createDataFrame([(1, "web", t), (2, "books", t)], cols), 0)
+    sink(spark.createDataFrame([(11, "web", t + " again")], cols), 1)
+
+    for d in ("bc_postings", "bc_sets"):
+        path = str(tmp_path / d)
+        before = sorted(map(tuple, spark.read.parquet(path).drop("batch").collect()))
+        fb, fa = compact_stream_dir(spark, path)
+        assert fa < fb, d
+        after = spark.read.parquet(path)
+        assert sorted(map(tuple, after.drop("batch").collect())) == before, d
+        assert {r.batch for r in after.select("batch").distinct().collect()} == {1}, d
+
+    sink(spark.createDataFrame([(21, "web", t)], cols), 2)
+    got = {
+        (r.new_id, r.old_id)
+        for r in spark.read.parquet(str(tmp_path / "bc_pairs"))
+        .filter(F.col("batch") == 2)
+        .collect()
+    }
+    assert got == {(21, 1), (21, 11)}  # web block only, both corpus members

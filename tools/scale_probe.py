@@ -306,14 +306,20 @@ def main() -> None:
             time_funnel_stream(spark, small)  # warm-up: worker forks, state store init
             t1, r1 = time_funnel_stream(spark, small)
             tk, rk = time_funnel_stream(spark, big)
-        elif op == "ngram_blockgrowth":
-            # blocked_jaccard_pairs under k×-GROWING blocks with k×
-            # (not k²) true pairs — see _build_docs_blockgrowth.
+        elif op in ("ngram_blockgrowth", "incremental_ngram_blockgrowth"):
+            # blocked tier under k×-GROWING blocks with k× (not k²)
+            # true pairs — see _build_docs_blockgrowth. The incremental
+            # variant probes the batch×corpus split on the same corpus
+            # (the standard salt corpus is unusable at τ=0.5: its ~0.65
+            # cross-replica Jaccard sits above the threshold, so true
+            # output itself would grow k²).
             bg = f"{ROOT}/x{args.factor}_blockgrowth"
             os.makedirs(bg, exist_ok=True)
             if not os.path.exists(f"{bg}/documents.parquet"):
                 _build_docs_blockgrowth(spark, bg, args.factor)
-            fn = qs["ngram_jaccard"]
+            fn = qs[
+                "ngram_jaccard" if op == "ngram_blockgrowth" else "incremental_blocked_jaccard"
+            ]
             t1, r1 = time_op(spark, fn, BASE)
             tk, rk = time_op(spark, fn, bg)
         else:
