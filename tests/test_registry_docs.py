@@ -43,3 +43,38 @@ def test_oracles_reference_registered_queries_only():
     qs = registry.queries()
     orphans = sorted(set(oracles) - set(qs))
     assert orphans == [], f"oracle entries without a query: {orphans}"
+
+
+def test_no_oracle_is_vacuously_empty_at_sf001():
+    """Round-11 standing check (born from the incremental_blocked_jaccard
+    catch): the driver's oracle comparison certifies AGREEMENT, not
+    non-triviality — a query whose Spark plan and oracle are BOTH empty
+    stays green forever while testing nothing. The first registration
+    of incremental_blocked_jaccard split batches on doc_id % 5 while
+    the testdata assigns source = src(doc_id % 20); every source landed
+    entirely on one side and the within-block new×old join was
+    vacuously empty on both engines. Every registered oracle must
+    return at least one row at sf0.01, or be listed here with a reason
+    why empty IS the expected answer."""
+    import duckdb
+
+    from is3107datapipelineproject_spark.workload import registry as reg
+
+    expected_empty: dict[str, str] = {}
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    vacuous = []
+    for name, sql in reg.oracle_sql().items():
+        if name in expected_empty:
+            continue
+        if con.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0] == 0:
+            vacuous.append(name)
+    assert vacuous == [], (
+        f"oracles returning ZERO rows at sf0.01 (green-but-trivial): {vacuous} — "
+        "fix the query's selectivity or argue the empty answer in expected_empty"
+    )
