@@ -354,8 +354,11 @@ def _annex_names(all_names) -> list[str]:
             rec = _json.load(f)
         benched.update(rec.get("queries", {}))
         benched.update(rec.get("annex", {}))
-    except (OSError, ValueError):
-        return half  # no detail yet: the plain parity rotation
+    except (OSError, ValueError, AttributeError, TypeError, KeyError):
+        # unreadable OR structurally-unexpected detail file (hand-edited,
+        # truncated): fall back to the plain parity rotation rather than
+        # aborting the whole bench before any timing
+        return half
     never = [n for n in pool if n not in benched and n not in half]
     return never + half
 

@@ -924,34 +924,30 @@ def blocked_jaccard_pairs(
     toward exact-dedup-first — the same count-guard contract as
     prefix_jaccard_pairs / cosine_topk, never a silent quadratic.
 
+    A doc_id listed under SEVERAL blocks (a doc-per-cluster blocking
+    frame) is supported exactly as in the raw-join formulation: each
+    (doc, block) membership row builds its own prefix over its own
+    token set, pairs are generated and verified per shared block, and a
+    pair sharing two blocks returns one row per block — never a
+    cross-membership mixture.
+
     Returns ``(doc1, doc2, jaccard)`` with jaccard ≥ threshold, rounded
     to 4 decimals, doc1 < doc2, pairs within a block only.
     """
-    from pyspark.sql import Window
-
     tau = threshold - 1e-4  # filters honor the round-then-threshold contract
     t = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
         F.array_distinct(ws_tokens(text_col)).alias("toks"),
+    ).localCheckpoint(eager=True)  # feeds dfreq, postings AND both verify sides
+    dfreq = (
+        t.select("doc_id", "block", F.explode("toks").alias("tok"))
+        .groupBy("block", "tok")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
-    # Posting frame feeds the per-block df aggregate AND the ranked
-    # prefix — checkpoint once (same discipline as prefix_jaccard_pairs).
-    tok = t.select("doc_id", "block", F.explode("toks").alias("tok")).localCheckpoint(
+    prefix = postings_from_sets(t, tau, dfreq=dfreq, group_cols=("block",)).localCheckpoint(
         eager=True
     )
-    dfreq = tok.groupBy("block", "tok").agg(F.count(F.lit(1)).alias("df"))
-    wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
-    sized = tok.join(dfreq, ["block", "tok"]).select(
-        "doc_id",
-        "block",
-        "tok",
-        F.row_number().over(wdoc).alias("pos"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"),
-    )
-    prefix = sized.filter(
-        F.col("pos") <= F.col("m") - F.ceil(F.lit(tau) * F.col("m") - 1e-9) + 1
-    ).localCheckpoint(eager=True)
 
     hottest = (
         prefix.groupBy("block", "tok").agg(F.count(F.lit(1)).alias("p")).agg(F.max("p")).first()[0]
@@ -979,17 +975,21 @@ def blocked_jaccard_pairs(
                 >= need
             ),
         )
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+        )
         .distinct()
     )
-    x = t.select(F.col("doc_id").alias("doc1"), F.col("toks").alias("__tx"))
-    y = t.select(F.col("doc_id").alias("doc2"), F.col("toks").alias("__ty"))
+    x = t.select(F.col("doc_id").alias("doc1"), "block", F.col("toks").alias("__tx"))
+    y = t.select(F.col("doc_id").alias("doc2"), "block", F.col("toks").alias("__ty"))
     inter = F.size(F.array_intersect(F.col("__tx"), F.col("__ty"))).cast("double")
     union = (F.size("__tx") + F.size("__ty")).cast("double") - inter
     jac = F.round(inter / union, 4)
     return (
-        cand.join(x, "doc1")
-        .join(y, "doc2")
+        cand.join(x, ["doc1", "block"])
+        .join(y, ["doc2", "block"])
         .select("doc1", "doc2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -1025,10 +1025,15 @@ def incremental_blocked_jaccard(
     verify of survivors). ``max_prefix_posting`` guards the
     duplicate-saturated block exactly as in the one-shot operator.
 
+    Contract: ``block_col`` is an ATTRIBUTE of the document — one block
+    per doc row (the ingest-batch shape). The one-shot
+    :func:`blocked_jaccard_pairs` additionally supports doc-per-cluster
+    multi-membership frames; here the shared verify joins sets by doc
+    id, so a multi-block doc would fan out — pre-split such frames per
+    block before calling.
+
     Returns ``(new_id, old_id, jaccard)``, jaccard ≥ τ rounded 4 dp.
     """
-    from pyspark.sql import Window
-
     tau = threshold - 1e-4
 
     def prep(df: DataFrame) -> DataFrame:
@@ -1043,35 +1048,16 @@ def incremental_blocked_jaccard(
         )
 
     to, tn = prep(old), prep(new)
-
-    def toks(t: DataFrame) -> DataFrame:
-        return t.select("doc_id", "block", F.explode("toks").alias("tok"))
-
     dfreq = (
-        toks(to)
+        to.select("doc_id", "block", F.explode("toks").alias("tok"))
         .groupBy("block", "tok")
         .agg(F.count(F.lit(1)).alias("df"))
         .localCheckpoint(eager=True)
     )
-
-    def postings(t: DataFrame) -> DataFrame:
-        tk = toks(t).join(dfreq, ["block", "tok"], "left").withColumn(
-            "__o", F.coalesce("df", F.lit(0))
-        )
-        wdoc = Window.partitionBy("doc_id").orderBy("__o", "tok")
-        sized = tk.select(
-            "doc_id",
-            "block",
-            "tok",
-            F.row_number().over(wdoc).alias("pos"),
-            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"),
-        )
-        return sized.filter(
-            F.col("pos") <= F.col("m") - F.ceil(F.lit(tau) * F.col("m") - 1e-9) + 1
-        )
-
-    po = postings(to).localCheckpoint(eager=True)
-    pn = postings(tn)
+    po = postings_from_sets(to, tau, dfreq=dfreq, group_cols=("block",)).localCheckpoint(
+        eager=True
+    )
+    pn = postings_from_sets(tn, tau, dfreq=dfreq, group_cols=("block",))
     hottest = (
         po.groupBy("block", "tok").agg(F.count(F.lit(1)).alias("p")).agg(F.max("p")).first()[0]
     )
@@ -1109,28 +1095,15 @@ def blocked_posting_frame(
     as the corpus grows, so postings persisted at any past ingest stay
     jointly lossless against every future batch (a per-block df order
     would silently invalidate the prefix bound once block frequencies
-    shift); the price is longer posting lists, never recall."""
-    from pyspark.sql import Window
-
+    shift); the price is longer posting lists, never recall. Same
+    one-block-per-doc contract as :func:`incremental_blocked_jaccard`."""
     tau = threshold - 1e-4
     sets = spread_small_input(df).select(
         F.col(id_col).alias("doc_id"),
         F.col(block_col).alias("block"),
         F.array_distinct(ws_tokens(text_col)).alias("toks"),
     )
-    tok = sets.select("doc_id", "block", F.explode("toks").alias("tok"))
-    wdoc = Window.partitionBy("doc_id").orderBy("tok")
-    sized = tok.select(
-        "doc_id",
-        "block",
-        "tok",
-        F.row_number().over(wdoc).alias("pos"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"),
-    )
-    postings = sized.filter(
-        F.col("pos") <= F.col("m") - F.ceil(F.lit(tau) * F.col("m") - 1e-9) + 1
-    )
-    return sets, postings
+    return sets, postings_from_sets(sets, tau, dfreq=None, group_cols=("block",))
 
 
 def incremental_neardup(
@@ -1503,26 +1476,48 @@ def prefix_posting_frame(
 
 
 def postings_from_sets(
-    sets: DataFrame, tau: float, dfreq: DataFrame | None = None
+    sets: DataFrame,
+    tau: float,
+    dfreq: DataFrame | None = None,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The posting half of :func:`prefix_posting_frame`, over an
-    ALREADY-built ``(doc_id, toks)`` frame — so a caller holding a
-    checkpointed set frame (the incremental operator hashes the corpus
-    exactly once for dfreq + verify + postings) never re-runs the
-    CPU-bound shingle stage."""
+    ALREADY-built ``(doc_id, [*group_cols,] toks)`` frame — so a caller
+    holding a checkpointed set frame (the incremental operator hashes
+    the corpus exactly once for dfreq + verify + postings) never
+    re-runs the CPU-bound shingle stage.
+
+    This is the shared implementation of the correctness-critical
+    prefix bound ``pos ≤ m − ⌈τ·m⌉ + 1`` (1e-9 under the ceil against
+    float representation error) used by the incremental, blocked, and
+    streaming tiers; :func:`prefix_jaccard_pairs` keeps one historical
+    inline copy of the same expression (its tok-frame checkpoint
+    discipline differs) — a change to the bound must touch BOTH, and
+    the planted τ-boundary batteries in
+    tests/test_blocked_join_boundaries.py cover each tier
+    independently. ``group_cols`` (the blocked tiers pass
+    ``("block",)``) are carried through, the df order joins on
+    ``(*group_cols, tok)``, and the per-doc window partitions on
+    ``(doc_id, *group_cols)`` — a doc listed under several blocks
+    builds an independent prefix per membership, so each membership's
+    bound is exact."""
     from pyspark.sql import Window
 
-    tok = sets.select("doc_id", F.explode("toks").alias("tok"))
+    g = list(group_cols)
+    tok = sets.select("doc_id", *g, F.explode("toks").alias("tok"))
     if dfreq is not None:
-        tok = tok.join(dfreq, "tok", "left").withColumn("__o", F.coalesce("df", F.lit(0)))
+        tok = tok.join(dfreq, [*g, "tok"], "left").withColumn(
+            "__o", F.coalesce("df", F.lit(0))
+        )
     else:
         tok = tok.withColumn("__o", F.col("tok"))
-    wdoc = Window.partitionBy("doc_id").orderBy("__o", "tok")
+    wdoc = Window.partitionBy("doc_id", *g).orderBy("__o", "tok")
     sized = tok.select(
         "doc_id",
+        *g,
         "tok",
         F.row_number().over(wdoc).alias("pos"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", *g)).alias("m"),
     )
     return sized.filter(
         F.col("pos") <= F.col("m") - F.ceil(F.lit(tau) * F.col("m") - 1e-9) + 1

@@ -253,7 +253,7 @@ WHERE round(CAST(len(list_intersect(n.toks, o.toks)) AS DOUBLE)
 )
 def q_incremental_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT incremental BLOCKED ingest dedup (operators/dedup.py::
-    incremental_blocked_jaccard): the doc_id %% 7 == 0 slice plays the
+    incremental_blocked_jaccard): the doc_id % 7 == 0 slice plays the
     arriving batch, checked against the rest of the corpus for true
     token-set Jaccard >= 0.5 WITHIN the shared source block — the
     incremental tier that completes the blocked family's symmetry with
@@ -261,8 +261,8 @@ def q_incremental_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     The batch's prefix postings broadcast onto the corpus posting
     stream on the composite (block, token) key — the corpus never
     shuffles, and the oracle is the quadratic new x old within-block
-    ground truth. Split on %% 7, NOT the %% 5 the other incremental
-    queries use: the testdata assigns source = src(doc_id %% 20), so a
+    ground truth. Split on % 7, NOT the % 5 the other incremental
+    queries use: the testdata assigns source = src(doc_id % 20), so a
     divisor-of-20 split puts every source entirely on one side and the
     query (and its oracle) would be vacuously empty; 7 is coprime with
     20, giving every block members on both sides."""

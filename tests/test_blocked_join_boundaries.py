@@ -605,3 +605,37 @@ class TestIncrementalBlockedJaccardBoundaries:
                 if jac is not None and jac >= 0.5:
                     truth[(ni, oi)] = jac
         assert self._run(spark, old, new) == truth
+
+
+class TestBlockedJaccardMultiMembership:
+    """Round-11 review catch: the PPJoin rework must keep the raw-join
+    formulation's multi-membership semantics — a doc_id listed under
+    SEVERAL blocks (doc-per-cluster blocking frames) builds an
+    independent prefix per (doc, block) row, with per-block size/m and
+    per-block verification. A doc-level window would compute m across
+    memberships, silently dropping J=1.0 pairs."""
+
+    def test_doc_in_two_blocks_pairs_in_each(self, spark):
+        from is3107datapipelineproject_spark.operators.dedup import blocked_jaccard_pairs
+
+        rows = [
+            (1, "A", "alpha beta gamma delta"),
+            (1, "B", "epsilon zeta eta theta"),
+            (2, "A", "alpha beta gamma delta"),   # identical to 1's A row
+            (3, "B", "epsilon zeta eta theta"),   # identical to 1's B row
+            (4, "B", "completely different words entirely"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+        out = blocked_jaccard_pairs(df, "text", "doc_id", "src", threshold=0.5)
+        got = {(r.doc1, r.doc2, float(r.jaccard)) for r in out.collect()}
+        assert got == {(1, 2, 1.0), (1, 3, 1.0)}
+
+    def test_pair_sharing_two_blocks_returns_one_row_per_block(self, spark):
+        from is3107datapipelineproject_spark.operators.dedup import blocked_jaccard_pairs
+
+        t = "one two three four"
+        rows = [(1, "A", t), (1, "B", t), (2, "A", t), (2, "B", t)]
+        df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+        out = blocked_jaccard_pairs(df, "text", "doc_id", "src", threshold=0.5)
+        rows_out = [(r.doc1, r.doc2, float(r.jaccard)) for r in out.collect()]
+        assert sorted(rows_out) == [(1, 2, 1.0), (1, 2, 1.0)]  # per-block, as the raw join

@@ -156,7 +156,11 @@ def _build_docs_blockgrowth(spark, out: str, k: int) -> None:
         )
         reps.append(
             docs.select(
-                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                # replica offset is a MULTIPLE OF 7 so the incremental
+                # probe's doc_id % 7 batch split selects the SAME base
+                # docs in every replica — true new×old pairs then grow
+                # exactly ×K, making the SCALING claim auditable
+                (F.col("doc_id") + F.lit(i * 10_000_004)).alias("doc_id"),
                 ns.alias("text"),
                 "lang",
                 "source",
