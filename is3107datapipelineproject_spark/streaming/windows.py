@@ -451,7 +451,12 @@ def hist_ingest_sink(sketch_dir: str, value_col: str, width: float = 100.0):
 
 def hist_read(spark, sketch_dir: str) -> DataFrame:
     """Merge the stored histogram partials back into one sketch
-    (union + re-sum over ≤ #partials × range/width rows)."""
+    (union + re-sum over ≤ #partials × range/width rows). Recovers a
+    mid-swap-crashed hist_compact first (same contract as
+    cluster_labels_read)."""
+    from is3107datapipelineproject_spark.plans.layout import recover_stale_sibling
+
+    recover_stale_sibling(spark, sketch_dir)
     parts = spark.read.parquet(sketch_dir)
     return parts.groupBy("bin").agg(F.sum("bin_cnt").cast("long").alias("bin_cnt"))
 
@@ -1242,7 +1247,16 @@ def cluster_labels_read(
     ``cluster_id`` = min across its upsert versions — identical to
     latest-wins because labels are monotone non-increasing (see
     cluster_ingest_sink). ``before`` filters to strictly earlier batch
-    ids (the sinks' replay-safe state read)."""
+    ids (the sinks' replay-safe state read).
+
+    Like every rewrite's prologue, a mid-swap-crashed compaction
+    (labels_dir missing, the corpus at the ``.compact_old`` aside) is
+    recovered before reading — the aside copy IS the state at that
+    crash point, so a query-side read never wedges on PATH_NOT_FOUND
+    while the data sits one rename away."""
+    from is3107datapipelineproject_spark.plans.layout import recover_stale_sibling
+
+    recover_stale_sibling(spark, labels_dir)
     df = spark.read.parquet(labels_dir)
     if before is not None:
         df = df.filter(F.col("batch") < before)

@@ -2122,3 +2122,29 @@ def test_blocked_ingest_state_compaction_invariant(spark, tmp_path):
         .collect()
     }
     assert got == {(21, 1), (21, 11)}  # web block only, both corpus members
+
+
+def test_state_readers_recover_crashed_compaction(spark, tmp_path):
+    """Query-side readers (cluster_labels_read, hist_read) share the
+    rewriters' recovery prologue: a compaction that crashed mid-swap
+    leaves the state dir missing with the corpus at .compact_old — the
+    reader restores it instead of raising PATH_NOT_FOUND while the data
+    sits one rename away."""
+    ta = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    schema = "doc_id LONG, text STRING"
+    sig_dir = str(tmp_path / "rr_sigs")
+    labels_dir = str(tmp_path / "rr_labels")
+    sink = W.cluster_ingest_sink(sig_dir, labels_dir)
+    sink(spark.createDataFrame([(0, ta), (1, ta)], schema), 0)
+    before = {(r.doc_id, r.cluster_id) for r in W.cluster_labels_read(spark, labels_dir).collect()}
+    os.rename(labels_dir, labels_dir + ".compact_old")
+    after = {(r.doc_id, r.cluster_id) for r in W.cluster_labels_read(spark, labels_dir).collect()}
+    assert after == before == {(0, 0), (1, 0)}
+    assert os.path.exists(labels_dir) and not os.path.exists(labels_dir + ".compact_old")
+
+    sketch_dir = str(tmp_path / "rr_hist")
+    spark.createDataFrame([(1, 3), (2, 4)], ["bin", "bin_cnt"]).write.parquet(sketch_dir)
+    want = {(r.bin, r.bin_cnt) for r in W.hist_read(spark, sketch_dir).collect()}
+    os.rename(sketch_dir, sketch_dir + ".compact_old")
+    got = {(r.bin, r.bin_cnt) for r in W.hist_read(spark, sketch_dir).collect()}
+    assert got == want == {(1, 3), (2, 4)}
