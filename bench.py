@@ -319,7 +319,7 @@ def _timed(fn, spark, sf_dir: str) -> float:
     return sorted(runs)[1]
 
 
-def _annex_names(all_names) -> list[str]:
+def _annex_names(all_names, here: str | None = None) -> list[str]:
     """The NON-headline registered queries benched this run — the bench
     annex (round-8 verdict item 4: 81 registrations had no current
     bench row, so a drift in a real-but-demoted operator was
@@ -327,14 +327,16 @@ def _annex_names(all_names) -> list[str]:
     by round parity (count of committed BENCH_r*.json files), so every
     non-headline query gets a bench row at most 2 rounds old without
     doubling bench wall-clock. SPARK_GRAFT_BENCH_ANNEX=all benches the
-    whole pool (--full mode); =0/off disables."""
+    whole pool (--full mode); =0/off disables. ``here`` overrides the
+    artifact directory (tests point it at a fixture dir)."""
     mode = os.environ.get("SPARK_GRAFT_BENCH_ANNEX", "half").lower()
     if mode in ("0", "off", "none"):
         return []
     pool = sorted(n for n in all_names if n not in HEADLINE)
     if mode == "all":
         return pool
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     import glob
     import json as _json
 

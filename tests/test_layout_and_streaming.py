@@ -2148,3 +2148,56 @@ def test_state_readers_recover_crashed_compaction(spark, tmp_path):
     os.rename(sketch_dir, sketch_dir + ".compact_old")
     got = {(r.bin, r.bin_cnt) for r in W.hist_read(spark, sketch_dir).collect()}
     assert got == want == {(1, 3), (2, 4)}
+
+
+def test_state_doctor_diagnoses_and_repairs(tmp_path):
+    """tools/state_doctor.py applies exactly the recovery table the
+    maintenance prologues implement: superseded asides reclaimed,
+    mid-swap asides restored, stale tmps deleted, orphan tmps and
+    purge markers reported but never auto-touched."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import state_doctor as SD
+
+    root = tmp_path / "states"
+    # superseded aside: both primary and aside exist
+    (root / "a").mkdir(parents=True)
+    (root / "a.compact_old").mkdir()
+    # mid-swap: primary missing, aside is the corpus
+    (root / "b.compact_old").mkdir()
+    (root / "b.compact_old" / "part-0").write_text("corpus")
+    # stale tmp next to an intact primary
+    (root / "c").mkdir()
+    (root / "c.compact_tmp").mkdir()
+    # orphan tmp with NO complete copy anywhere
+    (root / "d.compact_tmp").mkdir()
+    # purge in flight
+    (root / "e").mkdir()
+    (root / "e.purge_intent").mkdir()
+
+    kinds = {f["path"].split("/")[-1]: f["kind"] for f in SD.diagnose(str(root))}
+    assert kinds == {
+        "a.compact_old": "superseded_aside",
+        "b.compact_old": "midswap_aside",
+        "c.compact_tmp": "stale_tmp",
+        "d.compact_tmp": "orphan_tmp_no_copy",
+        "e.purge_intent": "purge_in_flight",
+    }
+
+    out = SD.repair(SD.diagnose(str(root)))
+    assert not (root / "a.compact_old").exists() and (root / "a").exists()
+    assert (root / "b").exists() and (root / "b" / "part-0").read_text() == "corpus"
+    assert not (root / "b.compact_old").exists()
+    assert not (root / "c.compact_tmp").exists() and (root / "c").exists()
+    assert (root / "d.compact_tmp").exists()  # never auto-touched
+    assert (root / "e.purge_intent").exists()
+    applied = {f["path"].split("/")[-1]: f["applied"] for f in out}
+    assert applied["d.compact_tmp"] is False and applied["e.purge_intent"] is False
+
+    # idempotent: after repair only the two report-only findings remain
+    left = {(f["path"], f["kind"]) for f in SD.diagnose(str(root))}
+    assert left == {
+        (str(root / "d.compact_tmp"), "orphan_tmp_no_copy"),
+        (str(root / "e.purge_intent"), "purge_in_flight"),
+    }

@@ -78,3 +78,41 @@ def test_no_oracle_is_vacuously_empty_at_sf001():
         f"oracles returning ZERO rows at sf0.01 (green-but-trivial): {vacuous} — "
         "fix the query's selectivity or argue the empty answer in expected_empty"
     )
+
+
+def test_annex_rotation_includes_never_benched_first(tmp_path):
+    """SURVEY §5.7 mechanics (no Spark needed): a pool query absent
+    from the last committed BENCH_DETAIL.json AND outside this round's
+    parity half must ride this round's annex, ahead of the half; with
+    no detail file the plain parity rotation applies; a structurally
+    broken detail file degrades to the parity rotation instead of
+    aborting the bench."""
+    import json as _json
+
+    import bench
+
+    # two headline names (excluded from the pool) + a 4-name pool
+    names = list(bench.HEADLINE)[:2] + ["zz_new_query", "aa_old_a", "aa_old_b", "aa_old_c"]
+    d = tmp_path
+    # one committed round -> parity 1; pool sorted: [aa_old_a, aa_old_b, aa_old_c, zz_new_query]
+    (d / "BENCH_r01.json").write_text("{}")
+    detail = {"queries": {}, "annex": {"aa_old_a": 1.0, "aa_old_b": 1.0, "aa_old_c": 1.0}}
+    (d / "BENCH_DETAIL.json").write_text(_json.dumps(detail))
+    out = bench._annex_names(names, here=str(d))
+    half = ["aa_old_b", "zz_new_query"]  # parity-1 slots of the sorted pool
+    assert out == half  # zz_new is IN the half: no extra slot needed
+
+    # flip parity: zz_new_query falls outside the half and is not in the
+    # detail -> it must lead the annex as never-benched
+    (d / "BENCH_r02.json").write_text("{}")
+    out = bench._annex_names(names, here=str(d))
+    assert out[0] == "zz_new_query" and out[1:] == ["aa_old_a", "aa_old_c"]
+
+    # broken detail file: degrade to the parity rotation, never raise
+    (d / "BENCH_DETAIL.json").write_text("[1, 2, 3]")
+    out = bench._annex_names(names, here=str(d))
+    assert out == ["aa_old_a", "aa_old_c"]
+
+    # no detail at all: plain parity rotation
+    (d / "BENCH_DETAIL.json").unlink()
+    assert bench._annex_names(names, here=str(d)) == ["aa_old_a", "aa_old_c"]
