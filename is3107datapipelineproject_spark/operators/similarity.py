@@ -339,9 +339,12 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within coarse buckets:
     ``(id1, id2, cosine)`` with id1 < id2 and cosine ≥ threshold. The
-    quadratic expansion is confined to each bucket (same blocking
-    argument as dedup.blocked_jaccard_pairs) — which means BUCKET
-    GRANULARITY MUST GROW WITH THE CORPUS: per-bucket work is
+    quadratic expansion is confined to each bucket (the classic
+    blocked-dedup argument; note dedup.blocked_jaccard_pairs abandoned
+    the raw within-block join in round 11 precisely because METADATA
+    blocks grow with the corpus — embedding buckets escape that fate
+    only via the granularity contract below) — BUCKET GRANULARITY MUST
+    GROW WITH THE CORPUS: per-bucket work is
     O(|bucket|²), so a fixed coarse partition (the registered query's
     ~10 labels — fine at test scale) becomes quadratic at 100 TB. The
     production formulation feeds ``bucket_col`` = an IVF cell id from
