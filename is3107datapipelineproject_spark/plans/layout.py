@@ -417,16 +417,25 @@ def compact_stream_dir(
 
 def recover_stale_sibling(spark: SparkSession, path: str) -> None:
     """Shared crash-recovery prologue of every rename-aside rewrite
-    (compact_stream_dir, rewrite_stream_dir, the edit keys rebuild): a
-    completed-swap leftover ``.compact_old`` is superseded and
-    reclaimed; a mid-swap crash (``path`` missing) restores the aside
-    copy, which IS the corpus at that crash point."""
+    (compact_stream_dir, rewrite_stream_dir, the edit keys rebuild) and
+    of the query-side state readers: a completed-swap leftover
+    ``.compact_old`` is superseded and reclaimed; a mid-swap crash
+    (``path`` missing) restores the aside copy, which IS the corpus at
+    that crash point.
+
+    Race-benign for CONCURRENT RECOVERERS (two readers hitting the same
+    crashed state): the loser's rename fails because the winner already
+    restored ``path`` — that is success, not an error, so it re-checks
+    before raising. Concurrency with a LIVE maintenance rewrite is the
+    quiesced-stream caveat every compaction already carries: recovery
+    cannot distinguish a crashed swap from one in flight, so run
+    maintenance against quiesced state (readers are then always safe)."""
     p, fs = _hadoop_fs(spark, path)
     op, _ = _hadoop_fs(spark, f"{path}.compact_old")
     if fs.exists(op):
         if fs.exists(p):
             fs.delete(op, True)
-        elif not fs.rename(op, p):
+        elif not fs.rename(op, p) and not fs.exists(p):
             raise IOError(f"recovery rename {path}.compact_old -> {path} failed")
 
 

@@ -2157,7 +2157,7 @@ def test_state_doctor_diagnoses_and_repairs(tmp_path):
     purge markers reported but never auto-touched."""
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
     import state_doctor as SD
 
     root = tmp_path / "states"
@@ -2175,6 +2175,13 @@ def test_state_doctor_diagnoses_and_repairs(tmp_path):
     # purge in flight
     (root / "e").mkdir()
     (root / "e.purge_intent").mkdir()
+    # complete marker tmp with NO marker: a restage crashed between its
+    # renames -> recoverable merged set, purge still in flight
+    (root / "f.purge_intent.tmp").mkdir()
+    (root / "f.purge_intent.tmp" / "_SUCCESS").write_text("")
+    # incomplete marker tmp (no _SUCCESS, no marker): the engine ignores
+    # it (read_purge_intent requires _SUCCESS) -> deletable
+    (root / "g.purge_intent.tmp").mkdir()
 
     kinds = {f["path"].split("/")[-1]: f["kind"] for f in SD.diagnose(str(root))}
     assert kinds == {
@@ -2183,7 +2190,15 @@ def test_state_doctor_diagnoses_and_repairs(tmp_path):
         "c.compact_tmp": "stale_tmp",
         "d.compact_tmp": "orphan_tmp_no_copy",
         "e.purge_intent": "purge_in_flight",
+        "f.purge_intent.tmp": "purge_in_flight",
+        "g.purge_intent.tmp": "purge_stage_incomplete",
     }
+
+    # a typo'd root must error, never report a clean bill of health
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="does not exist"):
+        SD.diagnose(str(tmp_path / "sates"))
 
     out = SD.repair(SD.diagnose(str(root)))
     assert not (root / "a.compact_old").exists() and (root / "a").exists()
@@ -2192,12 +2207,16 @@ def test_state_doctor_diagnoses_and_repairs(tmp_path):
     assert not (root / "c.compact_tmp").exists() and (root / "c").exists()
     assert (root / "d.compact_tmp").exists()  # never auto-touched
     assert (root / "e.purge_intent").exists()
+    assert (root / "f.purge_intent.tmp").exists()  # recoverable set: kept
+    assert not (root / "g.purge_intent.tmp").exists()  # ignored staging: deleted
     applied = {f["path"].split("/")[-1]: f["applied"] for f in out}
     assert applied["d.compact_tmp"] is False and applied["e.purge_intent"] is False
+    assert applied["f.purge_intent.tmp"] is False and applied["g.purge_intent.tmp"] is True
 
     # idempotent: after repair only the two report-only findings remain
     left = {(f["path"], f["kind"]) for f in SD.diagnose(str(root))}
     assert left == {
         (str(root / "d.compact_tmp"), "orphan_tmp_no_copy"),
         (str(root / "e.purge_intent"), "purge_in_flight"),
+        (str(root / "f.purge_intent.tmp"), "purge_in_flight"),
     }

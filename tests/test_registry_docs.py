@@ -80,7 +80,7 @@ def test_no_oracle_is_vacuously_empty_at_sf001():
     )
 
 
-def test_annex_rotation_includes_never_benched_first(tmp_path):
+def test_annex_rotation_includes_never_benched_first(tmp_path, monkeypatch):
     """SURVEY §5.7 mechanics (no Spark needed): a pool query absent
     from the last committed BENCH_DETAIL.json AND outside this round's
     parity half must ride this round's annex, ahead of the half; with
@@ -91,6 +91,7 @@ def test_annex_rotation_includes_never_benched_first(tmp_path):
 
     import bench
 
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ANNEX", raising=False)
     # two headline names (excluded from the pool) + a 4-name pool
     names = list(bench.HEADLINE)[:2] + ["zz_new_query", "aa_old_a", "aa_old_b", "aa_old_c"]
     d = tmp_path
