@@ -887,6 +887,34 @@ def dedup_corpus(
     return docs.join(keepers, id_col, "left_semi")
 
 
+def _materialize(df: DataFrame, durable: bool) -> DataFrame:
+    """Shared materialization point of the one-shot prefix/blocked
+    tiers' reused intermediates (the tokenized doc frame and the prefix
+    postings — each feeds the df aggregate, the hot-posting probe, the
+    candidate join AND the exact verify, so recomputing them per
+    consumer would repeat the CPU-bound tokenize/rank stages).
+
+    ``durable=False`` (default): eager ``localCheckpoint`` — the
+    measured-fastest shape at sandbox scale, but LINEAGE-FREE: on a
+    real cluster an executor loss mid-query kills the job instead of
+    recomputing the lost blocks (the round-8 lesson this flag
+    config-gates). ``durable=True``: ``persist(DISK_ONLY)`` — blocks
+    live on executor disk WITH lineage retained, so a lost executor
+    recomputes its partitions and the query survives; the sf0.1 delta
+    vs the checkpoint shape is near-zero (SCALING part 23). Values are
+    identical either way — the flag changes fault-tolerance, never
+    results — so the τ-boundary battery runs bit-identically through
+    both paths (tests/test_blocked_join_boundaries.py). Long-lived
+    sessions calling durable=True in a loop should unpersist via
+    ``spark.catalog.clearCache()`` between calls; the blocks also age
+    out under the LRU store, unlike checkpoint blocks."""
+    if durable:
+        from pyspark.storagelevel import StorageLevel
+
+        return df.persist(StorageLevel.DISK_ONLY)
+    return df.localCheckpoint(eager=True)
+
+
 def blocked_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -894,6 +922,7 @@ def blocked_jaccard_pairs(
     block_col: str,
     threshold: float = 0.5,
     max_prefix_posting: int = 10_000,
+    durable: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard between all doc pairs sharing a blocking
     key (source, domain, near-dup cluster …) — via PPJoin prefix
@@ -931,23 +960,29 @@ def blocked_jaccard_pairs(
     pair sharing two blocks returns one row per block — never a
     cross-membership mixture.
 
+    ``durable=True`` swaps the reused intermediates' eager
+    localCheckpoint for ``persist(DISK_ONLY)`` — identical values,
+    lineage retained for executor-loss recovery (see
+    :func:`_materialize` for the full fault-tolerance contract).
+
     Returns ``(doc1, doc2, jaccard)`` with jaccard ≥ threshold, rounded
     to 4 decimals, doc1 < doc2, pairs within a block only.
     """
     tau = threshold - 1e-4  # filters honor the round-then-threshold contract
-    t = spread_small_input(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.col(block_col).alias("block"),
-        F.array_distinct(ws_tokens(text_col)).alias("toks"),
-    ).localCheckpoint(eager=True)  # feeds dfreq, postings AND both verify sides
+    t = _materialize(  # feeds dfreq, postings AND both verify sides
+        spread_small_input(df).select(
+            F.col(id_col).alias("doc_id"),
+            F.col(block_col).alias("block"),
+            F.array_distinct(ws_tokens(text_col)).alias("toks"),
+        ),
+        durable,
+    )
     dfreq = (
         t.select("doc_id", "block", F.explode("toks").alias("tok"))
         .groupBy("block", "tok")
         .agg(F.count(F.lit(1)).alias("df"))
     )
-    prefix = postings_from_sets(t, tau, dfreq=dfreq, group_cols=("block",)).localCheckpoint(
-        eager=True
-    )
+    prefix = _materialize(postings_from_sets(t, tau, dfreq=dfreq, group_cols=("block",)), durable)
 
     hottest = (
         prefix.groupBy("block", "tok").agg(F.count(F.lit(1)).alias("p")).agg(F.max("p")).first()[0]
@@ -1029,7 +1064,11 @@ def incremental_blocked_jaccard(
     per doc row (the ingest-batch shape). The one-shot
     :func:`blocked_jaccard_pairs` additionally supports doc-per-cluster
     multi-membership frames; here the shared verify joins sets by doc
-    id, so a multi-block doc would fan out — pre-split such frames per
+    id, so a multi-block doc would fan out — the contract is ENFORCED
+    loudly (one row per doc_id on each side, checked on the already-
+    checkpointed prepped frames) rather than left to the docstring:
+    a violating frame would otherwise silently emit duplicate /
+    cross-membership jaccard rows. Pre-split multi-block frames per
     block before calling.
 
     Returns ``(new_id, old_id, jaccard)``, jaccard ≥ τ rounded 4 dp.
@@ -1048,6 +1087,8 @@ def incremental_blocked_jaccard(
         )
 
     to, tn = prep(old), prep(new)
+    _assert_one_row_per_doc(to, "incremental_blocked_jaccard: corpus side")
+    _assert_one_row_per_doc(tn, "incremental_blocked_jaccard: batch side")
     dfreq = (
         to.select("doc_id", "block", F.explode("toks").alias("tok"))
         .groupBy("block", "tok")
@@ -1077,6 +1118,31 @@ def incremental_blocked_jaccard(
         tau,
         threshold,
     )
+
+
+def _assert_one_row_per_doc(t: DataFrame, what: str) -> None:
+    """Loud guard for the one-block-per-doc contract shared by the
+    incremental blocked tier and its streaming sink: their exact-verify
+    joins sets on ``doc_id`` alone, so a doc listed under several
+    blocks (or a doc_id re-ingested across batches) would FAN OUT the
+    verify and emit duplicate / cross-membership jaccard rows instead
+    of erroring. One bounded aggregate over the (already checkpointed)
+    prepped frame — the no-silent-cliff convention every dedup tier's
+    guards follow."""
+    dup = (
+        t.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"{what}: doc_id {dup[0]['doc_id']!r} appears {dup[0]['c']} times — "
+            "the blocked incremental tier requires ONE row (one block) per "
+            "doc_id; pre-split multi-block frames per block, or dedup ids, "
+            "before calling"
+        )
 
 
 def blocked_posting_frame(
@@ -1337,6 +1403,7 @@ def prefix_jaccard_pairs(
     threshold: float = 0.8,
     max_prefix_posting: int = 10_000,
     shingles: bool = True,
+    durable: bool = False,
 ) -> DataFrame:
     """GLOBAL (unblocked) exact set-similarity self-join via prefix
     filtering — the PPJoin family: the scale path when no metadata
@@ -1376,6 +1443,11 @@ def prefix_jaccard_pairs(
     every pair with true shingle-Jaccard ≥ τ, no sketch recall loss.
     ``shingles=False`` switches to unigram token sets.
 
+    ``durable=True`` swaps the reused intermediates' eager
+    localCheckpoint for ``persist(DISK_ONLY)`` — identical values,
+    lineage retained for executor-loss recovery (see
+    :func:`_materialize` for the full fault-tolerance contract).
+
     Returns ``(doc1, doc2, jaccard)``, doc1 < doc2, jaccard ≥ τ.
     """
     from pyspark.sql import Window
@@ -1384,8 +1456,8 @@ def prefix_jaccard_pairs(
     elems = shingle_hash_set(text_col) if shingles else F.array_distinct(ws_tokens(text_col))
     t = spread_small_input(df).select(F.col(id_col).alias("doc_id"), elems.alias("toks"))
     # Token posting frame feeds the df aggregate AND the ranked prefix —
-    # checkpoint once (same discipline as containment_pairs).
-    tok = t.select("doc_id", F.explode("toks").alias("tok")).localCheckpoint(eager=True)
+    # materialize once (same discipline as containment_pairs).
+    tok = _materialize(t.select("doc_id", F.explode("toks").alias("tok")), durable)
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "tok")
     sized = tok.join(dfreq, "tok").select(
@@ -1394,9 +1466,10 @@ def prefix_jaccard_pairs(
         F.row_number().over(wdoc).alias("pos"),
         F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("m"),
     )
-    prefix = sized.filter(
-        F.col("pos") <= F.col("m") - F.ceil(F.lit(tau) * F.col("m") - 1e-9) + 1
-    ).localCheckpoint(eager=True)
+    prefix = _materialize(
+        sized.filter(F.col("pos") <= F.col("m") - F.ceil(F.lit(tau) * F.col("m") - 1e-9) + 1),
+        durable,
+    )
 
     hottest = prefix.groupBy("tok").agg(F.count(F.lit(1)).alias("p")).agg(F.max("p")).first()[0]
     if hottest is not None and hottest > max_prefix_posting:

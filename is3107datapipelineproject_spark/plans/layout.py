@@ -415,7 +415,7 @@ def compact_stream_dir(
     return before, _data_files(spark, path)
 
 
-def recover_stale_sibling(spark: SparkSession, path: str) -> None:
+def recover_stale_sibling(spark: SparkSession, path: str, reader: bool = False) -> None:
     """Shared crash-recovery prologue of every rename-aside rewrite
     (compact_stream_dir, rewrite_stream_dir, the edit keys rebuild) and
     of the query-side state readers: a completed-swap leftover
@@ -429,14 +429,33 @@ def recover_stale_sibling(spark: SparkSession, path: str) -> None:
     before raising. Concurrency with a LIVE maintenance rewrite is the
     quiesced-stream caveat every compaction already carries: recovery
     cannot distinguish a crashed swap from one in flight, so run
-    maintenance against quiesced state (readers are then always safe)."""
+    maintenance against quiesced state (readers are then always safe).
+
+    ``reader=True`` is the PURE-READ mode (hist_read,
+    cluster_labels_read): it never reclaims a superseded aside (that
+    mutation belongs to maintenance — a read should not race another
+    reader's recovery with deletes), and before restoring a missing
+    primary it re-checks the primary once after a short pause so a read
+    racing a LIVE staged_swap (aside rename done, swap rename
+    microseconds away) observes the swap completing instead of yanking
+    the aside out from under it and aborting the compaction. A primary
+    still missing after the re-check is a genuine crash, and restoring
+    the aside is then the documented recovery."""
     p, fs = _hadoop_fs(spark, path)
     op, _ = _hadoop_fs(spark, f"{path}.compact_old")
     if fs.exists(op):
         if fs.exists(p):
-            fs.delete(op, True)
-        elif not fs.rename(op, p) and not fs.exists(p):
-            raise IOError(f"recovery rename {path}.compact_old -> {path} failed")
+            if not reader:
+                fs.delete(op, True)
+        else:
+            if reader:
+                import time as _time
+
+                _time.sleep(0.05)  # let an in-flight swap's second rename land
+                if fs.exists(p):
+                    return
+            if not fs.rename(op, p) and not fs.exists(p):
+                raise IOError(f"recovery rename {path}.compact_old -> {path} failed")
 
 
 def staged_swap(spark: SparkSession, path: str, tmp: str) -> None:
@@ -626,7 +645,17 @@ def assert_no_purge_intent(spark: SparkSession, state_dir: str, what: str) -> No
     composite purge is incomplete (marker present). Running anyway would
     pair the batch against partially-purged state — e.g. purged bands
     whose labels are already gone — and write forgotten ids back into
-    surviving rows, which a purge re-run can no longer repair."""
+    surviving rows, which a purge re-run can no longer repair.
+
+    The in-flight definition MATCHES :func:`read_purge_intent` and
+    state_doctor exactly: marker present, a stranded ``.old`` aside
+    (a restage crashed mid-rename), OR a complete orphaned ``.tmp``
+    (``_SUCCESS`` present, marker absent — write_purge_intent crashed
+    after fully writing the set but before the final rename). The
+    third case matters because a later read_purge_intent RESURRECTS
+    that ``.tmp`` into a blocking marker: letting ingest run first
+    would fold batches into state a pending purge is about to rewrite
+    around — the exact resurrection window the marker closes."""
     marker = _purge_intent_path(state_dir)
     for path in (marker, f"{marker}.old"):  # .old = a restage crashed mid-rename
         mp, fs = _hadoop_fs(spark, path)
@@ -636,6 +665,15 @@ def assert_no_purge_intent(spark: SparkSession, state_dir: str, what: str) -> No
                 f"({path} exists) — re-run the purge (any deleted set, the "
                 "pending one is merged in) to complete it before ingesting"
             )
+    tp, fs = _hadoop_fs(spark, f"{marker}.tmp")
+    sp, _ = _hadoop_fs(spark, f"{marker}.tmp/_SUCCESS")
+    if fs.exists(tp) and fs.exists(sp):
+        raise RuntimeError(
+            f"{what}: a purge over {state_dir} is pending "
+            f"({marker}.tmp is complete and will be resurrected into a "
+            "marker by the next purge read) — re-run the purge to complete "
+            "it before ingesting"
+        )
 
 
 def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:

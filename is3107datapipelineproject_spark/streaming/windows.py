@@ -452,11 +452,13 @@ def hist_ingest_sink(sketch_dir: str, value_col: str, width: float = 100.0):
 def hist_read(spark, sketch_dir: str) -> DataFrame:
     """Merge the stored histogram partials back into one sketch
     (union + re-sum over ≤ #partials × range/width rows). Recovers a
-    mid-swap-crashed hist_compact first (same contract as
-    cluster_labels_read)."""
+    mid-swap-crashed hist_compact first — in READER mode (same contract
+    as cluster_labels_read): never reclaims a superseded aside, and
+    re-checks the primary once before restoring, so a read racing a
+    live compaction swap cannot yank the aside mid-swap and abort it."""
     from is3107datapipelineproject_spark.plans.layout import recover_stale_sibling
 
-    recover_stale_sibling(spark, sketch_dir)
+    recover_stale_sibling(spark, sketch_dir, reader=True)
     parts = spark.read.parquet(sketch_dir)
     return parts.groupBy("bin").agg(F.sum("bin_cnt").cast("long").alias("bin_cnt"))
 
@@ -537,6 +539,7 @@ def prefix_ingest_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    max_prefix_posting: int = 10_000,
 ):
     """Streaming corpus ingest with every-batch EXACT near-dup
     detection — the exact-tier twin of :func:`neardup_ingest_sink`
@@ -572,10 +575,19 @@ def prefix_ingest_sink(
     appending duplicates — and the corpus reads filter to strictly
     EARLIER batch ids, so a retry never treats its own partial output
     as pre-existing corpus.
+
+    Loud-fail guards, identical to :func:`blocked_ingest_sink`'s (see
+    its docstring for the cost argument): ``max_prefix_posting`` caps
+    the BATCH's hottest prefix posting per trigger (capped batches keep
+    every trigger's candidate join linear in the corpus), the
+    one-row-per-doc guard rejects duplicate doc_ids within a batch, and
+    a broadcast semi-join rejects a doc_id re-ingested across batches —
+    either duplication would fan out the doc_id-keyed exact verify.
     """
     from pyspark.errors import AnalysisException
 
     from is3107datapipelineproject_spark.operators.dedup import (
+        _assert_one_row_per_doc,
         _prefix_candidates_verify,
         prefix_posting_frame,
     )
@@ -589,6 +601,20 @@ def prefix_ingest_sink(
         )
         sets_b = sets_b.localCheckpoint(eager=True)
         postings_b = postings_b.localCheckpoint(eager=True)
+        _assert_one_row_per_doc(sets_b, f"prefix_ingest_sink: batch {batch_id}")
+        hottest = (
+            postings_b.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("p"))
+            .agg(F.max("p"))
+            .first()[0]
+        )
+        if hottest is not None and hottest > max_prefix_posting:
+            raise ValueError(
+                f"prefix_ingest_sink: batch {batch_id} has a prefix posting "
+                f"list of size {hottest} > max_prefix_posting="
+                f"{max_prefix_posting} — the batch is duplicate-saturated; "
+                "run exact_dedup on it first, then ingest the keepers"
+            )
         older = F.col("batch") < batch_id
         try:
             corpus_postings = spark.read.parquet(postings_dir).filter(older).drop("batch")
@@ -603,6 +629,19 @@ def prefix_ingest_sink(
             corpus_postings = None
             corpus_sets = None
         if corpus_postings is not None:
+            seen = (
+                corpus_sets.select("doc_id")
+                .join(F.broadcast(sets_b.select("doc_id")), "doc_id", "left_semi")
+                .limit(1)
+                .collect()
+            )
+            if seen:
+                raise ValueError(
+                    f"prefix_ingest_sink: batch {batch_id} re-ingests doc_id "
+                    f"{seen[0]['doc_id']!r} already in the corpus — the "
+                    "doc_id-keyed exact verify would fan out; dedup ids "
+                    "upstream or purge the old rows first"
+                )
             pairs = _prefix_candidates_verify(
                 corpus_postings, postings_b, corpus_sets, sets_b, tau, threshold
             )
@@ -621,6 +660,7 @@ def blocked_ingest_sink(
     id_col: str = "doc_id",
     block_col: str = "source",
     threshold: float = 0.5,
+    max_prefix_posting: int = 10_000,
 ):
     """Streaming corpus ingest with every-batch EXACT near-dup detection
     WITHIN metadata blocks — the blocked tier's streaming sink,
@@ -649,10 +689,27 @@ def blocked_ingest_sink(
     :func:`purge_stream_state` tier covers them (``("doc_id",)`` for
     postings/sets, ``("new_id", "old_id")`` for pairs); no
     recomputation is needed because no row aggregates other docs'
-    data."""
+    data.
+
+    Loud-fail guards (the batch operators' no-silent-cliff contract,
+    checked per trigger on the checkpointed BATCH frames so they cost
+    two bounded aggregates, never a corpus pass):
+    ``max_prefix_posting`` caps the batch's hottest (block, token)
+    prefix posting — a duplicate-saturated batch would otherwise turn
+    the candidate join quadratic in the batch; because every persisted
+    batch passed the same cap, each trigger's join cost stays ≤ cap ×
+    |corpus postings touched| (linear in corpus), which is why a
+    per-trigger corpus-side re-aggregate is deliberately omitted. The
+    one-row-per-doc guard rejects a multi-block doc WITHIN the batch,
+    and a broadcast semi-join against the (column-pruned) corpus set
+    ids rejects a doc_id re-ingested across batches — either would
+    silently fan out the doc_id-keyed exact verify (a RETRIED batch is
+    exempt by construction: the strictly-earlier filter hides its own
+    prior write)."""
     from pyspark.errors import AnalysisException
 
     from is3107datapipelineproject_spark.operators.dedup import (
+        _assert_one_row_per_doc,
         _prefix_candidates_verify,
         blocked_posting_frame,
     )
@@ -666,6 +723,20 @@ def blocked_ingest_sink(
         )
         sets_b = sets_b.localCheckpoint(eager=True)
         postings_b = postings_b.localCheckpoint(eager=True)
+        _assert_one_row_per_doc(sets_b, f"blocked_ingest_sink: batch {batch_id}")
+        hottest = (
+            postings_b.groupBy("block", "tok")
+            .agg(F.count(F.lit(1)).alias("p"))
+            .agg(F.max("p"))
+            .first()[0]
+        )
+        if hottest is not None and hottest > max_prefix_posting:
+            raise ValueError(
+                f"blocked_ingest_sink: batch {batch_id} has a (block, token) "
+                f"prefix posting list of size {hottest} > max_prefix_posting="
+                f"{max_prefix_posting} — the batch is duplicate-saturated; "
+                "run exact_dedup on it first, then ingest the keepers"
+            )
         older = F.col("batch") < batch_id
         try:
             corpus_postings = spark.read.parquet(postings_dir).filter(older).drop("batch")
@@ -680,6 +751,19 @@ def blocked_ingest_sink(
             corpus_postings = None
             corpus_sets = None
         if corpus_postings is not None:
+            seen = (
+                corpus_sets.select("doc_id")
+                .join(F.broadcast(sets_b.select("doc_id")), "doc_id", "left_semi")
+                .limit(1)
+                .collect()
+            )
+            if seen:
+                raise ValueError(
+                    f"blocked_ingest_sink: batch {batch_id} re-ingests doc_id "
+                    f"{seen[0]['doc_id']!r} already in the corpus — the "
+                    "doc_id-keyed exact verify would fan out; dedup ids "
+                    "upstream or purge the old rows first"
+                )
             key = F.struct("block", "tok").alias("tok")
             pairs = _prefix_candidates_verify(
                 corpus_postings.select("doc_id", key, "pos", "m"),
@@ -1253,10 +1337,14 @@ def cluster_labels_read(
     (labels_dir missing, the corpus at the ``.compact_old`` aside) is
     recovered before reading — the aside copy IS the state at that
     crash point, so a query-side read never wedges on PATH_NOT_FOUND
-    while the data sits one rename away."""
+    while the data sits one rename away. Recovery runs in READER mode:
+    no aside reclaim (that mutation is maintenance's), and the primary
+    is re-checked once before the restoring rename so a read racing a
+    LIVE staged_swap observes the swap completing instead of aborting
+    it — pure reads mutate only when the primary is genuinely absent."""
     from is3107datapipelineproject_spark.plans.layout import recover_stale_sibling
 
-    recover_stale_sibling(spark, labels_dir)
+    recover_stale_sibling(spark, labels_dir, reader=True)
     df = spark.read.parquet(labels_dir)
     if before is not None:
         df = df.filter(F.col("batch") < before)

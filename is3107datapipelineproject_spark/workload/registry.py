@@ -46,6 +46,46 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()): 
     return deco
 
 
+# --- split-structure probes (round 12, per the round-11 verdict) -------
+#
+# The driver's oracle comparison certifies AGREEMENT, not non-triviality:
+# incremental_blocked_jaccard's first registration split batches on
+# doc_id % 5 while the testdata assigns source = src(doc_id % 20) — every
+# block landed entirely on one side, both engines returned 0 rows, and
+# the query would have stayed green forever. The round-11 guard
+# (every oracle non-empty at sf0.01) catches an EMPTY output; it cannot
+# catch a split query whose output is non-empty while one side (or the
+# crossing structure) is degenerate. So every incremental / split /
+# holdout / sampling registration also carries a SPLIT PROBE: a callable
+# (spark, sf_dir) -> dict of named structural counts — each side's size
+# plus a crossing witness (shared blocks, candidate pairs, held-out
+# hits, rejected arrivals, dropped sample rows …). The registry test
+# asserts EVERY count ≥ 1 at sf0.01, and a meta-test forces any new
+# registration whose name matches the family pattern to add a probe.
+
+SplitProbeFn = Callable[[SparkSession, str], dict]
+
+SPLIT_PROBES: dict[str, SplitProbeFn] = {}
+
+
+def split_probe(name: str):  # decorator, mirrors register()
+    def deco(fn: SplitProbeFn) -> SplitProbeFn:
+        if name in SPLIT_PROBES:
+            raise ValueError(f"duplicate split probe: {name}")
+        SPLIT_PROBES[name] = fn
+        return fn
+
+    return deco
+
+
+def split_probes() -> dict[str, SplitProbeFn]:
+    """All registered split probes (loads the probe module)."""
+    _ensure_loaded()
+    from is3107datapipelineproject_spark.workload import split_probes as _sp  # noqa: F401
+
+    return dict(SPLIT_PROBES)
+
+
 # Queries with the thinnest external-correctness evidence go first so a
 # prefix sample of the registry exercises them before the repeatedly
 # checked core.  Ordering is presentation-only: every query is registered

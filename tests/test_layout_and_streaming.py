@@ -2220,3 +2220,124 @@ def test_state_doctor_diagnoses_and_repairs(tmp_path):
         (str(root / "e.purge_intent"), "purge_in_flight"),
         (str(root / "f.purge_intent.tmp"), "purge_in_flight"),
     }
+
+
+def test_reader_recovery_never_reclaims_superseded_aside(spark, tmp_path):
+    """Round-11 ADVICE: query-side readers widened the maintenance race
+    surface by mutating state (deleting superseded asides) during pure
+    reads. Reader-mode recovery must leave a superseded ``.compact_old``
+    alone when the primary exists — reclaiming it is maintenance's job —
+    while writer-mode recovery (the rewrite prologue) still reclaims."""
+    sketch_dir = str(tmp_path / "ro_hist")
+    spark.createDataFrame([(1, 3), (2, 4)], ["bin", "bin_cnt"]).write.parquet(sketch_dir)
+    # completed-swap leftover: primary AND aside both exist
+    spark.createDataFrame([(9, 9)], ["bin", "bin_cnt"]).write.parquet(
+        sketch_dir + ".compact_old"
+    )
+    got = {(r.bin, r.bin_cnt) for r in W.hist_read(spark, sketch_dir).collect()}
+    assert got == {(1, 3), (2, 4)}
+    assert os.path.exists(sketch_dir + ".compact_old"), "reader must not reclaim"
+    # writer-mode prologue reclaims the superseded aside as before
+    L.recover_stale_sibling(spark, sketch_dir)
+    assert not os.path.exists(sketch_dir + ".compact_old")
+
+    labels_dir = str(tmp_path / "ro_labels")
+    spark.createDataFrame([(0, 0, 0)], ["doc_id", "cluster_id", "batch"]).write.parquet(
+        labels_dir
+    )
+    os.mkdir(labels_dir + ".compact_old")
+    assert {(r.doc_id, r.cluster_id) for r in W.cluster_labels_read(spark, labels_dir).collect()} == {
+        (0, 0)
+    }
+    assert os.path.exists(labels_dir + ".compact_old"), "reader must not reclaim"
+
+
+def test_assert_no_purge_intent_complete_orphan_tmp(spark, tmp_path):
+    """Round-11 ADVICE: the in-flight-purge definition must be consistent
+    across read_purge_intent / state_doctor / assert_no_purge_intent. A
+    COMPLETE orphaned ``.purge_intent.tmp`` (``_SUCCESS`` present, marker
+    absent — write_purge_intent crashed before its final rename) is a
+    pending purge that the next read RESURRECTS into a blocking marker,
+    so ingest must refuse on it too; an INCOMPLETE ``.tmp`` stays
+    ignorable (the crashed caller must retry anyway)."""
+    import pytest
+
+    sdir = str(tmp_path / "oi_state")
+    L.write_purge_intent(spark, sdir, spark.createDataFrame([(7,)], "did LONG"))
+    # crash window: the fully-written marker never got its final rename
+    os.rename(sdir + ".purge_intent", sdir + ".purge_intent.tmp")
+    with pytest.raises(RuntimeError, match="pending"):
+        L.assert_no_purge_intent(spark, sdir, "test_sink")
+    # the same .tmp is what read_purge_intent resurrects — consistent views
+    pending = L.read_purge_intent(spark, sdir)
+    assert pending is not None and {r.did for r in pending.collect()} == {7}
+    L.clear_purge_intent(spark, sdir)
+    L.assert_no_purge_intent(spark, sdir, "test_sink")
+
+    # incomplete staging (no _SUCCESS): ignored by both reader and guard
+    os.mkdir(sdir + ".purge_intent.tmp")
+    L.assert_no_purge_intent(spark, sdir, "test_sink")
+    assert L.read_purge_intent(spark, sdir) is None
+
+
+def test_ingest_sink_fanout_and_saturation_guards(spark, tmp_path):
+    """Round-11 ADVICE: the exact-tier sinks' doc_id-keyed verify relies
+    on contracts that were docstring-only — now enforced loudly:
+
+    1. a duplicate doc_id WITHIN a batch raises (one-row-per-doc);
+    2. a doc_id RE-INGESTED across batches raises (verify would fan out);
+    3. a duplicate-saturated batch trips ``max_prefix_posting`` instead
+       of silently going quadratic (blocked sink gets the same guard the
+       batch operators always had);
+    4. incremental_blocked_jaccard rejects a multi-block doc frame.
+    """
+    import pytest
+
+    from is3107datapipelineproject_spark.operators import dedup as D
+    from is3107datapipelineproject_spark.streaming.windows import (
+        blocked_ingest_sink,
+        prefix_ingest_sink,
+    )
+
+    cols = ["doc_id", "source", "text"]
+    t = "the quick brown fox jumps over the lazy dog"
+    dirs = [str(tmp_path / f"g_{d}") for d in ("postings", "sets", "pairs")]
+    sink = blocked_ingest_sink(*dirs, threshold=0.5)
+
+    # 1. within-batch duplicate id (a doc listed under two blocks)
+    with pytest.raises(ValueError, match="appears 2 times"):
+        sink(spark.createDataFrame([(1, "web", t), (1, "books", t)], cols), 0)
+
+    # healthy first batch, then 2. cross-batch re-ingest of doc 1
+    sink(spark.createDataFrame([(1, "web", t), (2, "books", t)], cols), 0)
+    with pytest.raises(ValueError, match="re-ingests doc_id"):
+        sink(spark.createDataFrame([(1, "web", t + " again")], cols), 1)
+    # a REPLAY of batch 0 itself stays exempt (strictly-earlier filter)
+    sink(spark.createDataFrame([(1, "web", t), (2, "books", t)], cols), 0)
+
+    # 3. duplicate-saturated batch trips the hot-block cap
+    tight = blocked_ingest_sink(
+        *(str(tmp_path / f"h_{d}") for d in ("postings", "sets", "pairs")),
+        threshold=0.5,
+        max_prefix_posting=2,
+    )
+    saturated = [(i, "web", t) for i in range(4)]
+    with pytest.raises(ValueError, match="duplicate-saturated"):
+        tight(spark.createDataFrame(saturated, cols), 0)
+
+    # prefix sink: same three guards (spot-check 1 and 2)
+    pdirs = [str(tmp_path / f"p_{d}") for d in ("postings", "sets", "pairs")]
+    psink = prefix_ingest_sink(*pdirs, threshold=0.7)
+    with pytest.raises(ValueError, match="appears 2 times"):
+        psink(spark.createDataFrame([(1, "x", t), (1, "y", t)], cols).drop("source"), 0)
+    psink(spark.createDataFrame([(1, t)], ["doc_id", "text"]), 0)
+    with pytest.raises(ValueError, match="re-ingests doc_id"):
+        psink(spark.createDataFrame([(1, t)], ["doc_id", "text"]), 1)
+
+    # 4. batch operator: multi-block doc frame rejected on either side
+    good = spark.createDataFrame([(10, "web", t)], cols)
+    multi = spark.createDataFrame([(1, "web", t), (1, "books", t)], cols)
+    with pytest.raises(ValueError, match="ONE row"):
+        D.incremental_blocked_jaccard(multi, good, "text", "doc_id", "source").collect()
+    with pytest.raises(ValueError, match="ONE row"):
+        D.incremental_blocked_jaccard(good, multi, "text", "doc_id", "source").collect()

@@ -117,3 +117,88 @@ def test_annex_rotation_includes_never_benched_first(tmp_path, monkeypatch):
     # no detail at all: plain parity rotation
     (d / "BENCH_DETAIL.json").unlink()
     assert bench._annex_names(names, here=str(d)) == ["aa_old_a", "aa_old_c"]
+
+
+# --- round-12 split-structure guards (verdict item 1) --------------------
+
+# Any registered name matching this pattern is in the audited family and
+# MUST carry a split probe (workload/split_probes.py) — or a documented
+# exemption below. The pattern is deliberately broad: a false positive
+# costs one probe or one exemption line; a false negative is the
+# incremental_blocked_jaccard incident again.
+_SPLIT_FAMILY = re.compile(
+    r"(incremental_|sample|split|holdout|decontam|leakage|contamination"
+    r"|diff|drift|retract|purge)"
+)
+
+# name -> why no probe is needed (empty today: every family member has one)
+_SPLIT_PROBE_EXEMPT: dict[str, str] = {}
+
+
+def test_every_split_family_query_has_a_probe():
+    """Completeness gate: a future incremental/split/holdout/sampling
+    registration cannot skip its non-triviality probe — it either adds
+    one or argues an exemption here. Probes must also only name
+    registered queries (no orphans)."""
+    probes = registry.split_probes()
+    qs = registry.queries()
+    family = sorted(
+        n for n in qs if _SPLIT_FAMILY.search(n) and n not in _SPLIT_PROBE_EXEMPT
+    )
+    missing = [n for n in family if n not in probes]
+    assert missing == [], (
+        f"split-family registrations without a non-triviality probe: {missing} — "
+        "add one to workload/split_probes.py or argue an exemption in "
+        "_SPLIT_PROBE_EXEMPT"
+    )
+    orphans = sorted(set(probes) - set(qs))
+    assert orphans == [], f"split probes without a registered query: {orphans}"
+
+
+def test_split_probes_nontrivial_at_sf001(spark):
+    """THE structural guard (round-11 verdict item 1): for every
+    split/holdout/incremental/sampling query, BOTH sides of its split
+    are non-empty AND its crossing structure is exercised at sf0.01 —
+    ≥1 shared block, candidate pair, held-out hit, reconciled key,
+    rejected arrival, or dropped sample row, per the probe's named
+    counts. A green oracle row certifies agreement; THIS certifies the
+    query tests something."""
+    from is3107datapipelineproject_spark.workload.split_probes import zero_counts
+
+    bad: dict[str, list[str]] = {}
+    for name, probe in sorted(registry.split_probes().items()):
+        empty = zero_counts(probe(spark, "/root/testdata/sf0.01"))
+        if empty:
+            bad[name] = empty
+    assert bad == {}, (
+        f"degenerate split structure at sf0.01 (zero-valued counts): {bad} — "
+        "the query is green-but-vacuous; fix its split the way "
+        "incremental_blocked_jaccard's % 5 -> % 7 fix did"
+    )
+
+
+def test_split_guard_detects_degenerate_splits(spark):
+    """The guard must FAIL on the reverted % 5 blocked split (every
+    source = src(doc_id % 20) lands entirely on one side of a
+    divisor-of-20 split) and on a synthetic no-shared-block /
+    empty-side split — the two shapes the round-11 incident proved a
+    plain oracle comparison cannot see."""
+    from is3107datapipelineproject_spark.workload.split_probes import (
+        blocked_split_structure,
+        zero_counts,
+    )
+
+    # the reverted % 5 split: sides non-empty, crossing structure dead
+    reverted = blocked_split_structure(spark, "/root/testdata/sf0.01", mod=5)
+    assert reverted["batch"] > 0 and reverted["corpus"] > 0
+    assert zero_counts(reverted) == ["shared_blocks"]
+
+    # the shipped % 7 split passes
+    assert zero_counts(blocked_split_structure(spark, "/root/testdata/sf0.01", mod=7)) == []
+
+    # synthetic degenerate shapes the pure check must flag
+    assert zero_counts({"batch": 3, "corpus": 4, "shared_blocks": 0}) == ["shared_blocks"]
+    assert zero_counts({"batch": 0, "corpus": 7, "cross_pairs": 0}) == [
+        "batch",
+        "cross_pairs",
+    ]
