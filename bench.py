@@ -346,27 +346,68 @@ def _annex_names(all_names, here: str | None = None) -> list[str]:
     # parity slot (SURVEY §5.7, round-11 standing rule): the oracle can
     # be green while the plan is 240× off — repetition_stats was caught
     # only by its FIRST annex bench — so no new registration may wait a
-    # round for its first timing. "Benched before" = present in the last
-    # committed BENCH_DETAIL.json (the full headline+annex detail of the
-    # previous run); anything absent from it AND outside this round's
-    # half is new since then.
+    # round for its first timing. "Benched before" = present in the
+    # EVER-BENCHED LEDGER (BENCH_LEDGER.json, unioned after every run).
+    # The round-11 shape read only the LAST BENCH_DETAIL.json, which
+    # re-classified the OTHER parity half (benched two runs ago, absent
+    # from the last detail) as never-benched — the annex quietly grew
+    # 40 -> 61 and defeated the halving policy. With no ledger yet, the
+    # last detail is the (over-approximating but safe) fallback.
     benched: set[str] = set()
     try:
-        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
-            rec = _json.load(f)
-        benched.update(rec.get("queries", {}))
-        benched.update(rec.get("annex", {}))
+        with open(os.path.join(here, "BENCH_LEDGER.json")) as f:
+            benched.update(_json.load(f)["benched"])
     except (OSError, ValueError, AttributeError, TypeError, KeyError):
-        # unreadable OR structurally-unexpected detail file (hand-edited,
-        # truncated): fall back to the plain parity rotation rather than
-        # aborting the whole bench before any timing
-        return half
+        try:
+            with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+                rec = _json.load(f)
+            benched.update(rec.get("queries", {}))
+            benched.update(rec.get("annex", {}))
+        except (OSError, ValueError, AttributeError, TypeError, KeyError):
+            # unreadable OR structurally-unexpected files (hand-edited,
+            # truncated): fall back to the plain parity rotation rather
+            # than aborting the whole bench before any timing
+            return half
     never = [n for n in pool if n not in benched and n not in half]
     return never + half
 
 
+def _update_ledger(here: str, names) -> None:
+    """Union this run's timed names into the ever-benched ledger — the
+    durable 'had its first timing' record _annex_names consults, so a
+    query benched in EITHER parity half never rides as never-benched
+    again. Merge-don't-replace: a --full or filtered run must not erase
+    history."""
+    path = os.path.join(here, "BENCH_LEDGER.json")
+    benched: set[str] = set(names)
+    try:
+        with open(path) as f:
+            benched.update(json.load(f)["benched"])
+    except (OSError, ValueError, TypeError, KeyError):
+        pass
+    with open(path, "w") as f:
+        json.dump({"benched": sorted(benched)}, f, indent=1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Self-heal crash leftovers from a previously killed bench/probe
+    # BEFORE any timing (README ops section): a wedged marker-guarded
+    # warehouse table would otherwise fail its query mid-bench. Runs
+    # outside every timed span; opt out with SPARK_GRAFT_NO_DOCTOR=1.
+    if not os.environ.get("SPARK_GRAFT_NO_DOCTOR"):
+        try:
+            here0 = os.path.dirname(os.path.abspath(__file__))
+            sys.path.insert(0, os.path.join(here0, "tools"))
+            import state_doctor as _SD
+
+            wh = os.path.join(os.getcwd(), "spark-warehouse")
+            for root in {os.path.join(here0, "spark-warehouse"), wh}:
+                if os.path.isdir(root):
+                    for f in _SD.repair(_SD.diagnose(root)):
+                        print(f"doctor: {json.dumps(f)}", file=sys.stderr, flush=True)
+        except Exception as ex:  # noqa: BLE001 — the doctor must never kill a bench
+            print(f"doctor: skipped ({ex})", file=sys.stderr, flush=True)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -416,7 +457,9 @@ def main() -> None:
         "amortized": round(total - build_total, 2),
     }
     annex_total = round(sum(annex.values()), 2)
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    _update_ledger(here, set(timings) | set(annex))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
         json.dump(
             {

@@ -103,75 +103,76 @@ def split_probes() -> dict[str, SplitProbeFn]:
 # ordered by last-driver-verified round ASCENDING, ties alphabetical,
 # truncated to the 50-slot window. `tools/evidence_gap.py --rotation`
 # computes the ordering mechanically from CORRECTNESS_r*.json; regenerate
-# the list below each round. Round-11 window: 1 edited (ngram_jaccard,
-# reworked plan) + 1 new (incremental_blocked_jaccard) + the 2 r4 rows
-# the round-10 truncation deferred + 46 of the 47-row r5 cohort —
-# exactly 50 slots, no truncation; zipf_slope (the r5 alphabetical
-# tail) heads r12 with the r6 cohort. The other round-11 code paths
-# (purge crash-window fixes, blocked_ingest_sink, mergeSchema reads)
-# live on pytest-only sink paths and stale no registered plan.
+# the list below each round. Round-12 window: 3 edited (the durable
+# materialization flag touched ngram_jaccard's and
+# prefix_filter_jaccard's operator bodies; incremental_blocked_jaccard
+# gained its one-block-per-doc guard) + zipf_slope (the last r5 row) +
+# the full 45-query r6 cohort + the 2 alphabetical heads of the r7
+# cohort — exactly 50 slots. After this window lands, no green row
+# predates r6 and the r7 cohort (45 remaining) heads round 13. The
+# other round-12 code paths (sink guards, reader-mode recovery,
+# purge-intent orphan check) live on pytest-only sink paths and stale
+# no registered plan.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # --- plan edited in round 11 -> re-sample first (1):
-    # ngram_jaccard's blocked_jaccard_pairs was reworked from a raw
-    # within-block self-join to PPJoin prefix filtering on the
-    # composite (block, token) key (the round-10 verdict's one
-    # scale-killer); its r8 green row predates the new plan ---
+    # --- plans/code paths edited in round 12 -> re-sample first (3):
+    # ngram_jaccard + prefix_filter_jaccard gained the durable
+    # materialization flag (default path unchanged but the operator
+    # bodies were edited); incremental_blocked_jaccard gained the
+    # one-block-per-doc loud guard ---
     "ngram_jaccard",
-    # --- new in round 11: no external evidence yet (1) ---
+    "prefix_filter_jaccard",
     "incremental_blocked_jaccard",
-    # --- last driver-verified in r4 (displaced by the r10 window's
-    # truncation; the round-10 verdict directed them to lead r11) (2) ---
-    "window_rank_dense",
-    "xml_flatten",
-    # --- last driver-verified in r5 (oldest-first rotation, 46 of 47 —
-    # exactly filling the 50-slot window; zipf_slope, the alphabetical
-    # tail of the r5 cohort, plus the r6 cohort head r12) ---
-    "ab_test_summary",
-    "bigram_surprisal",
-    "blocklist_filter",
-    "bloom_contamination",
-    "bm25_search",
-    "boilerplate_flag",
-    "bpe_merge_candidates",
-    "char_entropy",
-    "containment_pairs",
-    "copurchase_triangles",
-    "corpus_diff",
-    "corpus_drift",
-    "corpus_shuffle",
-    "cosine_topk",
-    "daily_anomaly_zscore",
-    "data_card",
-    "decontaminate_fixed_bench",
-    "dup_cluster_sizes",
-    "dup_ngram_fraction",
-    "embedding_abtt",
-    "embedding_neardup_lsh",
-    "embedding_pc_projection",
-    "embedding_top_pc",
-    "entity_resolution",
-    "fuzzy_name_match",
-    "gap_fill_interpolate",
-    "graph_degree_stats",
-    "hard_negatives",
-    "incremental_curation",
-    "kmeans_assign",
-    "kmeans_assign_hier",
-    "minhash_topk_similar",
-    "numeric_corr",
-    "pretrain_pipeline",
-    "priority_sample",
-    "quality_classifier",
-    "quantile_sketch",
-    "readability_score",
-    "running_distinct_users",
-    "semantic_dedup",
-    "session_transition_matrix",
-    "simhash_neardup",
-    "similar_parts_jaccard",
-    "temperature_sample",
-    "vocab_growth",
-    "word_pmi",
+    # --- oldest-first rotation: zipf_slope (the single r5 row), the
+    # full 45-query r6 cohort, and the two alphabetical heads of the
+    # r7 cohort — exactly filling the 50-slot window (the rest of r7
+    # heads round 13). Generated by tools/evidence_gap.py --rotation ---
+    "zipf_slope",
+    "activity_streaks",
+    "ann_index_build",
+    "approx_percentile_tdigest",
+    "association_rules",
+    "bulk_part_suppliers",
+    "chi2_terms",
+    "clustering_coefficient",
+    "copurchase_communities",
+    "copurchase_kcore",
+    "copurchase_pagerank",
+    "cusum_changepoint",
+    "discount_revenue",
+    "dq_constraints",
+    "embedding_skyline",
+    "grouping_sets_revenue",
+    "incremental_prefix_jaccard",
+    "ivfpq_topk",
+    "ivfpq_topk_from_index",
+    "kcore_from_edges",
+    "mixture_allocation",
+    "mode_median_stats",
+    "naive_bayes_confusion",
+    "nested_subsets",
+    "ols_price_by_qty",
+    "pagerank_from_edges",
+    "part_supplier_variety",
+    "pq_codes",
+    "pq_recall",
+    "pq_topk",
+    "priority_by_linestatus",
+    "repeated_spans",
+    "scd2_asof_lookup",
+    "scd2_order_priority",
+    "seasonal_decompose_dow",
+    "session_overlap_join",
+    "significant_parts",
+    "skyline_parts",
+    "sole_returned_supplier",
+    "source_overlap",
+    "sql_interface_revenue",
+    "time_weighted_avg",
+    "top_conversion_paths",
+    "vocab_coverage",
+    "window_time_range_avg",
+    "asof_join",
+    "autocorr_daily_revenue",
 )
 
 

@@ -82,11 +82,14 @@ def test_no_oracle_is_vacuously_empty_at_sf001():
 
 def test_annex_rotation_includes_never_benched_first(tmp_path, monkeypatch):
     """SURVEY §5.7 mechanics (no Spark needed): a pool query absent
-    from the last committed BENCH_DETAIL.json AND outside this round's
-    parity half must ride this round's annex, ahead of the half; with
-    no detail file the plain parity rotation applies; a structurally
-    broken detail file degrades to the parity rotation instead of
-    aborting the bench."""
+    from the EVER-BENCHED ledger AND outside this round's parity half
+    must ride this round's annex, ahead of the half. Round-12 fix
+    (round-11 verdict item 4): 'benched before' reads
+    BENCH_LEDGER.json, not only the last BENCH_DETAIL.json — a query
+    benched in the OTHER parity half (present in the previous-parity
+    detail, hence in the ledger) must NOT ride the current annex, which
+    the detail-only shape got wrong (n_annex crept 40 -> 61). Fallbacks:
+    no ledger -> last detail; broken/missing both -> plain parity."""
     import json as _json
 
     import bench
@@ -109,13 +112,39 @@ def test_annex_rotation_includes_never_benched_first(tmp_path, monkeypatch):
     out = bench._annex_names(names, here=str(d))
     assert out[0] == "zz_new_query" and out[1:] == ["aa_old_a", "aa_old_c"]
 
-    # broken detail file: degrade to the parity rotation, never raise
+    # THE round-11 over-approximation, now fixed: aa_old_b was benched
+    # in the previous (other-parity) run, so the last detail omits it —
+    # with a ledger recording its first bench it must NOT ride; only
+    # the genuinely-new zz stays ahead of the half
+    (d / "BENCH_DETAIL.json").write_text(
+        _json.dumps({"queries": {}, "annex": {"aa_old_a": 1.0, "aa_old_c": 1.0}})
+    )
+    (d / "BENCH_LEDGER.json").write_text(
+        _json.dumps({"benched": ["aa_old_a", "aa_old_b", "aa_old_c"]})
+    )
+    out = bench._annex_names(names, here=str(d))
+    assert out == ["zz_new_query", "aa_old_a", "aa_old_c"], (
+        "a query present only in the previous-parity detail must not ride"
+    )
+
+    # ledger update merges, never replaces
+    bench._update_ledger(str(d), {"zz_new_query"})
+    led = _json.loads((d / "BENCH_LEDGER.json").read_text())
+    assert led["benched"] == ["aa_old_a", "aa_old_b", "aa_old_c", "zz_new_query"]
+
+    # broken ledger falls back to the detail file
+    (d / "BENCH_LEDGER.json").write_text("[broken")
+    out = bench._annex_names(names, here=str(d))
+    assert out == ["aa_old_b", "zz_new_query", "aa_old_a", "aa_old_c"]
+
+    # broken detail too: degrade to the parity rotation, never raise
     (d / "BENCH_DETAIL.json").write_text("[1, 2, 3]")
     out = bench._annex_names(names, here=str(d))
     assert out == ["aa_old_a", "aa_old_c"]
 
-    # no detail at all: plain parity rotation
+    # neither file at all: plain parity rotation
     (d / "BENCH_DETAIL.json").unlink()
+    (d / "BENCH_LEDGER.json").unlink()
     assert bench._annex_names(names, here=str(d)) == ["aa_old_a", "aa_old_c"]
 
 

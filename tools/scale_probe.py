@@ -271,6 +271,41 @@ def time_funnel_stream(spark, sf_dir: str) -> tuple[float, int]:
     return dt, users
 
 
+def time_blocked_ingest(spark, sf_dir: str) -> tuple[float, int]:
+    """Streaming blocked-tier ingest sweep: fold the corpus slice
+    (doc_id % 7 != 0) as batch 0, then time the ARRIVING batch
+    (doc_id % 7 == 0) through blocked_ingest_sink — the measured span
+    is one trigger's full cost (fixed-order postings/sets encode,
+    loud-fail guards, broadcast candidate join against the persisted
+    corpus postings, exact verify, three batch=1 writes). Returns
+    (ingest_sec, pairs_found). On the blockgrowth corpus true pairs
+    must grow exactly ×K while ingest time stays far under ×K (the
+    corpus never reshuffles — it streams through one map-side join)."""
+    import shutil as _shutil
+
+    from is3107datapipelineproject_spark.streaming import windows as W
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    root = f"{ROOT}/blocked_ingest"
+    _shutil.rmtree(root, ignore_errors=True)
+    dirs = (f"{root}/postings", f"{root}/sets", f"{root}/pairs")
+    sink = W.blocked_ingest_sink(*dirs, threshold=0.5)
+    t0 = time.perf_counter()
+    sink(corpus, 0)
+    build_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sink(batch, 1)
+    ingest_sec = time.perf_counter() - t0
+    pairs = spark.read.parquet(dirs[2]).count()
+    print(json.dumps({"op_detail": "blocked_ingest", "sf_dir": sf_dir,
+                      "corpus_build_sec": round(build_sec, 2)}))
+    return ingest_sec, pairs
+
+
 def time_op(spark, fn, sf_dir: str) -> tuple[float, int]:
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
@@ -300,16 +335,32 @@ def main() -> None:
     partitions = args.partitions or 32 * max(1, (args.factor + 9) // 10)
     spark = get_spark(app_name="scale_probe", shuffle_partitions=partitions)
     spark.sparkContext.setLogLevel("ERROR")
-    big = build(spark, args.factor, set(args.tables.split(",")))
+    ops_list = [o for o in args.ops.split(",") if o]
+    # blockgrowth-corpus ops never touch the standard salt replicas —
+    # don't spend the (large) replication build when only they run
+    bg_only = {"blocked_ingest_blockgrowth", "ngram_blockgrowth",
+               "incremental_ngram_blockgrowth"}
+    big = None if set(ops_list) <= bg_only else build(
+        spark, args.factor, set(args.tables.split(","))
+    )
     qs = registry.queries()
 
-    for op in args.ops.split(","):
+    for op in ops_list:
         if op == "funnel_state":
             # stream op: x1 side also needs a directory-of-parts layout
             small = build(spark, 1, {"events"})
             time_funnel_stream(spark, small)  # warm-up: worker forks, state store init
             t1, r1 = time_funnel_stream(spark, small)
             tk, rk = time_funnel_stream(spark, big)
+        elif op == "blocked_ingest_blockgrowth":
+            # streaming twin of incremental_blocked_jaccard on the same
+            # K×-growing-blocks corpus (true pairs ×K, never ×K²)
+            bg = f"{ROOT}/x{args.factor}_blockgrowth"
+            os.makedirs(bg, exist_ok=True)
+            if not os.path.exists(f"{bg}/documents.parquet"):
+                _build_docs_blockgrowth(spark, bg, args.factor)
+            t1, r1 = time_blocked_ingest(spark, BASE)
+            tk, rk = time_blocked_ingest(spark, bg)
         elif op in ("ngram_blockgrowth", "incremental_ngram_blockgrowth"):
             # blocked tier under k×-GROWING blocks with k× (not k²)
             # true pairs — see _build_docs_blockgrowth. The incremental
