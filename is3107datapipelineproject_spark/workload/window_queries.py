@@ -2194,17 +2194,32 @@ def q_multiplier_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in range(_BOOT_B // 16)
         ],
     )
+    # Byte extraction in 8-hex-digit chunks (r12 §4/§2.3-style per-task
+    # work cut, measured by JVM-CPU A/B): one `conv` per 4 BYTES (8
+    # chunks/row) + flat shift/mask per byte, instead of one `conv` per
+    # byte (32/row). `conv`'s string parse dominated the projection —
+    # 4.37 s -> 2.29 s JVM CPU for the weight stage at sf0.1, byte
+    # values (and so weights, sums, CI) bit-identical.
+    chunks = [
+        F.conv(F.substring(F.col(f"h{c}"), 1 + 8 * hx, 8), 16, 10)
+        .cast("long")
+        .alias(f"q{c}_{hx}")
+        for c in range(_BOOT_B // 16)
+        for hx in range(4)
+    ]
+    qdf = hdf.select("v", *chunks)
     w_cols = []
     for b in range(_BOOT_B):
-        byte = F.conv(
-            F.substring(F.col(f"h{b // 16}"), 1 + 2 * (b % 16), 2), 16, 10
-        ).cast("long")
+        c, pos = b // 16, b % 16
+        byte = F.shiftrightunsigned(
+            F.col(f"q{c}_{pos // 4}"), 8 * (3 - pos % 4)
+        ).bitwiseAND(F.lit(255))
         w_cols.append(
             sum([(byte >= F.lit(cut)).cast("int") for cut in _BOOT_CUTS], F.lit(0)).alias(
                 f"w{b}"
             )
         )
-    wdf = hdf.select("v", *w_cols)
+    wdf = qdf.select("v", *w_cols)
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(
@@ -2381,9 +2396,11 @@ def q_trend_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: (1) the slope frame is BOUNDED (days²/2 rows
     # forever), (2) distributed_rank consumes it 3× (quantile probe +
     # ranked frame + bucket totals), and (3) without the cut Catalyst
-    # fuses the rank's bucket-assignment ArrayAggregate into the pair
-    # join's pushed IsNotNull predicate — an interpreted 63-element fold
-    # per candidate PAIR (measured: 92 s -> 21 s at sf0.01). The
+    # fuses the rank's bucket-assignment expression into the pair
+    # join's pushed IsNotNull predicate — a 63-cut bucket evaluation
+    # per candidate PAIR (measured on the then-interpreted fold:
+    # 92 s -> 21 s at sf0.01; the r12 when-tree shrinks the expression
+    # but the checkpoint still blocks the per-pair re-evaluation). The
     # repartition matters too: AQE coalesces the tiny day aggregate to
     # ONE partition, so without it every downstream map (the bucket
     # fold over 2.9M pair rows) runs single-threaded (21 s -> ~4 s).
