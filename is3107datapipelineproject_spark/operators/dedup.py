@@ -170,13 +170,30 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Array of k-word shingles over normalized whitespace tokens.
     Documents shorter than k tokens yield one truncated shingle (the
-    whole text) so nothing silently disappears."""
+    whole text) so nothing silently disappears.
+
+    Shape (r12, guide §1.2 step 2): ``zip_with`` over k SHIFTED SLICES
+    of the token array — the same shifted-view trick text.py's bigram
+    operators use — instead of the previous
+    ``transform(sequence(1,n), i -> concat_ws(slice(toks, i, k)))``,
+    whose per-element ``slice`` allocated a fresh array per shingle
+    inside an interpreted higher-order function. Measured (JVM-CPU A/B,
+    sf0.1 documents, interleaved): 5.7 → 1.45 s CPU / 0.44 → 0.25 s
+    wall for the shingle projection; every downstream consumer
+    (minhash/LSH family, prefix_jaccard, containment, contamination)
+    inherits the cut. Value-identical in every input class, including
+    the truncation cases: ``zip_with`` pads the shorter shifted slices
+    with NULL and ``concat_ws`` skips NULLs, reproducing the truncated
+    shingle; NULL text keeps the old ``[""]`` via the explicit guard
+    (edge cases pinned by tests/test_llm_operators.py)."""
     toks = ws_tokens(col)
     n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
+    out = F.slice(toks, 1, n)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks, 1 + j, n), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.when(toks.isNull(), F.array(F.lit(""))).otherwise(out)
 
 
 def shingle_hash_set(col: Column | str, k: int = 3) -> Column:

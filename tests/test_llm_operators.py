@@ -564,3 +564,41 @@ def test_prefix_jaccard_guard_trips_on_duplicate_saturated_corpus(spark):
     )
     with pytest.raises(ValueError, match="exact_dedup first"):
         D.prefix_jaccard_pairs(df, "text", "doc_id", threshold=0.5, max_prefix_posting=10)
+
+
+def test_word_shingles_zip_shape_matches_reference_semantics(spark):
+    """r12 regression pin for the zip_with word_shingles rewrite: the
+    shifted-slice shape must reproduce the original
+    transform(sequence)/slice semantics for every input class — normal
+    docs, docs shorter than k (one truncated shingle), empty and
+    whitespace-only text (one empty shingle) and NULL text (one empty
+    shingle) — for every k in use (containment uses k=2, the minhash
+    family k=3)."""
+    from pyspark.sql import functions as F
+
+    from is3107datapipelineproject_spark.operators.text import ws_tokens
+
+    def reference_shingles(col, k):
+        toks = ws_tokens(col)
+        n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+        )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   \n\t "),
+        (4, "a"),
+        (5, "a b"),
+        (6, "a b c"),
+        (7, "  A   B\tC  d E "),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    for k in (2, 3, 4):
+        old = df.select("id", reference_shingles("text", k).alias("s")).collect()
+        new = df.select("id", D.word_shingles("text", k).alias("s")).collect()
+        assert [(r.id, r.s) for r in old] == [(r.id, r.s) for r in new], f"k={k}"
+    # the short-doc contract verbatim: one truncated shingle, never []
+    got = df.filter("id = 5").select(D.word_shingles("text", 3).alias("s")).first().s
+    assert got == ["a b"]
