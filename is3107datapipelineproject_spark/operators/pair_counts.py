@@ -101,21 +101,30 @@ def pair_counts(
         attr_cols = [col for col in group_attrs.columns if col != group_col]
         grouped = grouped.join(group_attrs, group_col, "inner")
 
-    # Narrow quadratic generator: for each i, pair _ms[i] with every later
-    # element. flatten+explode emits C(n,2) structs per group.
-    combos = F.explode(
-        F.flatten(
-            F.transform(
-                "_ms",
-                lambda x, i: F.transform(
-                    F.slice("_ms", i + 2, F.greatest(F.size("_ms") - i - 1, F.lit(0))),
-                    lambda y: F.struct(x.alias("member1"), y.alias("member2")),
-                ),
-            )
-        )
+    # Narrow quadratic generator: posexplode each sorted member array,
+    # then explode the suffix slice after each position — C(n,2) pairs
+    # per group from two codegen Generate operators. (r12, guide §1.2
+    # step 2: the previous single-explode shape built the pair list with
+    # nested interpreted ``transform`` lambdas and a fresh ``slice``
+    # allocation per outer element; two explodes keep the whole
+    # generator in whole-stage codegen — JVM-CPU A/B at sf0.1 on the
+    # lineitem bridge: 3.84 → 2.38 s CPU / 1.37 → 1.00 s wall for the
+    # full pair+count pipeline, output multiset identical. Both exploded
+    # siblings (``_ms``, ``member1``) are plain attributes, so the
+    # explode-sibling re-evaluation lint shape never arises.)
+    step1 = grouped.select(
+        *attr_cols, "_ms", F.posexplode("_ms").alias("_i", "member1")
     )
-    pairs = grouped.select(*attr_cols, combos.alias("_p")).select(
-        *attr_cols, F.col("_p.member1").alias("member1"), F.col("_p.member2").alias("member2")
+    pairs = step1.select(
+        *attr_cols,
+        "member1",
+        F.explode(
+            F.slice(
+                "_ms",
+                F.col("_i") + 2,
+                F.greatest(F.size("_ms") - F.col("_i") - 1, F.lit(0)),
+            )
+        ).alias("member2"),
     )
     return pairs.groupBy(*attr_cols, "member1", "member2").agg(F.count(F.lit(1)).alias("cnt"))
 
