@@ -324,31 +324,43 @@ def _bucket_pair_with_jaccard(x, y):
 
 def _bucket_all_pairs(bucketed: DataFrame) -> DataFrame:
     """C(n,2) combination generator over a bucketed frame's sorted
-    ``items`` (narrow; quadratic confined to the bucket)."""
-    combos = F.explode(
-        F.flatten(
-            F.transform(
+    ``items`` (narrow; quadratic confined to the bucket). Two codegen
+    ``Generate`` operators — ``posexplode(items)`` then
+    ``explode(slice(items, i+2, …))`` — with the exact-Jaccard verify
+    as a projection above them (r12, guide §1.2 step 2: the previous
+    nested interpreted ``transform`` lambdas evaluated
+    ``array_intersect`` inside an uncompiled HOF; the explode shape
+    keeps generator and verify in whole-stage codegen — same rewrite
+    and A/B evidence as operators/pair_counts.py). The verify
+    expression references the second generator's output, so the
+    explode-sibling re-evaluation lint shape never arises."""
+    step1 = bucketed.select("items", F.posexplode("items").alias("_i", "_x"))
+    pairs = step1.select(
+        "_x",
+        F.explode(
+            F.slice(
                 "items",
-                lambda x, i: F.transform(
-                    F.slice("items", i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))),
-                    lambda y: _bucket_pair_with_jaccard(x, y),
-                ),
+                F.col("_i") + 2,
+                F.greatest(F.size("items") - F.col("_i") - 1, F.lit(0)),
             )
-        )
+        ).alias("_y"),
     )
-    return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
+    return pairs.select(
+        _bucket_pair_with_jaccard(F.col("_x"), F.col("_y")).alias("p")
+    ).select("p.doc1", "p.doc2", "p.jaccard")
 
 
 def _bucket_star_pairs(bucketed: DataFrame) -> DataFrame:
     """Residual-hot-bucket fallback: every member pairs with the min-id
-    member — O(n) connectivity-preserving pairs, never O(n²)."""
-    combos = F.explode(
-        F.transform(
-            F.slice("items", 2, F.size("items") - 1),
-            lambda y: _bucket_pair_with_jaccard(F.element_at("items", 1), y),
-        )
+    member — O(n) connectivity-preserving pairs, never O(n²). Same
+    codegen explode shape as :func:`_bucket_all_pairs`."""
+    pairs = bucketed.select(
+        F.element_at("items", 1).alias("_x"),
+        F.explode(F.slice("items", 2, F.size("items") - 1)).alias("_y"),
     )
-    return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.jaccard")
+    return pairs.select(
+        _bucket_pair_with_jaccard(F.col("_x"), F.col("_y")).alias("p")
+    ).select("p.doc1", "p.doc2", "p.jaccard")
 
 
 def _hot_subband_buckets(hot: DataFrame, guard_null_sig: bool = False) -> DataFrame:
@@ -520,18 +532,22 @@ def simhash_neardup_pairs(
         )
 
     def all_pairs(bucketed: DataFrame) -> DataFrame:
-        combos = F.explode(
-            F.flatten(
-                F.transform(
+        # Two codegen Generates + projection-level hamming — same
+        # explode rewrite as _bucket_all_pairs (r12), identical pairs.
+        step1 = bucketed.select("items", F.posexplode("items").alias("_i", "_x"))
+        pairs = step1.select(
+            "_x",
+            F.explode(
+                F.slice(
                     "items",
-                    lambda x, i: F.transform(
-                        F.slice("items", i + 2, F.greatest(F.size("items") - i - 1, F.lit(0))),
-                        lambda y: pair_with_hamming(x, y),
-                    ),
+                    F.col("_i") + 2,
+                    F.greatest(F.size("items") - F.col("_i") - 1, F.lit(0)),
                 )
-            )
+            ).alias("_y"),
         )
-        return bucketed.select(combos.alias("p")).select("p.doc1", "p.doc2", "p.hamming")
+        return pairs.select(
+            pair_with_hamming(F.col("_x"), F.col("_y")).alias("p")
+        ).select("p.doc1", "p.doc2", "p.hamming")
 
     small = buckets.filter(F.size("items") <= max_bucket)
     hot = buckets.filter(F.size("items") > max_bucket)
@@ -592,16 +608,15 @@ def simhash_neardup_pairs(
     )
     fine = sub_buckets.filter(F.size("items") <= max_bucket)
 
-    # --- residual hot sub-buckets: star-link to the min-id member.
-    star_combos = F.explode(
-        F.transform(
-            F.slice("items", 2, F.size("items") - 1),
-            lambda y: pair_with_hamming(F.element_at("items", 1), y),
-        )
-    )
+    # --- residual hot sub-buckets: star-link to the min-id member
+    # (codegen explode shape, same as _bucket_star_pairs).
     star = (
         sub_buckets.filter(F.size("items") > max_bucket)
-        .select(star_combos.alias("p"))
+        .select(
+            F.element_at("items", 1).alias("_x"),
+            F.explode(F.slice("items", 2, F.size("items") - 1)).alias("_y"),
+        )
+        .select(pair_with_hamming(F.col("_x"), F.col("_y")).alias("p"))
         .select("p.doc1", "p.doc2", "p.hamming")
     )
 
