@@ -139,13 +139,13 @@ def _fit(t: DataFrame, k: int, iters: int) -> DataFrame:
         .limit(k)
         .select((F.row_number().over(w) - 1).cast("int").alias("cid"), F.col("vec").alias("centroid"))
         .coalesce(1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         assigned = _assign(t, cents)
         # k rows: collapse to one partition before materializing so each
         # checkpoint is one task, not shuffle-partition-many empty ones.
-        cents = _update(assigned).coalesce(1).localCheckpoint(eager=True)
+        cents = _update(assigned).coalesce(1).localCheckpoint(eager=False)
     return cents
 
 
@@ -282,11 +282,11 @@ def kmeans_assign_two_level(
         .limit(k)
         .select((F.row_number().over(w) - 1).cast("int").alias("cid"), F.col("vec").alias("centroid"))
         .coalesce(1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         assigned = _assign(t, cents)
-        cents = _update(assigned).coalesce(1).localCheckpoint(eager=True)
+        cents = _update(assigned).coalesce(1).localCheckpoint(eager=False)
 
     # --- level 2: group the k centroids (k-row frames throughout) ----
     sup_init = cents.filter(F.col("cid") < groups).select(
@@ -316,7 +316,7 @@ def kmeans_assign_two_level(
             F.array_sort(F.collect_list(F.struct("gid", "probe", "members"))).alias("book")
         )
         .coalesce(1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # --- per-point two-level argmin (narrow) -------------------------

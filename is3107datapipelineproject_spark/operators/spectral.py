@@ -75,13 +75,13 @@ def _power_direction(df: DataFrame, id_col: str, vec_col: str, iters: int) -> Da
         .limit(1)
         .select(_normalize(F.col("vec")).alias("pc"))
         .coalesce(1)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(iters):
         # 1-row frames: checkpoint keeps the lineage O(1) and the corpus
         # scan count exactly iters (+1 for any consumer) — the iterative
         # discipline shared with kmeans_assign / pagerank.
-        v = _iterate(t, v).coalesce(1).localCheckpoint(eager=True)
+        v = _iterate(t, v).coalesce(1).localCheckpoint(eager=False)
     return v
 
 

@@ -1539,7 +1539,7 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ranked = distributed_rank(
         rev, "cents", ["o_custkey"], rank_col="rn", count_col="n"
@@ -2383,7 +2383,7 @@ def q_trend_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d")
         .agg(F.sum("c").cast("long").alias("cents"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
     b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
@@ -2414,7 +2414,7 @@ def q_trend_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
         .repartition(32)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     agg = p.agg(
         F.sum(F.signum(F.col("cb") - F.col("ca"))).cast("long").alias("s_stat"),
@@ -2836,7 +2836,7 @@ def q_conformal_price_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u",
             F.round(F.abs(F.col("y") - F.col("a") - F.col("b") * F.col("x")), 4).alias("r"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     calib = res.filter(F.col("u") < 0.75).select("rk", "r")
     ranked = distributed_rank(calib, "r", ["rk"], rank_col="rn", count_col="nc")
