@@ -127,7 +127,7 @@ def pq_encode(
     code), so any fold order gives the same codes."""
     sub_d = _sub_d(df, vec_col, m)
     cb = codebook if codebook is not None else pq_codebook(df, id_col, vec_col, m, k)
-    packed = _packed(cb).coalesce(1).localCheckpoint(eager=True)
+    packed = _packed(cb).coalesce(1).localCheckpoint(eager=False)
     t = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     per_sub = [
         F.struct(F.lit(j).alias("sub"), _best_code(F.col("__v"), j, sub_d)["code"].alias("code"))
@@ -175,7 +175,7 @@ def pq_topk(
             .alias("dp"),
         )
     )
-    packed = _packed(cb, extra=["dp"]).coalesce(1).localCheckpoint(eager=True)
+    packed = _packed(cb, extra=["dp"]).coalesce(1).localCheckpoint(eager=False)
     t = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     score = None
     for j in range(m):
@@ -243,7 +243,7 @@ def ivfpq_topk(
             .alias("dp"),
         )
     )
-    packed = _packed(cb, extra=["dp"]).coalesce(1).localCheckpoint(eager=True)
+    packed = _packed(cb, extra=["dp"]).coalesce(1).localCheckpoint(eager=False)
     t = cands.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"))
     score = None
     for j in range(m):

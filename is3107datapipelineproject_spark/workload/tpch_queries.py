@@ -943,7 +943,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distributed_rank buckets on a numeric cast — dates rank by
         # their epoch-day image (order-identical to the DATE order)
         .withColumn("last_day", F.datediff("last_order", F.lit("1970-01-01").cast("date")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     scored = rfm
     metrics = (("r", "last_day"), ("f", "frequency"), ("m", "monetary"))
@@ -961,7 +961,7 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialization is the O(|customers|) frame, spillable,
         # linear).
         if i < len(metrics) - 1:
-            scored = scored.localCheckpoint(eager=True)
+            scored = scored.localCheckpoint(eager=False)
     return (
         scored.select(
             F.concat(
