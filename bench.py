@@ -296,7 +296,76 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def _timed(fn, spark, sf_dir: str) -> float:
+def _cpu_now() -> dict[int, float]:
+    """Per-PID cumulative CPU seconds of this process tree: this driver
+    process, every live descendant (the local-mode JVM — which IS the
+    executor on local[N] — plus pyspark.daemon and its workers), and each
+    member's already-reaped children (cutime/cstime, where a dead Python
+    worker's CPU lands when its parent wait()s). Round-12 verdict item:
+    the sf0.1 wall-clock bench is job-overhead-bound (8c/32c ratios
+    0.73–1.31) and cannot resolve CPU-level wins, so BENCH_DETAIL records
+    executor CPU per query alongside wall. Returned per-PID (not as one
+    tree total) so `_cpu_delta` can diff pidwise: a reused Python worker
+    that dies mid-bench takes its accumulated ticks out of the tree
+    total (SIG_IGN-autoreaped children never reach cutime), which made a
+    naive total-minus-total delta NEGATIVE for the query that happened
+    to span the death. One /proc sweep costs ~1 ms; it runs once per
+    timed run, a negligible and constant overhead inside the span."""
+    import glob
+
+    tick = float(os.sysconf("SC_CLK_TCK"))
+    ppid_of: dict[int, int] = {}
+    ticks_of: dict[int, int] = {}
+    for stat in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            with open(stat) as f:
+                raw = f.read()
+        except OSError:  # process exited mid-sweep
+            continue
+        # comm (field 2) may contain spaces/parens: split at the LAST ')'
+        head, _, rest = raw.rpartition(")")
+        f_ = rest.split()
+        # rest fields (0-indexed): state=0, ppid=1, ..., utime=11,
+        # stime=12, cutime=13, cstime=14 (man proc(5), fields 14-17)
+        try:
+            pid = int(head.split()[0])
+            ppid_of[pid] = int(f_[1])
+            ticks_of[pid] = int(f_[11]) + int(f_[12]) + int(f_[13]) + int(f_[14])
+        except (ValueError, IndexError):
+            continue
+    me = os.getpid()
+    mine = {me}
+    grew = True
+    while grew:  # transitive closure over ppid (tree is shallow: ~3 levels)
+        grew = False
+        for pid, ppid in ppid_of.items():
+            if ppid in mine and pid not in mine:
+                mine.add(pid)
+                grew = True
+    return {p: ticks_of[p] / tick for p in mine if p in ticks_of}
+
+
+def _cpu_delta(before: dict[int, float], after: dict[int, float]) -> float:
+    """CPU seconds spent between two `_cpu_now` snapshots, summed
+    pidwise. A pid present in both contributes its increment (clamped at
+    0 against pid reuse); a pid new in `after` contributes its full
+    count (it was born inside the span). A pid that DIED inside the span
+    contributes only what its parent's cutime picked up — i.e. a
+    mid-span worker death undercounts rather than going negative."""
+    return sum(max(0.0, t1 - before.get(pid, 0.0)) for pid, t1 in after.items())
+
+
+def _jobs_now(spark) -> int:
+    """Total Spark jobs submitted so far in this session (the
+    DAGScheduler's monotone job-id counter). -1 when the internal API is
+    unavailable — the bench must never fail over a diagnostics column."""
+    try:
+        return int(spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs())
+    except Exception:  # noqa: BLE001 — diagnostics only
+        return -1
+
+
+def _timed(fn, spark, sf_dir: str) -> tuple[float, float, int]:
     """Warm-up run (codegen compile, Python-worker fork, parquet
     footer/file-index caches), then a timed fresh-plan run; sub-second
     queries get two MORE timed runs and report the median — there the
@@ -304,19 +373,23 @@ def _timed(fn, spark, sf_dir: str) -> float:
     diagnosis) — while slow queries report the single run. The timed
     span includes plan CONSTRUCTION — iterative operators execute
     driver-side loops there, and excluding that would under-report
-    them."""
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    first = time.perf_counter() - t0
-    if first >= 1.0:
-        return first
-    runs = [first]
-    for _ in range(2):
+    them. Returns (wall_sec, cpu_sec, n_jobs) for the reported run —
+    cpu/jobs are measured over exactly the same span as the wall time."""
+
+    def one_run() -> tuple[float, float, int]:
+        c0, j0 = _cpu_now(), _jobs_now(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        runs.append(time.perf_counter() - t0)
-    return sorted(runs)[1]
+        wall = time.perf_counter() - t0
+        jobs = _jobs_now(spark) - j0 if j0 >= 0 else -1
+        return wall, _cpu_delta(c0, _cpu_now()), jobs
+
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    first = one_run()
+    if first[0] >= 1.0:
+        return first
+    runs = [first, one_run(), one_run()]
+    return sorted(runs, key=lambda r: r[0])[1]
 
 
 def _annex_names(all_names, here: str | None = None) -> list[str]:
@@ -419,6 +492,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     annex: dict[str, float] = {}
+    # Diagnostics columns (round-12 verdict item 2, additions-only): per
+    # query executor CPU seconds and Spark job count over the SAME timed
+    # span as the wall number. Detail-file only — the one-line JSON
+    # contract is unchanged.
+    cpu_sec: dict[str, float] = {}
+    n_jobs: dict[str, int] = {}
     total = 0.0
     n_done = 0
     annex_list = _annex_names(qs.keys())
@@ -426,8 +505,10 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        dt = _timed(fn, spark, sf_dir)
+        dt, cpu, jobs = _timed(fn, spark, sf_dir)
         sink[name] = round(dt, 3)
+        cpu_sec[name] = round(cpu, 3)
+        n_jobs[name] = jobs
         if sink is timings:
             total += dt
         n_done += 1
@@ -476,6 +557,12 @@ def main() -> None:
                 "annex_wall_sec": annex_total,
                 "n_annex": len(annex),
                 "annex": annex,
+                # additions-only diagnostics (headline + annex, same timed
+                # span as the wall number): executor CPU via the process
+                # tree's /proc accounting, job count via the DAGScheduler
+                # counter (-1 if that internal API ever goes away)
+                "cpu_sec": cpu_sec,
+                "n_jobs": n_jobs,
             },
             fh,
             indent=1,

@@ -103,76 +103,78 @@ def split_probes() -> dict[str, SplitProbeFn]:
 # ordered by last-driver-verified round ASCENDING, ties alphabetical,
 # truncated to the 50-slot window. `tools/evidence_gap.py --rotation`
 # computes the ordering mechanically from CORRECTNESS_r*.json; regenerate
-# the list below each round. Round-12 window: 3 edited (the durable
-# materialization flag touched ngram_jaccard's and
-# prefix_filter_jaccard's operator bodies; incremental_blocked_jaccard
-# gained its one-block-per-doc guard) + zipf_slope (the last r5 row) +
-# the full 45-query r6 cohort + the 2 alphabetical heads of the r7
-# cohort — exactly 50 slots. After this window lands, no green row
-# predates r6 and the r7 cohort (45 remaining) heads round 13. The
-# other round-12 code paths (sink guards, reader-mode recovery,
-# purge-intent orphan check) live on pytest-only sink paths and stale
-# no registered plan.
+# the list below each round. EDITED-PATHS-FIRST overrides age when a
+# round rewrites shared operators: round 12's optimizer edits (rank
+# when-tree, word_shingles zip_with, pair/LSH double-explode, lazy
+# checkpoints) landed AFTER the r12 window was set, so the r13 window
+# below samples those families plus round 13's own targets; the r7
+# age cohort (45 queries, deferred from r12's plan) heads round 14.
 _EVIDENCE_PRIORITY: tuple[str, ...] = (
-    # --- plans/code paths edited in round 12 -> re-sample first (3):
-    # ngram_jaccard + prefix_filter_jaccard gained the durable
-    # materialization flag (default path unchanged but the operator
-    # bodies were edited); incremental_blocked_jaccard gained the
-    # one-block-per-doc loud guard ---
-    "ngram_jaccard",
-    "prefix_filter_jaccard",
-    "incremental_blocked_jaccard",
-    # --- oldest-first rotation: zipf_slope (the single r5 row), the
-    # full 45-query r6 cohort, and the two alphabetical heads of the
-    # r7 cohort — exactly filling the 50-slot window (the rest of r7
-    # heads round 13). Generated by tools/evidence_gap.py --rotation ---
-    "zipf_slope",
-    "activity_streaks",
-    "ann_index_build",
+    # --- ROUND 13 WINDOW (edited-paths-first rule, per the r12 verdict):
+    # the r12 optimizer rewrote the rank-bucket expression (11 consumers),
+    # word_shingles (~16 consumers), the pair/LSH generators and the
+    # checkpoint discipline, but the r12 window — set BEFORE those edits —
+    # sampled almost none of them. This window therefore front-loads the
+    # r12-edited families plus the queries round 13 itself touches
+    # (ivf_probe_sweep, approx_percentile_tdigest, the curation /
+    # llm-selection checkpoint consumers). The age rotation (r7 cohort)
+    # resumes round 14. ---
+    # (1) round-13 touched paths + their curation/llm checkpoint consumers
+    "incremental_neardup_clusters",
+    "ivf_probe_sweep",
     "approx_percentile_tdigest",
-    "association_rules",
-    "bulk_part_suppliers",
-    "chi2_terms",
-    "clustering_coefficient",
-    "copurchase_communities",
-    "copurchase_kcore",
-    "copurchase_pagerank",
-    "cusum_changepoint",
-    "discount_revenue",
-    "dq_constraints",
-    "embedding_skyline",
-    "grouping_sets_revenue",
-    "incremental_prefix_jaccard",
-    "ivfpq_topk",
-    "ivfpq_topk_from_index",
-    "kcore_from_edges",
-    "mixture_allocation",
-    "mode_median_stats",
-    "naive_bayes_confusion",
-    "nested_subsets",
-    "ols_price_by_qty",
-    "pagerank_from_edges",
-    "part_supplier_variety",
-    "pq_codes",
-    "pq_recall",
-    "pq_topk",
-    "priority_by_linestatus",
-    "repeated_spans",
-    "scd2_asof_lookup",
-    "scd2_order_priority",
-    "seasonal_decompose_dow",
-    "session_overlap_join",
-    "significant_parts",
-    "skyline_parts",
-    "sole_returned_supplier",
-    "source_overlap",
-    "sql_interface_revenue",
-    "time_weighted_avg",
-    "top_conversion_paths",
-    "vocab_coverage",
-    "window_time_range_avg",
-    "asof_join",
-    "autocorr_daily_revenue",
+    "vocab_build",
+    "vocab_growth",
+    "word_pmi",
+    "incremental_curation",
+    "curation_pipeline",
+    "token_budget_sample",
+    "mixture_sample",
+    "pretrain_pipeline",
+    # (2) r12 rank-bucket when-tree consumers (0/11 sampled in r12)
+    "winsorized_revenue_stats",
+    "group_exact_percentiles",
+    "trend_robust_stats",
+    "rfm_segmentation",
+    "revenue_gini",
+    "conformal_price_interval",
+    "window_ntile_cume",
+    "time_to_convert_quantiles",
+    "ks_test_priority_revenue",
+    "quality_auc",
+    "multiplier_bootstrap_ci",
+    # (3) r12 word_shingles zip_with consumers not re-sampled in r12
+    "minhash_neardup",
+    "minhash_topk_similar",
+    "neardup_clusters",
+    "neardup_clusters_from_state",
+    "cluster_retract",
+    "cluster_retract_from_state",
+    "corpus_dedup_keep",
+    "corpus_dedup_keep_from_state",
+    "dup_cluster_sizes",
+    "containment_pairs",
+    "doc_fingerprint",
+    "decontaminate",
+    "decontaminate_fixed_bench",
+    "bloom_contamination",
+    "split_leakage",
+    # (4) r12 pair_counts/LSH double-explode consumers not re-sampled
+    "pair_counts",
+    "copurchase_bfs_hops",
+    "copurchase_triangles",
+    "related_parts_ppr",
+    "similar_parts_jaccard",
+    "simhash_neardup",
+    "embedding_neardup_lsh",
+    "graph_degree_stats",
+    # (5) r12 lazy-checkpoint consumers not re-sampled
+    "kmeans_assign",
+    "kmeans_assign_hier",
+    "semantic_dedup",
+    "incremental_semantic_neardup",
+    "embedding_abtt",
+    "embedding_top_pc",
 )
 
 

@@ -164,6 +164,25 @@ _SPLIT_FAMILY = re.compile(
 _SPLIT_PROBE_EXEMPT: dict[str, str] = {}
 
 
+def test_cpu_now_counts_this_process_tree():
+    """Round-13 bench diagnostics: `_cpu_now` must be positive, monotone,
+    and actually attribute CPU burned by this process (the wall-clock
+    bench at sf0.1 is overhead-bound — the r12 verdict's scaling block —
+    so BENCH_DETAIL's per-query cpu_sec column is what makes CPU-level
+    optimizations measurable; a reader that silently returned 0 would
+    make every future round's CPU evidence vacuous)."""
+    import bench
+
+    a = bench._cpu_now()
+    assert os.getpid() in a and a[os.getpid()] > 0.0
+    acc = 0
+    while bench._cpu_delta(a, bench._cpu_now()) < 0.05:  # burn visible CPU
+        acc += sum(i * i for i in range(100_000))
+    assert bench._cpu_delta(a, bench._cpu_now()) >= 0.05
+    # pidwise diffing never goes negative, even against a shrunk tree
+    assert bench._cpu_delta(a, {}) == 0.0
+
+
 def test_every_split_family_query_has_a_probe():
     """Completeness gate: a future incremental/split/holdout/sampling
     registration cannot skip its non-triviality probe — it either adds
