@@ -388,6 +388,12 @@ def semantic_dedup(
     families and ``max_block`` in fuzzy matching; the oracle replays the
     identical routing, so correctness checking stays exact.
     """
+    # lazy ckpt: asg feeds both the sizes broadcast build and the main
+    # join, which may materialize in concurrent AQE stages — safe here
+    # ONLY because the upstream is deterministic (kmeans init orders by
+    # unique vid), per the determinism clause of the lazy-checkpoint
+    # contract (graph.checkpoint_edges); block-manager dedup then makes
+    # whichever stage computes a partition first authoritative.
     asg = kmeans_assign(df, id_col, vec_col, k=k, iters=iters).localCheckpoint(eager=False)
     vecs = df.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")

@@ -124,19 +124,22 @@ def unigram_surprisal(
     does not dedupe them on a fresh plan (same recompute trap as the
     MinHash bucket frame, operators/dedup.py) — without materialization
     the corpus scan+explode runs THREE times. Both are
-    localCheckpoint'ed: the CPU-heavy explode/aggregate executes exactly
-    once, vocab (tiny) once; the trade is executor-local storage of the
-    (doc, token, tf) frame, which is what every multi-pass consumer of a
-    tokenized corpus pays.
+    localCheckpoint'ed LAZILY (r13: every consumer — the vocab
+    aggregate, the total aggregate, the broadcast builds — scans all
+    partitions, so the first consumer's job materializes the blocks;
+    upstream is a deterministic tokenize/aggregate): the CPU-heavy
+    explode/aggregate executes exactly once, vocab (tiny) once; the
+    trade is executor-local storage of the (doc, token, tf) frame,
+    which is what every multi-pass consumer of a tokenized corpus pays.
     """
     toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("__tok"))
     tf = (
         toks.groupBy(id_col, "__tok")
         .agg(F.count(F.lit(1)).alias("__tf"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     vocab = (
-        tf.groupBy("__tok").agg(F.sum("__tf").alias("__cnt")).localCheckpoint(eager=True)
+        tf.groupBy("__tok").agg(F.sum("__tf").alias("__cnt")).localCheckpoint(eager=False)
     )
     total = vocab.agg(F.sum("__cnt").alias("__total"))
     p = F.col("__cnt") / F.col("__total")
@@ -237,9 +240,9 @@ def importance_resample(
     tf = (
         toks.groupBy(id_col, "__tgt", "__tok")
         .agg(F.count(F.lit(1)).alias("__tf"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy (r13): same full-consumer audit as unigram_surprisal
     )
-    src = tf.groupBy("__tok").agg(F.sum("__tf").alias("__src_cnt")).localCheckpoint(eager=True)
+    src = tf.groupBy("__tok").agg(F.sum("__tf").alias("__src_cnt")).localCheckpoint(eager=False)
     tgt = (
         tf.filter(F.col("__tgt"))
         .groupBy("__tok")
@@ -373,9 +376,9 @@ def bigram_surprisal(
     bg = (
         df.select(F.col(id_col), F.explode(pairs).alias("__p"))
         .select(id_col, F.col("__p.w1").alias("__w1"), F.col("__p.w2").alias("__w2"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy (r13): first consumer is the cb aggregate (full scan)
     )
-    cb = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c")).localCheckpoint(eager=True)
+    cb = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c")).localCheckpoint(eager=False)
     cp = cb.groupBy("__w1").agg(F.sum("__c").cast("long").alias("__cp"))
     p = F.col("__c").cast("double") / F.col("__cp").cast("double")
     return (

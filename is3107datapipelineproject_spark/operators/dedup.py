@@ -227,6 +227,27 @@ def lsh_band_keys() -> list[Column]:
     return out
 
 
+def minhash_doc_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """The per-document signature frame every MinHash-tier consumer
+    derives from: ``(doc_id, shingles, mh0..mh{K-1})`` — the CPU-bound
+    tokenize → shingle-hash → K-permutation stage, computed narrowly
+    (no shuffle) over a spread input. Chained queries that run several
+    MinHash tiers over the SAME documents (one-shot pairs + incremental
+    new×old + batch-local pairs in incremental_neardup_clusters; full
+    pairs + affected-cluster re-derivation in the retraction path)
+    should compute this ONCE, localCheckpoint it, and pass filtered
+    views via the tiers' ``sig_frame`` parameters (r13, guide §1.2 step
+    1: the signature stage was each such query's largest repeated
+    term). Values are a pure row-wise function of the text, so a
+    filtered view of a shared frame is bit-identical to computing the
+    stage on the filtered input."""
+    return spread_small_input(df).select(
+        F.col(id_col).alias("doc_id"), shingle_hash_set(text_col, k).alias("shingles")
+    ).select("doc_id", "shingles", *minhash_signature_cols("shingles"))
+
+
 def minhash_neardup_pairs(
     df: DataFrame,
     text_col: str,
@@ -234,6 +255,7 @@ def minhash_neardup_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 1024,
+    sig_frame: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate detection, end to end:
 
@@ -269,10 +291,17 @@ def minhash_neardup_pairs(
     connected for neardup_clusters/dedup_corpus instead of O(n²) pair
     enumeration — the documented bounded-work fallback, never a silent
     recall cliff.
+
+    ``sig_frame``: a precomputed :func:`minhash_doc_signatures` frame
+    for EXACTLY the rows of ``df`` (same text/k) — chained multi-tier
+    queries pass filtered views of one shared frame so the signature
+    stage runs once; bucketing below is unchanged either way.
     """
-    sigs = spread_small_input(df).select(
-        F.col(id_col).alias("doc_id"), shingle_hash_set(text_col, k).alias("shingles")
-    ).select("doc_id", "shingles", *minhash_signature_cols("shingles"))
+    sigs = (
+        sig_frame
+        if sig_frame is not None
+        else minhash_doc_signatures(df, text_col, id_col, k)
+    )
     banded = sigs.select(
         "doc_id",
         "shingles",
@@ -816,6 +845,7 @@ def retract_from_cluster_state(
     threshold: float = 0.8,
     max_iters: int = 20,
     pairs_fn=None,
+    sig_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Deletion-aware cluster maintenance — the other half of the
     incremental story. :func:`incremental_cluster_update` handles ingest
@@ -857,6 +887,13 @@ def retract_from_cluster_state(
     planted-fixture tests inject exact edge lists through, and how a
     different tier's labels (edit-distance, semantic) would retract.
 
+    ``sig_frame``: a precomputed :func:`minhash_doc_signatures` frame
+    for ``docs`` (the WHOLE corpus, same text/k) — the re-derivation in
+    step (3) then reuses it (restricted to the affected members by the
+    same semi-join as ``aff_docs``) instead of re-hashing the affected
+    text; callers that already built corpus-wide pairs from the same
+    frame share one signature pass across both stages (r13).
+
     Returns ``(id_col, cluster_id)`` over corpus MINUS deleted —
     identical to the one-shot over the surviving corpus (asserted in
     tests; the registered query's oracle replays the full closure over
@@ -878,8 +915,17 @@ def retract_from_cluster_state(
     )
     aff_docs = docs.join(F.broadcast(aff_members), id_col, "left_semi")
     if pairs_fn is None:
+        aff_sigs = (
+            sig_frame.join(
+                F.broadcast(aff_members.withColumnRenamed(id_col, "doc_id")),
+                "doc_id",
+                "left_semi",
+            )
+            if sig_frame is not None
+            else None
+        )
         pairs = minhash_neardup_pairs(
-            aff_docs, text_col, id_col, k=k, threshold=threshold
+            aff_docs, text_col, id_col, k=k, threshold=threshold, sig_frame=aff_sigs
         )
     else:
         pairs = pairs_fn(aff_docs)
@@ -962,9 +1008,10 @@ def _materialize(df: DataFrame, durable: bool) -> DataFrame:
     # chain opens with a FULL-scan action — the hot-posting guard
     # aggregate (blocked/prefix tiers) or the df-frequency aggregate —
     # so the first such job materializes the blocks instead of a
-    # dedicated eager-checkpoint job per frame (the lazy-safety
-    # contract of graph.checkpoint_edges; a limit-probe first consumer
-    # would be unsafe, and none exists on these paths). Measured on
+    # dedicated eager-checkpoint job per frame (the lazy-checkpoint
+    # contract of graph.checkpoint_edges — r13 correction there: a
+    # limit-probe first consumer is SAFE too, Spark backfills; it just
+    # wouldn't save the job). Measured on
     # prefix_jaccard_pairs at sf0.1, interleaved: 3.52/3.00 →
     # 2.95/2.87 s wall, 22.5/24.6 → 17.3/20.4 s JVM CPU, pairs
     # identical. The τ-boundary battery runs bit-identically through
@@ -1236,6 +1283,8 @@ def incremental_neardup(
     id_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    old_sig_frame: DataFrame | None = None,
+    new_sig_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup: near-duplicates BETWEEN an arriving
     batch and the existing corpus — the every-ingest check that keeps a
@@ -1253,14 +1302,27 @@ def incremental_neardup(
 
     Returns ``(new_id, old_id, jaccard)``, jaccard ≥ threshold, rounded
     to 4 decimals (cross-engine fp determinism).
+
+    ``old_sig_frame``/``new_sig_frame``: precomputed
+    :func:`minhash_doc_signatures` frames for the respective sides (see
+    there) — chained queries share one signature pass across tiers.
     """
-    ob = band_signature_frame(old, text_col, id_col, k).toDF("old_id", "old_hs", "band")
-    nb = band_signature_frame(new, text_col, id_col, k).toDF("new_id", "new_hs", "band")
+    ob = band_signature_frame(
+        old, text_col, id_col, k, sig_frame=old_sig_frame
+    ).toDF("old_id", "old_hs", "band")
+    nb = band_signature_frame(
+        new, text_col, id_col, k, sig_frame=new_sig_frame
+    ).toDF("new_id", "new_hs", "band")
     return incremental_neardup_from_bands(ob, nb, threshold=threshold)
 
 
 def band_signature_frame(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, with_sig: bool = False
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    with_sig: bool = False,
+    sig_frame: DataFrame | None = None,
 ) -> DataFrame:
     """``(doc_id, hs, band)`` — the exploded LSH band/signature frame,
     the thing a production ingest PERSISTS per document so the corpus
@@ -1274,10 +1336,19 @@ def band_signature_frame(
     :func:`pairs_from_band_table`'s hot-band second pass needs to
     sub-band a boilerplate bucket, so state that may later be RETRACTED
     (cluster_ingest_sink's band table) stores it; the default stays the
-    3-column shape the pure new×old join paths use."""
-    sigs = spread_small_input(df).select(
-        F.col(id_col).alias("doc_id"), shingle_hash_set(text_col, k).alias("hs")
-    ).select("doc_id", "hs", *minhash_signature_cols("hs"))
+    3-column shape the pure new×old join paths use.
+
+    ``sig_frame``: a precomputed :func:`minhash_doc_signatures` frame
+    for exactly the rows of ``df`` (see there) — skips re-running the
+    signature stage in chained multi-tier queries."""
+    if sig_frame is not None:
+        sigs = sig_frame.select(
+            "doc_id", F.col("shingles").alias("hs"), *[F.col(f"mh{j}") for j in range(MINHASH_K)]
+        )
+    else:
+        sigs = spread_small_input(df).select(
+            F.col(id_col).alias("doc_id"), shingle_hash_set(text_col, k).alias("hs")
+        ).select("doc_id", "hs", *minhash_signature_cols("hs"))
     keep = ["doc_id", "hs"]
     if with_sig:
         sigs = sigs.withColumn(

@@ -52,14 +52,24 @@ def checkpoint_edges(df: DataFrame, eager: bool = False) -> DataFrame:
     instead of paying a separate eager job per checkpoint; blocks,
     lineage truncation and every downstream read are identical.
     Measured on copurchase_kcore's 3 per-round checkpoints: 5.92 →
-    5.17 s wall (interleaved A/B, identical output). SAFETY CONTRACT:
-    lazy is only correct when the first consumer computes EVERY
-    partition (aggregates, joins, full writes) — a ``limit`` probe
-    would materialize a partial checkpoint and later reads of the
-    missing partitions fail (their lineage is already truncated). Every
-    call site here is consumed by a full aggregate/join first; callers
-    with limit-probe consumers (the LSH hot-bucket pattern) must pass
-    ``eager=True``."""
+    5.17 s wall (interleaved A/B, identical output).
+
+    LAZY-CHECKPOINT CONTRACT (corrected r13 per the r12 advice, and
+    re-verified on this Spark): lazy is COMPLETE after ANY first
+    action — even a ``limit`` probe — because Spark backfills the
+    missing partitions with its own job at the end of that first
+    action (LocalRDDCheckpointData.doCheckpoint runs over the
+    partitions the action skipped; measured: probe job + backfill job,
+    then full reads succeed). Two real caveats remain: (1) COST — under
+    a probe-first consumer lazy saves nothing (probe + backfill ≈ the
+    eager job), so probe-heavy sites (the LSH hot-bucket pattern) keep
+    ``eager=True`` for cost attribution, not correctness; (2)
+    DETERMINISM — values pin only when the FIRST action materializes
+    them; a frame whose upstream is nondeterministic (rand(), changing
+    source files, tie-broken limits) and whose consumers could race to
+    materialize different partitions in concurrent AQE stages must stay
+    eager so the pin happens at a single well-defined point. Every
+    call site here has a deterministic upstream."""
     return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 

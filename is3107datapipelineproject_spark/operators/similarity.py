@@ -243,6 +243,80 @@ def ivf_topk(
     )
 
 
+def ivf_topk_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    probes_list: tuple[int, ...] = (1, 2, 4),
+    k: int = 5,
+) -> DataFrame:
+    """Every sweep point of an IVF ``probes`` tuning curve from ONE
+    scoring pass (r13, guide §2 — don't compute things twice): returns,
+    for each ``p`` in ``probes_list``, exactly the rows
+    ``ivf_topk(..., probes=p, k=k)`` would return, tagged with a
+    ``probes`` column.
+
+    Why it is identical per point: the probe ranking window (centroid
+    cosine DESC, bucket) does not depend on the probe count, so the
+    candidate set at ``p`` is precisely the rows of the ``max(probes)``
+    candidate set with ``prank <= p``; and each corpus vector lives in
+    ONE bucket, so filtering candidates by prank then re-ranking by
+    (cosine DESC, neighbor_id) reproduces the per-point top-k
+    bit-for-bit. The scored candidate frame is computed once and
+    localCheckpoint'd (lazy — its first consumer, the first sweep
+    point's window, scans every partition), so the sweep pays one
+    centroid build, one probe ranking and one cosine pass instead of
+    ``len(probes_list)`` of each."""
+    pmax = max(probes_list)
+    cents = bucket_centroids(corpus, vec_col, bucket_col)
+    q = _prep(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    csim = F.round(
+        dot(F.col("centroid"), F.col("qvec"))
+        / (l2_norm(F.col("centroid")) * F.col("qnorm")),
+        4,
+    ).alias("csim")
+    wp = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("bucket"))
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qvec", "qnorm", "bucket", csim)
+        .withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= pmax)
+        .select("qid", "qvec", "qnorm", "bucket", "prank")
+    )
+    c = _prep(corpus, id_col, vec_col, [bucket_col], spread=True).withColumnRenamed(bucket_col, "bucket")
+    sim = F.round(
+        dot(F.col("vec"), F.col("qvec")) / (F.col("norm") * F.col("qnorm")), 4
+    ).alias("cosine")
+    scored = (
+        c.join(F.broadcast(probe), "bucket")
+        .filter(F.col("vid") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            sim,
+            "prank",
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    out = None
+    for p in probes_list:
+        part = (
+            scored.filter(F.col("prank") <= p)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.lit(p).alias("probes"), "query_id", "neighbor_id", "cosine", "rank"
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def knn_classify(
     corpus: DataFrame,
     queries: DataFrame,

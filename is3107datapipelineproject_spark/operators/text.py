@@ -673,7 +673,7 @@ def _bpe_train(df, text_col: str, rounds: int, passes: int):
     cur = vocab.select(
         F.concat(F.lit(" "), F.regexp_replace("token", "(.)", "$1 ")).alias("seq"),
         "freq",
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     merges = []
     for r in range(1, rounds + 1):
         syms = F.split(F.trim(F.col("seq")), " ")
@@ -707,7 +707,7 @@ def _bpe_train(df, text_col: str, rounds: int, passes: int):
         newseq = F.col("seq")
         for _ in range(passes):
             newseq = F.replace(newseq, search, repl)
-        cur = cur.select(newseq.alias("seq"), "freq").localCheckpoint(eager=True)
+        cur = cur.select(newseq.alias("seq"), "freq").localCheckpoint(eager=False)
     return merges, cur
 
 

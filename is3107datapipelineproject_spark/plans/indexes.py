@@ -537,7 +537,11 @@ def edge_table_append(
     # see the SAME rows — re-evaluating a nondeterministic source
     # (sample(), changing files) between the two jobs could dirty a
     # partition the log never hears about, leaving its edges stale with
-    # no error.
+    # no error. Deliberately EAGER (r13 lazy sweep skipped this site):
+    # the upstream may be nondeterministic, which is exactly the
+    # determinism clause of the lazy-checkpoint contract
+    # (graph.checkpoint_edges) — the pin must happen at one
+    # well-defined point before either state-mutating write.
     batch = new_lineitem.select("l_orderkey", "l_partkey").localCheckpoint(eager=True)
     # Log touched pbs BEFORE appending the arcs: a crash between the
     # two jobs must err toward an extra logged pb (an idempotent

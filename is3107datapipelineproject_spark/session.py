@@ -36,11 +36,23 @@ _RUNTIME_CONFS: dict[str, str] = {
     # hash join when its build-side size conditions hold instead of
     # always sorting both sides, and let AQE convert a planned SMJ to
     # SHJ at runtime when every post-shuffle partition is small enough
-    # to hash locally (bounded per-partition build ⇒ no OOM cliff; the
-    # threshold matches the partition sizes AQE coalescing targets).
-    # Measured on the 13 headline queries whose plans carried SMJ:
-    # ~3% wall / ~7% JVM-CPU (the removed per-partition sorts), values
-    # unchanged — join strategy never affects results.
+    # to hash locally (the threshold matches the partition sizes AQE
+    # coalescing targets). Measured on the 13 headline queries whose
+    # plans carried SMJ: ~3% wall / ~7% JVM-CPU (the removed
+    # per-partition sorts), values unchanged — join strategy never
+    # affects results. OOM-risk scope (r13, per the r12 advice): only
+    # the AQE conversion is RUNTIME-bounded by the 128m threshold; the
+    # static planner path picks SHJ from size ESTIMATES
+    # (canBuildLocalHashMap: plan-estimated side < partitions ×
+    # threshold), so a badly mis-estimated or skewed build side could
+    # plan SHJ where SMJ would sort-spill. AQE skew-join splitting (on,
+    # above) covers the skew half for both join kinds; the estimate
+    # half is accepted deliberately: this engine's SHJ build sides are
+    # dimension/aggregate frames whose estimates derive from parquet
+    # stats, and Spark's guide-recommended baseline (§9) ships exactly
+    # this pair. Revisit with cluster-scale stats before trusting a
+    # ×100 run that adds new estimate-opaque build sides (UDF-derived
+    # or post-explode frames).
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "128m",
 }

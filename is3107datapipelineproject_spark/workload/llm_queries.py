@@ -533,18 +533,32 @@ def q_incremental_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFram
     incremental==one-shot assertion. (Here the corpus labels are
     rebuilt per call because testdata ships no side store; production
     reads them from the persisted label table that
-    cluster_ingest_sink maintains.)"""
+    cluster_ingest_sink maintains.)
+
+    The three MinHash tiers (old×old pairs, new×old incremental join,
+    new×new batch pairs) share ONE signature pass (r13, guide §1.2
+    step 1): minhash_doc_signatures runs once over the whole corpus,
+    is localCheckpoint'd (lazy — the first consumer, the old tier's
+    band-bucket aggregate, scans every partition; signatures are a
+    deterministic row-wise function of the text, satisfying the lazy
+    contract), and each tier receives its side's filtered view. Each
+    side's text was previously shingled+hashed twice."""
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     old = docs.filter(F.col("doc_id") % 5 != 0)
-    old_pairs = D.minhash_neardup_pairs(old, "text", "doc_id", threshold=0.8)
+    sigs = D.minhash_doc_signatures(docs, "text", "doc_id").localCheckpoint(eager=False)
+    s_old = sigs.filter(F.col("doc_id") % 5 != 0)
+    s_new = sigs.filter(F.col("doc_id") % 5 == 0)
+    old_pairs = D.minhash_neardup_pairs(
+        old, "text", "doc_id", threshold=0.8, sig_frame=s_old
+    )
     old_labels = D.neardup_clusters(old, old_pairs, "doc_id")
-    nx_old = D.incremental_neardup(old, new, "text", "doc_id", threshold=0.8).select(
-        F.col("new_id").alias("doc1"), F.col("old_id").alias("doc2")
-    )
-    nx_new = D.minhash_neardup_pairs(new, "text", "doc_id", threshold=0.8).select(
-        "doc1", "doc2"
-    )
+    nx_old = D.incremental_neardup(
+        old, new, "text", "doc_id", threshold=0.8, old_sig_frame=s_old, new_sig_frame=s_new
+    ).select(F.col("new_id").alias("doc1"), F.col("old_id").alias("doc2"))
+    nx_new = D.minhash_neardup_pairs(
+        new, "text", "doc_id", threshold=0.8, sig_frame=s_new
+    ).select("doc1", "doc2")
     return D.incremental_cluster_update(
         old_labels, new.select("doc_id"), nx_old.unionByName(nx_new), "doc_id"
     )
@@ -566,13 +580,19 @@ def q_cluster_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the full closure over the filtered corpus, so the driver
     hash compare asserts retraction == one-shot-over-survivors. (Labels
     are rebuilt per call because testdata ships no side store;
-    production reads the persisted label table.)"""
+    production reads the persisted label table.)
+
+    The corpus-wide pair build and the affected-cluster re-derivation
+    share ONE signature pass (r13; same shared-frame discipline as
+    incremental_neardup_clusters — minhash_doc_signatures once, lazy
+    localCheckpoint, filtered views per stage)."""
     docs = _t(spark, sf_dir, "documents")
     deleted = docs.filter(F.col("doc_id") % 17 == 3).select("doc_id")
-    pairs = D.minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.8)
+    sigs = D.minhash_doc_signatures(docs, "text", "doc_id").localCheckpoint(eager=False)
+    pairs = D.minhash_neardup_pairs(docs, "text", "doc_id", threshold=0.8, sig_frame=sigs)
     labels = D.neardup_clusters(docs, pairs, "doc_id")
     return D.retract_from_cluster_state(
-        docs, labels, deleted, "text", "doc_id", threshold=0.8
+        docs, labels, deleted, "text", "doc_id", threshold=0.8, sig_frame=sigs
     )
 
 
@@ -1496,8 +1516,10 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with TRUE/TRUE, so the row hashes only if the sketch obeys both
     bounds. Estimates are md5-hash deterministic — no flakiness.
 
-    Plan: token counts are one partial-agg shuffle (localCheckpointed:
-    three consumers — total, top-k, sketch build — must not re-tokenize
+    Plan: token counts are one partial-agg shuffle (localCheckpointed
+    LAZILY, r13: all three consumers — total, top-k, sketch build — are
+    full-scan aggregates, so the first materializes the blocks in its
+    own job; the consumers must not re-tokenize
     the corpus); the sketch is d×w = 8192 rows, broadcast for probing.
     """
     from is3107datapipelineproject_spark.operators import sketches as K
@@ -1507,7 +1529,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("cnt").alias("n_total"))
     top = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(20)
@@ -3627,7 +3649,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_MMR_CAND,
         )
         .select("query_id", "neighbor_id", "cosine")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     v = emb.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"),
@@ -3645,7 +3667,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "a", "b",
             F.round(S.dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 4).alias("sim"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     w1 = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     selected = (
@@ -3684,7 +3706,13 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plan grows multiplicatively with _MMR_K (242 exchanges / 121
         # sort-merge joins at K=5). Same inter-pass lesson as the rfm
         # multi-rank chain. The frame is bounded by queries x K rows.
-        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+        # LAZY (r13): the greedy loop is a FIXED unroll — no driver-side
+        # convergence decision reads any round's frame — so nothing needs
+        # materializing until the final action, which computes every
+        # round's (plan-truncating) RDD once in one job instead of one
+        # eager checkpoint job per round. Upstreams are deterministic
+        # (rounded sims, id tiebreaks), satisfying the lazy contract.
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
     return selected.join(cand, ["query_id", "neighbor_id"]).select(
         "query_id", F.col("step").cast("int").alias("step"), "neighbor_id", "cosine"
     )
@@ -3758,7 +3786,9 @@ def q_embedding_release_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = s.filter(F.col("rel") == "B").select(
         "dim", F.col("sx").alias("sb"), F.col("n").alias("nb")
     )
-    j = a.join(b, "dim").localCheckpoint(eager=True)
+    # lazy (r13): both consumers (agg, top) are full-scan aggregates
+    # over the 64-row frame; the first materializes it in its own job.
+    j = a.join(b, "dim").localCheckpoint(eager=False)
     agg = j.agg(
         F.max("na").cast("long").alias("n_a"),
         F.max("nb").cast("long").alias("n_b"),
@@ -3920,23 +3950,33 @@ def q_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query scan cost is ∝ probes/#buckets of the corpus while recall
     saturates (ann_recall is the single point probes=2; this is the
     curve around it). Ground truth is ONE checkpointed brute-force pass
-    over the 50-query sample; each sweep point reuses the engine's own
-    ivf_topk (centroids recomputed per point here — a production sweep
-    would read the persisted index of ann_index_build). Mean recall is
-    an exact hit-count ratio, rounded once."""
+    over the 50-query sample; the sweep points all derive from ONE
+    scored candidate pass (operators/similarity.py::ivf_topk_sweep —
+    r13, guide §2: the probe ranking is probe-count-independent, so
+    filtering the max-probes candidates by probe rank reproduces each
+    point's ivf_topk bit-for-bit; previously each point recomputed
+    centroids, probe ranks and cosines. A production sweep would read
+    the persisted index of ann_index_build). Mean recall is an exact
+    hit-count ratio, rounded once."""
     from is3107datapipelineproject_spark.operators import similarity as S
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 50)
+    # lazy (r12 discipline): the first consumer is the first sweep
+    # point's join over every exact row, which materializes the blocks
+    # inside its own job.
     exact = (
         S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
+    )
+    sweep = S.ivf_topk_sweep(
+        emb, queries, "vec_id", "embedding", "label", probes_list=(1, 2, 4), k=5
     )
     out = None
     for p in (1, 2, 4):
         ivf = (
-            S.ivf_topk(emb, queries, "vec_id", "embedding", "label", probes=p, k=5)
+            sweep.filter(F.col("probes") == p)
             .select("query_id", "neighbor_id")
             .withColumn("__hit", F.lit(1))
         )

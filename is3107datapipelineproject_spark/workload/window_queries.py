@@ -1155,11 +1155,20 @@ def q_approx_percentile_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution is conservative; the oracle emits TRUE and the row
     only hashes if the sketch actually lands inside."""
     li = _t(spark, sf_dir, "lineitem")
+    # r13 (guide §1.2 step 2): ONE exact-percentile aggregate and ONE
+    # sketch per group, each evaluated at both quantiles via the array
+    # form — the scalar form built (and sorted/merged) an independent
+    # per-group value map PER CALL, doubling the aggregation state and
+    # the single-threaded final-merge work for identical values.
     ex = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("exact_p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("exact_p99"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("_a50"),
-        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("_a99"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.99))").alias("_ex"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)").alias("_ap"),
+    ).select(
+        "l_returnflag",
+        F.round(F.element_at("_ex", 1), 4).alias("exact_p50"),
+        F.round(F.element_at("_ex", 2), 4).alias("exact_p99"),
+        F.element_at("_ap", 1).alias("_a50"),
+        F.element_at("_ap", 2).alias("_a99"),
     )
     return ex.select(
         "l_returnflag",

@@ -74,6 +74,39 @@ def test_simhash_band_pigeonhole_matches_bruteforce(docs):
     assert banded == brute
 
 
+def test_minhash_tiers_accept_shared_signature_frame(spark):
+    """r13 shared-signature discipline: passing a (filtered view of a)
+    precomputed minhash_doc_signatures frame must reproduce every
+    tier's output bit-for-bit — signatures are a deterministic row-wise
+    function of the text, so sharing one pass across chained tiers can
+    never change pairs."""
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    sigs = D.minhash_doc_signatures(docs, "text", "doc_id").localCheckpoint(eager=False)
+    s_old = sigs.filter(F.col("doc_id") % 5 != 0)
+    s_new = sigs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+
+    base = {tuple(r) for r in D.minhash_neardup_pairs(old, "text", "doc_id", threshold=0.8).collect()}
+    shared = {
+        tuple(r)
+        for r in D.minhash_neardup_pairs(
+            old, "text", "doc_id", threshold=0.8, sig_frame=s_old
+        ).collect()
+    }
+    assert shared == base and base, "pairs differ under a shared signature frame"
+
+    ib = {tuple(r) for r in D.incremental_neardup(old, new, "text", "doc_id", threshold=0.8).collect()}
+    ish = {
+        tuple(r)
+        for r in D.incremental_neardup(
+            old, new, "text", "doc_id", threshold=0.8,
+            old_sig_frame=s_old, new_sig_frame=s_new,
+        ).collect()
+    }
+    assert ish == ib and ib, "incremental pairs differ under a shared signature frame"
+
+
 def test_cosine_topk_self_excluded_and_ranked(spark):
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     out = S.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
@@ -87,6 +120,31 @@ def test_cosine_topk_self_excluded_and_ranked(spark):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         sims = [r.cosine for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_sweep_matches_per_point_ivf_topk(spark):
+    """r13 single-scoring-pass sweep: for every p, the sweep's rows
+    tagged probes=p must equal ivf_topk(probes=p) exactly — candidate
+    restriction by probe rank is the SAME set each per-point run
+    rescored, so recall curves derived from either are identical."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 20)
+    sweep = S.ivf_topk_sweep(
+        emb, qs, "vec_id", "embedding", "label", probes_list=(1, 2, 4), k=5
+    ).collect()
+    for p in (1, 2, 4):
+        got = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in sweep
+            if r.probes == p
+        }
+        want = {
+            (r.query_id, r.neighbor_id, r.cosine, r.rank)
+            for r in S.ivf_topk(
+                emb, qs, "vec_id", "embedding", "label", probes=p, k=5
+            ).collect()
+        }
+        assert got == want, f"probes={p}: sweep != per-point ivf_topk"
 
 
 def test_cosine_topk_guards_huge_query_broadcast(spark):

@@ -175,3 +175,26 @@ def test_temperature_sample_membership_is_stable_under_growth(spark, rows, targe
     )
     assert kept1 == kept2
     assert len(kept1) <= len(rows)
+
+
+def test_lazy_local_checkpoint_backfills_after_partial_first_action(spark):
+    """The foundation of the repo-wide lazy-checkpoint contract
+    (operators/graph.py::checkpoint_edges, corrected in r13): after ANY
+    first action — even a limit probe that computes one partition —
+    Spark backfills the missing partitions at the end of that action,
+    so later full reads over the truncated lineage succeed and values
+    are pinned. Every eager→lazy conversion since r12 leans on this; if
+    a Spark upgrade ever changes it, this test fails first and the
+    whole lazy sweep must be re-audited."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 20000, 1, 8)
+        .withColumn("x", F.rand(7))
+        .localCheckpoint(eager=False)
+    )
+    assert df.limit(1).count() == 1  # partial first action
+    assert df.count() == 20000  # full read over truncated lineage works
+    s1 = df.agg(F.sum("x")).first()[0]
+    s2 = df.agg(F.sum("x")).first()[0]
+    assert s1 == s2  # values pinned at (the end of) the first action
