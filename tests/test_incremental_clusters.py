@@ -117,8 +117,14 @@ def test_delta_only_is_exactly_changed_plus_batch(spark):
 def test_fuzz_incremental_equals_oneshot(spark):
     """Seeded random graphs: split nodes 20/80 into batch/corpus, feed
     the corpus-only closure plus every batch-incident edge through the
-    contraction, and demand the one-shot labelling exactly."""
-    for seed in range(12):
+    contraction, and demand the one-shot labelling exactly. Seeds are
+    independent, and each seed's cost is fixpoint-loop JOB OVERHEAD on
+    tiny frames, so they run through a small driver thread pool
+    (optimization guide §2.6: concurrent jobs back-fill each other's
+    stragglers; job submission is thread-safe) — same 12 seeds, same
+    asserts, ~4x less wall for the suite's slowest test."""
+
+    def one_seed(seed: int) -> None:
         rng = random.Random(seed)
         n = rng.randint(6, 40)
         ids = list(range(n))
@@ -145,6 +151,11 @@ def test_fuzz_incremental_equals_oneshot(spark):
         )
         want = _oneshot(spark, ids, pairs)
         assert got == want, f"seed={seed}"
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(one_seed, range(12)))
 
 
 def test_corpus_label_table_never_shuffles(spark):
@@ -227,7 +238,10 @@ def test_untouched_clusters_bit_identical(spark):
 
 
 def test_retract_fuzz_equals_oneshot_over_survivors(spark):
-    for seed in range(10):
+    """Same thread-pool shape as test_fuzz_incremental_equals_oneshot:
+    independent seeds of job-overhead-bound fixpoints overlap."""
+
+    def one_seed(seed: int) -> None:
         rng = random.Random(1000 + seed)
         n = rng.randint(6, 36)
         ids = list(range(n))
@@ -245,6 +259,11 @@ def test_retract_fuzz_equals_oneshot_over_survivors(spark):
         ]
         want = _oneshot(spark, kept, kept_pairs)
         assert got == want, f"seed={seed}"
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(one_seed, range(10)))
 
 
 def test_retract_end_to_end_minhash(spark):

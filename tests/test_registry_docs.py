@@ -211,13 +211,21 @@ def test_split_probes_nontrivial_at_sf001(spark):
     rejected arrival, or dropped sample row, per the probe's named
     counts. A green oracle row certifies agreement; THIS certifies the
     query tests something."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from is3107datapipelineproject_spark.workload.split_probes import zero_counts
 
-    bad: dict[str, list[str]] = {}
-    for name, probe in sorted(registry.split_probes().items()):
-        empty = zero_counts(probe(spark, "/root/testdata/sf0.01"))
-        if empty:
-            bad[name] = empty
+    # probes are independent read-only queries; overlap them (guide
+    # §2.6) — this was the suite's 5th-slowest test run serially
+    items = sorted(registry.split_probes().items())
+
+    def run(item):
+        name, probe = item
+        return name, zero_counts(probe(spark, "/root/testdata/sf0.01"))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(run, items))
+    bad = {name: empty for name, empty in results if empty}
     assert bad == {}, (
         f"degenerate split structure at sf0.01 (zero-valued counts): {bad} — "
         "the query is green-but-vacuous; fix its split the way "
