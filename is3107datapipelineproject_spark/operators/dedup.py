@@ -2012,9 +2012,15 @@ def _edit_neardup_pairs_impl(t: DataFrame, hot_key_cap: int) -> DataFrame:
         F.col("k.clen").alias("clen"), F.col("k.sub").alias("sub"),
     )
     # hot-key guards (the no-silent-cliff convention), one tiny aggregate
-    # per tier's index frame.
+    # per tier's index frame. The key frames are lazily checkpointed
+    # first (r13): each guard's full-scan aggregate materializes its
+    # frame's blocks inside the guard job it was going to run anyway,
+    # and the candidate joins then read blocks instead of re-deriving
+    # the key expansion (the ≤32-deletions-per-title explode previously
+    # ran 3x: guard + both sides of the short self-join).
+    idx = idx.localCheckpoint(eager=False)
     _edit_hot_key_guard(idx, ["chunk", "clen", "sub"], hot_key_cap, "chunk")
-    short_keys = _symdelete_keys(t, "tid")
+    short_keys = _symdelete_keys(t, "tid").localCheckpoint(eager=False)
     _edit_hot_key_guard(short_keys, ["sub"], hot_key_cap, "deletion")
     # a probe substring truncated by the string end can never correspond
     # to a true-pair key (the shift math keeps required substrings in
@@ -2165,11 +2171,15 @@ def incremental_edit_neardup(
     tests). Returns ``(new_id, old_id, lev, n_old)``."""
     t_old = _edit_distinct_titles(old, id_col, title_col).persist()
     try:
-        idx = _edit_index_keys(t_old, "old_id")
+        # lazy ckpt (r13): the guard's full-scan aggregate materializes
+        # the key frame inside its own job; the candidate join then
+        # reads blocks instead of re-deriving the key expansion.
+        idx = _edit_index_keys(t_old, "old_id").localCheckpoint(eager=False)
         _edit_hot_key_guard(idx, ["chunk", "clen", "sub"], hot_key_cap, "corpus")
+        # lazy (r13): first consumer is the probe broadcast build (full).
         t_new = new.select(
             F.col(id_col).alias("tid"), F.col(title_col).alias("tt")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         probes = _edit_probe_keys(t_new, "new_id")
         cand = (
             idx.join(F.broadcast(probes), ["chunk", "clen", "sub"])

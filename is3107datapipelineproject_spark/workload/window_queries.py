@@ -2425,8 +2425,14 @@ def q_trend_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(32)
         .localCheckpoint(eager=False)
     )
-    agg = p.agg(
-        F.sum(F.signum(F.col("cb") - F.col("ca"))).cast("long").alias("s_stat"),
+    # S and m derive from the CHECKPOINTED slope frame, not from p —
+    # r13: `p.agg(...)` re-executed the whole day-pair broadcast NLJ a
+    # second time. signum(s) == signum(cb - ca) exactly (every kept
+    # pair has datediff >= 1 > 0 and s = (cb-ca)/datediff in float64,
+    # which preserves sign and zero), so s_stat and the pair count are
+    # value-identical read off sl.
+    agg = sl.agg(
+        F.sum(F.signum(F.col("s"))).cast("long").alias("s_stat"),
         F.count(F.lit(1)).cast("long").alias("m"),
     )
     nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
