@@ -138,15 +138,26 @@ def _fit(t: DataFrame, k: int, iters: int) -> DataFrame:
         t.orderBy("vid")
         .limit(k)
         .select((F.row_number().over(w) - 1).cast("int").alias("cid"), F.col("vec").alias("centroid"))
-        .coalesce(1)
-        .localCheckpoint(eager=False)
     )
-    for _ in range(iters):
+    for i in range(iters):
         assigned = _assign(t, cents)
-        # k rows: collapse to one partition before materializing so each
-        # checkpoint is one task, not shuffle-partition-many empty ones.
-        cents = _update(assigned).coalesce(1).localCheckpoint(eager=False)
-    return cents
+        cents = _update(assigned)
+        # Periodic (not per-round) intermediate checkpoint — r13: even a
+        # LAZY localCheckpoint costs jobs at plan-construction time
+        # (.rdd forces the AQE map stages), so at the default iters=2
+        # the loop builds one nested plan with no intermediate cut
+        # (measured: 15 -> 12 jobs for a single-consumer caller, values
+        # identical). Deep iteration counts still cut every 3rd round to
+        # keep optimizer time and plan depth bounded — k rows, collapsed
+        # to one partition so the cut is one task.
+        if i % 3 == 2 and i != iters - 1:
+            cents = cents.coalesce(1).localCheckpoint(eager=False)
+    # The RETURNED frame is always checkpointed: multi-consumer callers
+    # (silhouette's per-cluster passes, semantic_dedup, the two-level
+    # codebook) would otherwise re-run every Lloyd round per consumer —
+    # the first A/B of the no-cut variant showed exactly that
+    # (cluster_silhouette 19 -> 25 jobs, +60% CPU).
+    return cents.coalesce(1).localCheckpoint(eager=False)
 
 
 def kmeans_fit(
@@ -276,17 +287,9 @@ def kmeans_assign_two_level(
     t = spread_small_input(df).select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    w = Window.orderBy("vid")
-    cents = (
-        t.orderBy("vid")
-        .limit(k)
-        .select((F.row_number().over(w) - 1).cast("int").alias("cid"), F.col("vec").alias("centroid"))
-        .coalesce(1)
-        .localCheckpoint(eager=False)
-    )
-    for _ in range(iters):
-        assigned = _assign(t, cents)
-        cents = _update(assigned).coalesce(1).localCheckpoint(eager=False)
+    # same periodic-checkpoint shape as _fit (r13): no plan cut needed
+    # at the default iters=2; deep counts cut every 3rd round.
+    cents = _fit(t, k, iters)
 
     # --- level 2: group the k centroids (k-row frames throughout) ----
     sup_init = cents.filter(F.col("cid") < groups).select(

@@ -388,7 +388,12 @@ def neardup_ingest_sink(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        nb = band_signature_frame(batch_df, text_col, id_col, k).localCheckpoint(eager=True)
+        # lazy (r13 sink sweep): both consumers — the pairs join's
+        # broadcast build and the bands append — scan every partition,
+        # so the first write job materializes the blocks; one fewer job
+        # per micro-batch. batch_df is pinned to the epoch's offsets,
+        # satisfying the determinism clause (graph.checkpoint_edges).
+        nb = band_signature_frame(batch_df, text_col, id_col, k).localCheckpoint(eager=False)
         try:
             corpus = spark.read.parquet(sig_dir).filter(
                 F.col("batch") < batch_id
@@ -599,8 +604,10 @@ def prefix_ingest_sink(
         sets_b, postings_b = prefix_posting_frame(
             batch_df, text_col, id_col, threshold=threshold, dfreq=None
         )
-        sets_b = sets_b.localCheckpoint(eager=True)
-        postings_b = postings_b.localCheckpoint(eager=True)
+        # lazy (r13 sink sweep): first consumers are the one-row-per-doc
+        # guard and the hot-posting guard — full-scan aggregates.
+        sets_b = sets_b.localCheckpoint(eager=False)
+        postings_b = postings_b.localCheckpoint(eager=False)
         _assert_one_row_per_doc(sets_b, f"prefix_ingest_sink: batch {batch_id}")
         hottest = (
             postings_b.groupBy("tok")
@@ -721,8 +728,10 @@ def blocked_ingest_sink(
         sets_b, postings_b = blocked_posting_frame(
             batch_df, text_col, id_col, block_col, threshold=threshold
         )
-        sets_b = sets_b.localCheckpoint(eager=True)
-        postings_b = postings_b.localCheckpoint(eager=True)
+        # lazy (r13 sink sweep): first consumers are the one-row-per-doc
+        # guard and the hot-posting guard — full-scan aggregates.
+        sets_b = sets_b.localCheckpoint(eager=False)
+        postings_b = postings_b.localCheckpoint(eager=False)
         _assert_one_row_per_doc(sets_b, f"blocked_ingest_sink: batch {batch_id}")
         hottest = (
             postings_b.groupBy("block", "tok")
@@ -858,11 +867,14 @@ def edit_ingest_sink(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         assert_no_purge_intent(spark, titles_dir, "edit_ingest_sink")
-        b = _edit_distinct_titles(batch_df, id_col, title_col).localCheckpoint(eager=True)
-        keys_b = _edit_index_keys(b, "tid").localCheckpoint(eager=True)
+        # lazy (r13 sink sweep): every consumer of these per-batch
+        # frames (probe broadcast build, guard aggregates, the state
+        # appends) is a full scan; the first job materializes each.
+        b = _edit_distinct_titles(batch_df, id_col, title_col).localCheckpoint(eager=False)
+        keys_b = _edit_index_keys(b, "tid").localCheckpoint(eager=False)
         t_new = batch_df.select(
             F.col(id_col).alias("tid"), F.col(title_col).alias("tt")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         older = F.col("batch") < batch_id
         try:
             corpus_keys = spark.read.parquet(keys_dir).filter(older).drop("batch")
@@ -890,7 +902,8 @@ def edit_ingest_sink(
                 corpus_keys.withColumnRenamed("tid", "old_id")
                 .join(F.broadcast(probes), ["chunk", "clen", "sub"])
                 .join(to, "old_id")
-                .localCheckpoint(eager=True)
+                # lazy: first consumer is the hot-key guard's full agg
+                .localCheckpoint(eager=False)
             )
             hot = (
                 matched.groupBy("chunk", "clen", "sub")
@@ -1141,6 +1154,12 @@ def edit_purge_state(
             )
     else:
         dset = dset.unionByName(pending.toDF("did", "dtt")).distinct()
+    # deliberately EAGER (r13 sink sweep skipped the purge pins): the
+    # crash protocol stages dset via write_purge_intent and every later
+    # rewrite must drop EXACTLY the staged set — pin at one well-defined
+    # point before any state mutation (the determinism clause of the
+    # lazy-checkpoint contract); the cost is one tiny job per
+    # governance batch, not per ingest.
     dset = dset.localCheckpoint(eager=True)
     write_purge_intent(spark, titles_dir, dset)
     dids = dset.select("did")
@@ -1279,7 +1298,7 @@ def cluster_ingest_sink(
         # hot-band sub-banding tier (pairs_from_band_table).
         nb = band_signature_frame(
             batch_df, text_col, id_col, k, with_sig=True
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)  # lazy (r13 sink sweep): all consumers full-scan
         older = F.col("batch") < batch_id
         try:
             corpus = spark.read.parquet(sig_dir).filter(older).drop("batch")
@@ -1435,6 +1454,7 @@ def cluster_purge_state(
         # set in, so this run completes BOTH purges (exact — purges
         # compose by union) before the marker clears.
         dset = dset.unionByName(pending.toDF("did")).distinct()
+    # deliberately EAGER — purge pin, see edit_purge_state's note.
     dset = dset.localCheckpoint(eager=True)
     write_purge_intent(spark, labels_dir, dset)
     # the labels pre-merge re-derives affected pairs from the PRE-purge
@@ -1514,6 +1534,7 @@ def purge_stream_state(
     from is3107datapipelineproject_spark.plans.layout import compact_stream_dir
 
     dc = deleted_col or deleted.columns[0]
+    # deliberately EAGER — purge pin, see edit_purge_state's note.
     dset = deleted.select(F.col(dc).alias("__purged")).distinct().localCheckpoint(
         eager=True
     )
@@ -1588,7 +1609,9 @@ def semantic_ingest_sink(
             assign_to_centroids(batch_df, id_col, vec_col, cents)
             .select(F.col(id_col).alias("vid"), "cluster")
             .join(vn, "vid")
-            .localCheckpoint(eager=True)
+            # lazy (r13 sink sweep): consumers (pairs join broadcast
+            # build, member append) are full scans
+            .localCheckpoint(eager=False)
         )
         older = F.col("batch") < batch_id
         try:
